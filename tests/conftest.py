@@ -1,0 +1,27 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding is exercised
+without TPU hardware (the capability FasterTransformer lacked — SURVEY.md
+§4.3). Pallas kernels detect the CPU platform and run in interpreter mode.
+
+Must run before any `import jax` in test modules, hence conftest.
+"""
+
+import os
+
+# The session environment pins JAX_PLATFORMS to the TPU tunnel ("axon");
+# tests must run on CPU regardless, so override unless FLEXQ_TEST_TPU=1 asks
+# for an on-device run.
+if os.environ.get("FLEXQ_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    # The axon sitecustomize registers the TPU backend programmatically,
+    # which overrides the env var — force the config back to CPU.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
