@@ -1,0 +1,175 @@
+"""Single config system for models, quantization policy, mesh, and serving.
+
+Replaces the reference's three config mechanisms (argparse in algorithm/,
+CMake defines + argv in engine/, INI files in e2e/ — SURVEY.md §5) with one
+set of dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+from flexq_tpu.quant.quantizer import QuantSpec
+
+GROUP_SIZE = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture description (covers LLaMA-1/2/3 MHA+GQA and OPT)."""
+
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    arch: str = "llama"  # "llama" | "opt"
+    act: str = "silu"  # llama: silu-glu; opt: relu
+    tie_word_embeddings: bool = False
+    # OPT specifics
+    do_layer_norm_before: bool = True  # OPT-350m quirk is False
+    attn_bias: bool = False  # OPT linears carry biases
+    ffn_bias: bool = False
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    @staticmethod
+    def llama(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=None,
+        max_seq_len=2048,
+        rope_theta=10000.0,
+        norm_eps=1e-5,
+        **kw,
+    ) -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=vocab_size,
+            hidden_size=hidden_size,
+            intermediate_size=intermediate_size,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            num_kv_heads=num_kv_heads or num_heads,
+            head_dim=hidden_size // num_heads,
+            max_seq_len=max_seq_len,
+            rope_theta=rope_theta,
+            norm_eps=norm_eps,
+            arch="llama",
+            act="silu",
+            **kw,
+        )
+
+    @staticmethod
+    def opt(
+        vocab_size=50272,
+        hidden_size=768,
+        intermediate_size=3072,
+        num_layers=12,
+        num_heads=12,
+        max_seq_len=2048,
+        norm_eps=1e-5,
+        **kw,
+    ) -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=vocab_size,
+            hidden_size=hidden_size,
+            intermediate_size=intermediate_size,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            num_kv_heads=num_heads,
+            head_dim=hidden_size // num_heads,
+            max_seq_len=max_seq_len,
+            norm_eps=norm_eps,
+            arch="opt",
+            act="relu",
+            attn_bias=True,
+            ffn_bias=True,
+            **kw,
+        )
+
+
+# Linear-layer names per architecture (used by policies and loaders).
+LLAMA_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+OPT_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj", "fc1", "fc2")
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantPolicy:
+    """Per-linear (weight_bits, act_bits) policy + group sizes.
+
+    The reference's layer-wise sensitivity result is baked in as static
+    per-architecture policies (SURVEY.md §2.1 note):
+      * LLaMA flex policy: all weights 6b; down_proj activation 8b, all other
+        activations 6b (algorithm/main.py:202,266-276; int_llama_layer.py:35).
+      * OPT flex policy: q/k/v activations 8b, rest 6b
+        (algorithm/models/int_opt_layer.py:43-60).
+    `sensitivity.py` can derive custom policies by measurement.
+    """
+
+    weight_bits: Dict[str, int]
+    act_bits: Dict[str, int]
+    w_group_size: Optional[int] = GROUP_SIZE
+    a_group_size: Optional[int] = GROUP_SIZE
+    symmetric: bool = True
+
+    def weight_spec(self, name: str) -> QuantSpec:
+        return QuantSpec(
+            bits=self.weight_bits.get(name, 16),
+            symmetric=self.symmetric,
+            group_size=self.w_group_size,
+        )
+
+    def act_spec(self, name: str) -> QuantSpec:
+        return QuantSpec(
+            bits=self.act_bits.get(name, 16),
+            symmetric=self.symmetric,
+            group_size=self.a_group_size,
+        )
+
+    @staticmethod
+    def llama_flex(wbits: int = 6, abits: int = 6, down_abits: int = 8) -> "QuantPolicy":
+        return QuantPolicy(
+            weight_bits={n: wbits for n in LLAMA_LINEARS},
+            act_bits={
+                **{n: abits for n in LLAMA_LINEARS},
+                "down_proj": down_abits,
+            },
+        )
+
+    @staticmethod
+    def opt_flex(wbits: int = 6, abits: int = 6, qkv_abits: int = 8) -> "QuantPolicy":
+        return QuantPolicy(
+            weight_bits={n: wbits for n in OPT_LINEARS},
+            act_bits={
+                **{n: abits for n in OPT_LINEARS},
+                "q_proj": qkv_abits,
+                "k_proj": qkv_abits,
+                "v_proj": qkv_abits,
+            },
+        )
+
+    @staticmethod
+    def uniform(arch: str = "llama", wbits: int = 6, abits: int = 6) -> "QuantPolicy":
+        names = LLAMA_LINEARS if arch == "llama" else OPT_LINEARS
+        return QuantPolicy(
+            weight_bits={n: wbits for n in names},
+            act_bits={n: abits for n in names},
+        )
+
+    @staticmethod
+    def fp16(arch: str = "llama") -> "QuantPolicy":
+        names = LLAMA_LINEARS if arch == "llama" else OPT_LINEARS
+        return QuantPolicy(
+            weight_bits={n: 16 for n in names}, act_bits={n: 16 for n in names}
+        )

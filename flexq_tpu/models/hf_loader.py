@@ -1,0 +1,200 @@
+"""HuggingFace checkpoint → flexq_tpu param pytree.
+
+Replaces the reference's LMClass HF wrapper (algorithm/models/LMClass.py:31)
+and the HF→FasterTransformer converter
+(e2e examples/pytorch/llama/utils/huggingface_llama_convert.py). Weights are
+transposed to [in, out] (forward is x @ w).
+
+Two entry points:
+  * from_hf_llama / from_hf_opt: convert an in-memory transformers model
+    (tests, small models).
+  * load_checkpoint: stream safetensors shards from a directory without
+    instantiating torch modules (large models; used by the exporter).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from flexq_tpu.config import ModelConfig
+
+
+def _t(x, dtype) -> jnp.ndarray:
+    arr = np.asarray(x.detach().cpu().float().numpy() if hasattr(x, "detach") else x)
+    return jnp.asarray(arr, dtype)
+
+
+def config_from_hf(hf_cfg) -> ModelConfig:
+    """Build ModelConfig from a transformers config object or config.json dict."""
+    get = (lambda k, d=None: getattr(hf_cfg, k, d)) if not isinstance(hf_cfg, dict) else (
+        lambda k, d=None: hf_cfg.get(k, d)
+    )
+    model_type = get("model_type", "llama")
+    if model_type == "llama":
+        return ModelConfig.llama(
+            vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"),
+            intermediate_size=get("intermediate_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads") or get("num_attention_heads"),
+            max_seq_len=get("max_position_embeddings", 2048),
+            rope_theta=get("rope_theta", 10000.0),
+            norm_eps=get("rms_norm_eps", 1e-5),
+            tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+        )
+    if model_type == "opt":
+        return ModelConfig.opt(
+            vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"),
+            intermediate_size=get("ffn_dim"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            max_seq_len=get("max_position_embeddings", 2048),
+            do_layer_norm_before=bool(get("do_layer_norm_before", True)),
+            tie_word_embeddings=bool(get("tie_word_embeddings", True)),
+        )
+    raise ValueError(f"unsupported model_type {model_type}")
+
+
+def from_hf_llama(model, dtype=jnp.float32) -> Dict[str, Any]:
+    """transformers LlamaForCausalLM → param pytree."""
+    sd = model.state_dict()
+    n_layers = model.config.num_hidden_layers
+    layers = []
+    for i in range(n_layers):
+        p = f"model.layers.{i}."
+        layers.append(
+            {
+                "input_norm": _t(sd[p + "input_layernorm.weight"], dtype),
+                "post_norm": _t(sd[p + "post_attention_layernorm.weight"], dtype),
+                "q_proj": {"w": _t(sd[p + "self_attn.q_proj.weight"].T, dtype)},
+                "k_proj": {"w": _t(sd[p + "self_attn.k_proj.weight"].T, dtype)},
+                "v_proj": {"w": _t(sd[p + "self_attn.v_proj.weight"].T, dtype)},
+                "o_proj": {"w": _t(sd[p + "self_attn.o_proj.weight"].T, dtype)},
+                "gate_proj": {"w": _t(sd[p + "mlp.gate_proj.weight"].T, dtype)},
+                "up_proj": {"w": _t(sd[p + "mlp.up_proj.weight"].T, dtype)},
+                "down_proj": {"w": _t(sd[p + "mlp.down_proj.weight"].T, dtype)},
+            }
+        )
+    params = {
+        "embed": _t(sd["model.embed_tokens.weight"], dtype),
+        "final_norm": _t(sd["model.norm.weight"], dtype),
+        "layers": layers,
+    }
+    if "lm_head.weight" in sd and not model.config.tie_word_embeddings:
+        params["lm_head"] = _t(sd["lm_head.weight"].T, dtype)
+    return params
+
+
+def from_hf_opt(model, dtype=jnp.float32) -> Dict[str, Any]:
+    """transformers OPTForCausalLM → param pytree."""
+    sd = model.state_dict()
+    n_layers = model.config.num_hidden_layers
+    layers = []
+    for i in range(n_layers):
+        p = f"model.decoder.layers.{i}."
+
+        def lin(name):
+            return {
+                "w": _t(sd[p + name + ".weight"].T, dtype),
+                "b": _t(sd[p + name + ".bias"], dtype),
+            }
+
+        layers.append(
+            {
+                "input_norm": {
+                    "g": _t(sd[p + "self_attn_layer_norm.weight"], dtype),
+                    "b": _t(sd[p + "self_attn_layer_norm.bias"], dtype),
+                },
+                "post_norm": {
+                    "g": _t(sd[p + "final_layer_norm.weight"], dtype),
+                    "b": _t(sd[p + "final_layer_norm.bias"], dtype),
+                },
+                "q_proj": lin("self_attn.q_proj"),
+                "k_proj": lin("self_attn.k_proj"),
+                "v_proj": lin("self_attn.v_proj"),
+                "o_proj": lin("self_attn.out_proj"),
+                "fc1": lin("fc1"),
+                "fc2": lin("fc2"),
+            }
+        )
+    params = {
+        "embed": _t(sd["model.decoder.embed_tokens.weight"], dtype),
+        "pos_embed": _t(sd["model.decoder.embed_positions.weight"], dtype),
+        "layers": layers,
+    }
+    if "model.decoder.final_layer_norm.weight" in sd:
+        params["final_norm"] = {
+            "g": _t(sd["model.decoder.final_layer_norm.weight"], dtype),
+            "b": _t(sd["model.decoder.final_layer_norm.bias"], dtype),
+        }
+    return params
+
+
+def load_checkpoint(
+    model_dir: str, dtype=jnp.bfloat16
+) -> tuple[ModelConfig, Dict[str, Any]]:
+    """Load config.json + *.safetensors shards from a directory.
+
+    Torch-free path for big checkpoints (the serving weight loader, analogue
+    of LlamaWeight::loadModel, reference LlamaDecoderLayerWeight.cc:381-406).
+    """
+    from safetensors import safe_open
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg)
+
+    tensors: Dict[str, np.ndarray] = {}
+    shards = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if not shards:
+        raise FileNotFoundError(f"no safetensors shards in {model_dir}")
+    for shard in shards:
+        with safe_open(os.path.join(model_dir, shard), framework="np") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+
+    def t(key, transpose=False):
+        arr = tensors[key]
+        if arr.dtype == np.uint16:  # bf16 raw
+            arr = arr.view(np.uint16)
+            out = jnp.asarray(arr).view(jnp.bfloat16)
+        else:
+            out = jnp.asarray(arr)
+        out = out.astype(dtype)
+        return out.T if transpose else out
+
+    if cfg.arch == "llama":
+        layers = []
+        for i in range(cfg.num_layers):
+            p = f"model.layers.{i}."
+            layers.append(
+                {
+                    "input_norm": t(p + "input_layernorm.weight"),
+                    "post_norm": t(p + "post_attention_layernorm.weight"),
+                    "q_proj": {"w": t(p + "self_attn.q_proj.weight", True)},
+                    "k_proj": {"w": t(p + "self_attn.k_proj.weight", True)},
+                    "v_proj": {"w": t(p + "self_attn.v_proj.weight", True)},
+                    "o_proj": {"w": t(p + "self_attn.o_proj.weight", True)},
+                    "gate_proj": {"w": t(p + "mlp.gate_proj.weight", True)},
+                    "up_proj": {"w": t(p + "mlp.up_proj.weight", True)},
+                    "down_proj": {"w": t(p + "mlp.down_proj.weight", True)},
+                }
+            )
+        params = {
+            "embed": t("model.embed_tokens.weight"),
+            "final_norm": t("model.norm.weight"),
+            "layers": layers,
+        }
+        if "lm_head.weight" in tensors and not cfg.tie_word_embeddings:
+            params["lm_head"] = t("lm_head.weight", True)
+        return cfg, params
+    raise NotImplementedError(f"load_checkpoint for arch {cfg.arch}")

@@ -1,0 +1,215 @@
+"""Functional LLaMA-family decoder (MHA + GQA) in pure JAX.
+
+The accuracy-oracle twin of the reference's algorithm/models/int_llama_layer.py
+(QuantLlamaDecoderLayer) and the graph the serving engine jits (reference e2e
+models/llama/LlamaDecoder.cc:304-450 semantics, re-designed as jitted
+functions instead of a C++ object graph).
+
+Two execution modes share this module:
+  * dense:   plain matmuls; weights may be pre-fake-quantized
+             (`fake_quant_weights`) and activations fake-quantized per the
+             policy — reproducing algorithm/main.py's evaluation path.
+  * serve:   flexq_tpu.serve.engine drives the quantized Pallas kernels with
+             the same layer structure (fused norm→quant producers).
+
+Weight layout convention: every linear is stored [in_features, out_features]
+so forward is `x @ w` (transposed from HF/torch [out, in]).
+
+HF numeric parity notes (verified against transformers.LlamaModel):
+  * RMSNorm stats in f32, cast to model dtype *before* the gamma multiply.
+  * RoPE: cos/sin computed from f32 inv_freq, applied in f32 via rotate_half.
+  * Softmax in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flexq_tpu.config import ModelConfig, QuantPolicy
+from flexq_tpu.quant.quantizer import QuantSpec, fake_quant
+
+
+class KVCache(NamedTuple):
+    """Per-model KV cache: [num_layers, B, max_len, kv_heads, head_dim]."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # int32 [] or [B] — tokens already cached
+
+    @staticmethod
+    def empty(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """positions [B, L] -> (cos, sin) [B, L, head_dim] (HF half-rotate layout)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, L, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q [B,L,H,D], k [B,L,KVH,D]; cos/sin [B,L,D]."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = qf * cos + _rotate_half(qf) * sin
+    k_out = kf * cos + _rotate_half(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float) -> jax.Array:
+    h = x.astype(jnp.float32)
+    var = jnp.mean(h * h, axis=-1, keepdims=True)
+    return (h * jax.lax.rsqrt(var + eps)).astype(x.dtype) * gamma
+
+
+def _maybe_quant_act(x, name: str, policy: Optional[QuantPolicy]):
+    if policy is None:
+        return x
+    spec = policy.act_spec(name)
+    if not spec.enabled:
+        return x
+    return fake_quant(x, spec)
+
+
+def _linear(params: Dict[str, Any], name: str, x, policy: Optional[QuantPolicy]):
+    """Dense linear with optional dynamic act fake-quant (QuantLinear.forward,
+    reference int_linear.py:56 — act quant is dynamic at eval time)."""
+    x = _maybe_quant_act(x, name, policy)
+    w = params[name]["w"]
+    y = x @ w.astype(x.dtype)
+    b = params[name].get("b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def attention_core(
+    q: jax.Array,  # [B, Lq, H, D]
+    k: jax.Array,  # [B, Lk, KVH, D]
+    v: jax.Array,  # [B, Lk, KVH, D]
+    mask: Optional[jax.Array],  # [B, 1, Lq, Lk] additive or None (full causal)
+    num_kv_groups: int,
+) -> jax.Array:
+    """f32-softmax attention with GQA via kv-head repeat (reference
+    int_llama_layer.py:142-143 repeat_kv)."""
+    b, lq, h, d = q.shape
+    if num_kv_groups > 1:
+        k = jnp.repeat(k, num_kv_groups, axis=2)
+        v = jnp.repeat(v, num_kv_groups, axis=2)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    scores = scores / jnp.sqrt(d).astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out.reshape(b, lq, h * d)
+
+
+def causal_mask(lq: int, lk: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask [1, 1, lq, lk]; queries at the END of the key run."""
+    qi = jnp.arange(lq)[:, None] + (lk - lq)
+    ki = jnp.arange(lk)[None, :]
+    m = jnp.where(ki <= qi, 0.0, jnp.finfo(dtype).min)
+    return m[None, None].astype(dtype)
+
+
+def decoder_layer(
+    lp: Dict[str, Any],
+    cfg: ModelConfig,
+    x: jax.Array,  # [B, L, H]
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    policy: Optional[QuantPolicy] = None,
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # cached [B, max, KVH, D]
+    cache_pos: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    b, l, hidden = x.shape
+    h = rmsnorm(x, lp["input_norm"], cfg.norm_eps)
+    q = _linear(lp, "q_proj", h, policy).reshape(b, l, cfg.num_heads, cfg.head_dim)
+    k = _linear(lp, "k_proj", h, policy).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+    v = _linear(lp, "v_proj", h, policy).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_kv = None
+    if kv is not None:
+        ck, cv = kv
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        new_kv = (ck, cv)
+        k, v = ck, cv
+
+    attn = attention_core(q, k, v, mask, cfg.num_kv_groups)
+    attn = _linear(lp, "o_proj", attn, policy)
+    x = x + attn
+
+    h = rmsnorm(x, lp["post_norm"], cfg.norm_eps)
+    gate = _linear(lp, "gate_proj", h, policy)
+    up = _linear(lp, "up_proj", h, policy)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+    down = _linear(lp, "down_proj", act, policy)
+    x = x + down
+    return x, new_kv
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    ids: jax.Array,  # int32 [B, L]
+    policy: Optional[QuantPolicy] = None,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-sequence forward -> logits [B, L, V] (the perplexity-eval path,
+    reference algorithm/main.py:96-121)."""
+    b, l = ids.shape
+    x = params["embed"][ids]
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(l), (b, l))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    mask = causal_mask(l, l)
+    for lp in params["layers"]:
+        x, _ = decoder_layer(lp, cfg, x, cos, sin, mask, policy)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings
+        head = params["embed"].T
+    return x @ head.astype(x.dtype)
+
+
+def fake_quant_weights(params: Dict[str, Any], policy: QuantPolicy) -> Dict[str, Any]:
+    """Quantize-dequantize all policy-covered linear weights in place
+    (reference flexqllm.py:100-117 + utils.py:117 weight_quant_inplace).
+
+    Weights are stored [in, out]; reference quantizes torch [out, in] rows
+    per output channel/group along in_features — so transpose, quant, undo.
+    """
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for lp in out["layers"]:
+        for name in policy.weight_bits:
+            if name not in lp:
+                continue
+            spec = policy.weight_spec(name)
+            if not spec.enabled:
+                continue
+            w = lp[name]["w"]
+            lp[name] = dict(lp[name])
+            lp[name]["w"] = fake_quant(w.T, spec).T
+    return out

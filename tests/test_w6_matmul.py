@@ -1,0 +1,121 @@
+"""W6Ax matmul kernel tests vs golden integer reference.
+
+Pattern mirrors the reference's engine/test_bgemm_kernel.cu: random int
+matrices + random group scales → pack → golden reference → kernel → compare.
+On CPU the Pallas kernel runs in interpreter mode (auto-detected).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from flexq_tpu.kernels import w6_matmul, w6_matmul_ref
+from flexq_tpu.kernels.common import GROUP_SIZE
+from flexq_tpu.packing import pack6
+
+
+def make_case(rng, m, n, k, x_bits=8):
+    xmax = 2 ** (x_bits - 1) - 1
+    x_q = rng.integers(-xmax - 1, xmax + 1, (m, k), dtype=np.int64).astype(np.int8)
+    w_q = rng.integers(-32, 32, (k, n), dtype=np.int64).astype(np.int8)
+    x_s = rng.uniform(0.01, 0.1, (m, k // GROUP_SIZE)).astype(np.float32)
+    w_s = rng.uniform(0.01, 0.1, (k // GROUP_SIZE, n)).astype(np.float32)
+    hi, lo = pack6(jnp.asarray(w_q))
+    return (
+        jnp.asarray(x_q),
+        jnp.asarray(x_s),
+        hi,
+        lo,
+        jnp.asarray(w_s),
+    )
+
+
+# decode (M small) and prefill-ish shapes; K=256 exercises multi-K-block
+SHAPES = [(1, 256, 256), (8, 256, 512), (4, 512, 384), (16, 128, 128), (128, 256, 256)]
+
+
+@pytest.mark.parametrize("m,n,k", SHAPES)
+@pytest.mark.parametrize("x_bits", [6, 8])
+def test_matches_golden(m, n, k, x_bits):
+    rng = np.random.default_rng(m * 1000 + n + k + x_bits)
+    args = make_case(rng, m, n, k, x_bits)
+    got = np.asarray(
+        w6_matmul(*args, out_dtype=jnp.float32, block_m=8, block_n=128, block_k=128)
+    )
+    want = np.asarray(w6_matmul_ref(*args))
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_multi_kblock_accumulation():
+    # K spans 4 K-blocks: checks the acc-scratch revisiting logic
+    rng = np.random.default_rng(0)
+    args = make_case(rng, 8, 128, 512)
+    got = np.asarray(
+        w6_matmul(*args, out_dtype=jnp.float32, block_m=8, block_n=128, block_k=128)
+    )
+    want = np.asarray(w6_matmul_ref(*args))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_ragged_m_padding():
+    # M=3 not a multiple of the block: wrapper pads and slices back
+    rng = np.random.default_rng(1)
+    args = make_case(rng, 3, 128, 256)
+    got = np.asarray(
+        w6_matmul(*args, out_dtype=jnp.float32, block_m=8, block_n=128, block_k=128)
+    )
+    want = np.asarray(w6_matmul_ref(*args))
+    assert got.shape == (3, 128)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_bf16_output():
+    rng = np.random.default_rng(2)
+    args = make_case(rng, 4, 128, 128)
+    got = w6_matmul(*args, block_m=8, block_n=128, block_k=128)
+    assert got.dtype == jnp.bfloat16
+    want = np.asarray(w6_matmul_ref(*args))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), want, rtol=8e-3, atol=0.5
+    )
+
+
+def test_end_to_end_vs_fake_quant():
+    """Serving-path numerics == fake-quant oracle numerics (the parity seam)."""
+    from flexq_tpu.quant import QuantSpec, fake_quant, quantize
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.05  # [K, N]
+
+    wspec = QuantSpec(bits=6, symmetric=True, group_size=GROUP_SIZE)
+    aspec = QuantSpec(bits=8, symmetric=True, group_size=GROUP_SIZE)
+
+    # fake-quant path: fp matmul of fake-quant tensors (quant along K for both)
+    w_fq = np.asarray(fake_quant(jnp.asarray(w.T), wspec))  # [N, K] rows=out-ch
+    x_fq = np.asarray(fake_quant(jnp.asarray(x), aspec))
+    want = x_fq @ w_fq.T
+
+    # serving path: integer kernel
+    wq, ws, _ = quantize(jnp.asarray(w.T), wspec)  # [N*K/G rows]
+    wq = np.asarray(wq).reshape(128, 256).T  # [K, N] int
+    ws = np.asarray(ws).reshape(128, 256 // GROUP_SIZE).T  # [K/G, N]
+    xq, xs, _ = quantize(jnp.asarray(x), aspec)
+    xq = np.asarray(xq).reshape(4, 256)
+    xs = np.asarray(xs).reshape(4, 256 // GROUP_SIZE)
+    hi, lo = pack6(jnp.asarray(wq))
+    got = np.asarray(
+        w6_matmul(
+            jnp.asarray(xq),
+            jnp.asarray(xs),
+            hi,
+            lo,
+            jnp.asarray(ws),
+            out_dtype=jnp.float32,
+            block_m=8,
+            block_n=128,
+            block_k=128,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
