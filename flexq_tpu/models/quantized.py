@@ -1,0 +1,205 @@
+"""Quantized (serve-path) LLaMA: packed weights + Pallas kernel forward.
+
+The TPU-native equivalent of the reference's C++ serving graph
+(e2e models/llama/LlamaDecoder.cc:304-450 + LlamaContextDecoder.cc): every
+linear runs the W6Ax Pallas kernel from 6-bit packed planes, activations are
+quantized in the producer's epilogue (fused norm/activation kernels), and the
+attention core stays 16-bit (reference keeps q/k/v/p matmuls fp16,
+algorithm/main.py:299-320).
+
+Weight conversion (`quantize_params`) fills the reference's missing-exporter
+gap (SURVEY.md §2.6): dense HF weights → per-group(128) int6 + scales →
+nibble/crumb planes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flexq_tpu.config import ModelConfig, QuantPolicy
+from flexq_tpu.kernels import (
+    GROUP_SIZE,
+    glu_quant,
+    layernorm_quant,
+    quant_act,
+    relu_quant,
+    rmsnorm_quant,
+    w6_matmul,
+)
+from flexq_tpu.models.llama import apply_rope, attention_core, causal_mask, rmsnorm, rope_cos_sin
+from flexq_tpu.packing import pack6
+from flexq_tpu.quant.quantizer import QuantSpec, quantize
+
+
+def quantize_linear(w: jax.Array, spec: QuantSpec) -> Dict[str, jax.Array]:
+    """Dense [K, N] -> packed planes + scales (per-group along K).
+
+    N is zero-padded to a multiple of 128 (Mosaic lane tile); the layer
+    slices the kernel output back to the true width.
+    """
+    k, n = w.shape
+    assert k % GROUP_SIZE == 0, f"K={k}"
+    q, s, _ = quantize(w.T, spec)  # groups along K per output channel
+    q = q.reshape(n, k).T  # [K, N] int8 (6-bit values)
+    s = s.reshape(n, k // GROUP_SIZE).T  # [K/G, N]
+    n_pad = (-n) % 128
+    if n_pad:
+        q = jnp.pad(q, ((0, 0), (0, n_pad)))
+        s = jnp.pad(s, ((0, 0), (0, n_pad)))
+    hi, lo = pack6(q)
+    return {"hi": hi, "lo": lo, "scale": jnp.asarray(s, jnp.float32)}
+
+
+def quantize_params(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Dense param pytree -> serve pytree (packed linears, bf16 the rest)."""
+    out: Dict[str, Any] = {
+        "embed": params["embed"].astype(dtype),
+        "final_norm": jax.tree_util.tree_map(
+            lambda x: x.astype(dtype), params["final_norm"]
+        ),
+        "layers": [],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = params["lm_head"].astype(dtype)
+    if "pos_embed" in params:
+        out["pos_embed"] = params["pos_embed"].astype(dtype)
+    for lp in params["layers"]:
+        ql: Dict[str, Any] = {}
+        for name, val in lp.items():
+            if isinstance(val, dict) and "w" in val:
+                spec = policy.weight_spec(name)
+                if spec.enabled:
+                    ql[name] = quantize_linear(val["w"], spec)
+                    if val.get("b") is not None:
+                        ql[name]["b"] = val["b"].astype(dtype)
+                else:
+                    ql[name] = {"w": val["w"].astype(dtype)}
+                    if val.get("b") is not None:
+                        ql[name]["b"] = val["b"].astype(dtype)
+            else:
+                ql[name] = jax.tree_util.tree_map(lambda x: x.astype(dtype), val)
+        out["layers"].append(ql)
+    return out
+
+
+def _qlinear(
+    wq: Dict[str, Any],
+    xq: jax.Array,
+    xs: jax.Array,
+    out_dtype,
+    n_out: Optional[int] = None,
+) -> jax.Array:
+    y = w6_matmul(xq, xs, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    if n_out is not None and y.shape[-1] != n_out:
+        y = y[:, :n_out]
+    if "b" in wq:
+        y = y + wq["b"].astype(y.dtype)
+    return y
+
+
+def llama_layer_serve(
+    lp: Dict[str, Any],
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    x: jax.Array,  # [B, L, H]
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_pos: Optional[jax.Array] = None,
+):
+    """One quantized decoder layer (reference LlamaDecoder.cc per-layer flow:
+    fused-LN→attn→fused-add-residual-LN→ffn→add-residual)."""
+    b, l, hidden = x.shape
+    dtype = x.dtype
+    x2 = x.reshape(b * l, hidden)
+
+    a_qkv = policy.act_bits.get("q_proj", 6)
+    qx, qs = rmsnorm_quant(x2, lp["input_norm"], bits=a_qkv, eps=cfg.norm_eps)
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    q = _qlinear(lp["q_proj"], qx, qs, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+    k = _qlinear(lp["k_proj"], qx, qs, dtype, nkv).reshape(
+        b, l, cfg.num_kv_heads, cfg.head_dim
+    )
+    v = _qlinear(lp["v_proj"], qx, qs, dtype, nkv).reshape(
+        b, l, cfg.num_kv_heads, cfg.head_dim
+    )
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_kv = None
+    if kv is not None:
+        ck, cv = kv
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        new_kv = (ck, cv)
+        k, v = ck, cv
+
+    attn = attention_core(q, k, v, mask, cfg.num_kv_groups)  # [B, L, H*D]
+    attn2 = attn.reshape(b * l, hidden)
+    oq, os_ = quant_act(attn2, bits=policy.act_bits.get("o_proj", 6))
+    o = _qlinear(lp["o_proj"], oq, os_, dtype, hidden)
+
+    # fused residual-add + post-norm + quant (producer epilogue)
+    a_ffn = policy.act_bits.get("gate_proj", 6)
+    fq, fs, x2 = rmsnorm_quant(
+        o, lp["post_norm"], bits=a_ffn, residual=x2, eps=cfg.norm_eps
+    )
+    gate = _qlinear(lp["gate_proj"], fq, fs, dtype, cfg.intermediate_size)
+    up = _qlinear(lp["up_proj"], fq, fs, dtype, cfg.intermediate_size)
+    dq, ds = glu_quant(gate, up, bits=policy.act_bits.get("down_proj", 8), act="silu")
+    down = _qlinear(lp["down_proj"], dq, ds, dtype, hidden)
+    x2 = x2 + down
+    return x2.reshape(b, l, hidden), new_kv
+
+
+def forward_serve(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    ids: jax.Array,  # [B, L]
+    positions: Optional[jax.Array] = None,
+    kv_k: Optional[jax.Array] = None,  # [layers, B, max, KVH, D]
+    kv_v: Optional[jax.Array] = None,
+    cache_pos: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+):
+    """Quantized forward. Without a cache: full-sequence causal (prefill/eval).
+    With a cache: writes K/V at cache_pos and attends over the full cache.
+
+    Returns (logits [B, L, V], (new_kv_k, new_kv_v) or None).
+    """
+    b, l = ids.shape
+    x = params["embed"][ids]
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(l), (b, l))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    if mask is None and kv_k is None:
+        mask = causal_mask(l, l)
+
+    new_ks, new_vs = [], []
+    for i, lp in enumerate(params["layers"]):
+        kv = (kv_k[i], kv_v[i]) if kv_k is not None else None
+        x, new_kv = llama_layer_serve(
+            lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
+        )
+        if new_kv is not None:
+            new_ks.append(new_kv[0])
+            new_vs.append(new_kv[1])
+
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = x @ head.astype(x.dtype)
+    if new_ks:
+        return logits, (jnp.stack(new_ks), jnp.stack(new_vs))
+    return logits, None

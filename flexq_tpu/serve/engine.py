@@ -1,0 +1,166 @@
+"""Single-host serving engine: jitted prefill + decode step + generate loop.
+
+Functional replacement for the reference's Llama<T>::forward state machine
+(e2e models/llama/Llama.cc:518-1240): prefill fills the KV cache and emits
+the first token; the decode loop then runs one jitted step per token with a
+donated cache (no per-step allocation), sampling fused on-device.
+
+The KV cache is a dense [layers, B, max_len, kv_heads, head_dim] pair
+(reference sizes its cache the same way, Llama.cc:112-115); continuous
+batching layers a slot scheduler on top (serve/scheduler.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexq_tpu.config import ModelConfig, QuantPolicy
+from flexq_tpu.models.llama import causal_mask
+from flexq_tpu.models.quantized import forward_serve
+from flexq_tpu.serve.sampling import SamplingParams, process_logits, sample
+
+
+def prefill_mask(l: int, max_len: int) -> jax.Array:
+    """Causal mask for queries 0..l-1 over a max_len cache (tail masked)."""
+    qi = jnp.arange(l)[:, None]
+    ki = jnp.arange(max_len)[None, :]
+    m = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)
+    return m[None, None]
+
+
+def decode_mask(pos: jax.Array, max_len: int) -> jax.Array:
+    """Mask for a single query at position `pos` over the cache."""
+    ki = jnp.arange(max_len)[None, :]
+    m = jnp.where(ki <= pos, 0.0, jnp.finfo(jnp.float32).min)
+    return m[None, None]
+
+
+class Engine:
+    """Greedy/sampling generation over a quantized (or dense) model."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: ModelConfig,
+        policy: QuantPolicy,
+        max_seq_len: int = 2048,
+        kv_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.policy = policy
+        self.max_seq_len = max_seq_len
+        self.kv_dtype = kv_dtype
+        self._prefill_jit = jax.jit(
+            self._prefill, static_argnames=("prompt_len",), donate_argnums=(2, 3)
+        )
+        self._step_jit = jax.jit(self._decode_step, donate_argnums=(2, 3))
+
+    def _kv_shape(self, batch: int) -> Tuple[int, ...]:
+        c = self.cfg
+        return (c.num_layers, batch, self.max_seq_len, c.num_kv_heads, c.head_dim)
+
+    def new_cache(self, batch: int) -> Tuple[jax.Array, jax.Array]:
+        shape = self._kv_shape(batch)
+        return jnp.zeros(shape, self.kv_dtype), jnp.zeros(shape, self.kv_dtype)
+
+    def _prefill(self, params, ids, kv_k, kv_v, prompt_len: int):
+        b, l = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(l), (b, l))
+        mask = prefill_mask(l, self.max_seq_len)
+        logits, kv = forward_serve(
+            params,
+            self.cfg,
+            self.policy,
+            ids,
+            positions=positions,
+            kv_k=kv_k,
+            kv_v=kv_v,
+            cache_pos=jnp.int32(0),
+            mask=mask,
+        )
+        return logits[:, prompt_len - 1], kv[0], kv[1]
+
+    def _decode_step(self, params, ids, kv_k, kv_v, pos):
+        b = ids.shape[0]
+        positions = jnp.broadcast_to(pos, (b, 1))
+        mask = decode_mask(pos, self.max_seq_len)
+        logits, kv = forward_serve(
+            params,
+            self.cfg,
+            self.policy,
+            ids,
+            positions=positions,
+            kv_k=kv_k,
+            kv_v=kv_v,
+            cache_pos=pos,
+            mask=mask,
+        )
+        return logits[:, 0], kv[0], kv[1]
+
+    def generate(
+        self,
+        prompt_ids: Sequence[Sequence[int]] | np.ndarray,
+        max_new_tokens: int = 32,
+        sampling: SamplingParams = SamplingParams(),
+        eos_id: int = 2,
+        stop_ids: Sequence[int] = (),
+        seed: int = 0,
+    ) -> List[List[int]]:
+        """Batched generation. Ragged prompts are left-padded to a common
+        length (padding attends causally but sits before position 0 content —
+        we instead require equal lengths for v1 and pad with bos repeats).
+        """
+        prompts = [list(p) for p in prompt_ids]
+        lens = {len(p) for p in prompts}
+        assert len(lens) == 1, "v1 engine requires equal-length prompts; use scheduler for ragged batches"
+        l = lens.pop()
+        b = len(prompts)
+        assert l + max_new_tokens <= self.max_seq_len
+
+        ids = jnp.asarray(np.asarray(prompts, np.int32))
+        kv_k, kv_v = self.new_cache(b)
+        logits, kv_k, kv_v = self._prefill_jit(self.params, ids, kv_k, kv_v, prompt_len=l)
+
+        stop_set = set(stop_ids) | {eos_id}
+        key = jax.random.PRNGKey(seed)
+        counts = np.zeros((b, self.cfg.vocab_size), np.int32)
+        for row, p in enumerate(prompts):
+            for t in p:
+                counts[row, t] += 1
+        token_counts = jnp.asarray(counts)
+
+        out: List[List[int]] = [[] for _ in range(b)]
+        finished = np.zeros(b, bool)
+        gen_len = jnp.zeros((b,), jnp.int32)
+        pos = l
+        for step in range(max_new_tokens):
+            proc = process_logits(
+                logits,
+                sampling,
+                token_counts=token_counts,
+                cur_length=gen_len,
+                eos_id=eos_id,
+            )
+            key, sub = jax.random.split(key)
+            next_ids = sample(proc, sampling, sub)
+            ids_np = np.asarray(next_ids)
+            for row in range(b):
+                if not finished[row]:
+                    out[row].append(int(ids_np[row]))
+                    if int(ids_np[row]) in stop_set:
+                        finished[row] = True
+            if finished.all() or step == max_new_tokens - 1:
+                break
+            token_counts = token_counts.at[jnp.arange(b), next_ids].add(1)
+            gen_len = gen_len + 1
+            logits, kv_k, kv_v = self._step_jit(
+                self.params, next_ids[:, None], kv_k, kv_v, jnp.int32(pos)
+            )
+            pos += 1
+        return out

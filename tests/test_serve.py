@@ -1,0 +1,101 @@
+"""Serve-path integration: quantized kernels end-to-end vs fake-quant oracle.
+
+The key parity property (SURVEY.md §3.4): the serving path (int kernels +
+fused producers) must track the fake-quant accuracy path. Exact equality is
+not expected — the serve path fuses act-quant *after* norm in f32 while the
+oracle quantizes the dense activations — but logits must agree closely and
+greedy decoding must be stable.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+from transformers import LlamaConfig, LlamaForCausalLM
+
+from flexq_tpu.config import QuantPolicy
+from flexq_tpu.models import config_from_hf, from_hf_llama
+from flexq_tpu.models.llama import forward, fake_quant_weights
+from flexq_tpu.models.quantized import forward_serve, quantize_params
+from flexq_tpu.serve import Engine, SamplingParams
+
+
+def tiny_model(kv_heads=2):
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    mcfg = config_from_hf(m.config)
+    params = from_hf_llama(m, dtype=jnp.float32)
+    return mcfg, params
+
+
+def test_forward_serve_tracks_fake_quant_oracle():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()  # W6, A6, down A8
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 8)))
+
+    oracle = np.asarray(
+        forward(fake_quant_weights(params, policy), cfg, ids, policy=policy)
+    )
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    got, _ = forward_serve(qparams, cfg, policy, ids)
+    got = np.asarray(got)
+
+    denom = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / denom < 0.06
+    # top-1 agreement on most positions
+    agree = (got.argmax(-1) == oracle.argmax(-1)).mean()
+    assert agree >= 0.75
+
+
+def test_generate_greedy_matches_oracle_prefix():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32)
+
+    prompt = [[1, 5, 9, 12]]
+    out = eng.generate(prompt, max_new_tokens=6, eos_id=-1)
+    assert len(out[0]) == 6
+
+    # incremental decode must equal full-sequence forward argmax chain
+    qp = qparams
+    seq = list(prompt[0])
+    want = []
+    for _ in range(6):
+        logits, _ = forward_serve(qp, cfg, policy, jnp.asarray([seq]))
+        nxt = int(np.asarray(logits)[0, -1].argmax())
+        want.append(nxt)
+        seq.append(nxt)
+    assert out[0] == want
+
+
+def test_generate_stops_on_eos():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32)
+    out = eng.generate([[1, 2, 3]], max_new_tokens=8, eos_id=-1)
+    eos = out[0][2] if len(out[0]) > 2 else out[0][-1]
+    out2 = eng.generate([[1, 2, 3]], max_new_tokens=8, eos_id=eos)
+    assert out2[0][-1] == eos and len(out2[0]) <= 8
+
+
+def test_generate_batch():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32)
+    out = eng.generate([[1, 2, 3], [4, 5, 6]], max_new_tokens=4, eos_id=-1)
+    single = eng.generate([[4, 5, 6]], max_new_tokens=4, eos_id=-1)
+    assert len(out) == 2 and out[1] == single[0]
