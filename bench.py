@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark for the driver — prints ONE JSON line.
+
+Metric: average W6A8 Pallas-kernel speedup vs the bf16 dense matmul on the
+reference's kernel workload matrix (engine/test_flexq_kernel.sh shapes:
+decode M ∈ {1, 8} × the qkv/out/gate/down GEMMs of LLaMA-7B and LLaMA-2-70B).
+`vs_baseline` normalizes by the reference's headline kernel speedup on GPU
+(1.78× vs cuBLAS W8A8, README.md:189): > 1.0 means this TPU build beats the
+reference's own relative win.
+
+Timing methodology: flexq_tpu/utils/benchmark.py (in-graph loop, marginal
+time, value-fetch sync — see that module for why).
+
+Run: python bench.py [--quick]
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from flexq_tpu.kernels import w6_matmul
+    from flexq_tpu.packing import pack6
+    from flexq_tpu.utils import bench_fn
+
+    G = 128
+    rng = np.random.default_rng(0)
+
+    # (K, N): qkv (fused), out, gate/up (padded to 11264, see quantize_linear),
+    # down of LLaMA-7B; gate/down of LLaMA-2-70B
+    shapes_7b = [(4096, 12288), (4096, 4096), (4096, 11264), (11008, 4096)]
+    shapes_70b = [(8192, 28672), (28672, 8192)]
+    shapes = shapes_7b if quick else shapes_7b + shapes_70b
+    ms = [8] if quick else [1, 8]
+
+    speedups = []
+    details = []
+    for m in ms:
+        for k, n in shapes:
+            xq = jnp.asarray(rng.integers(-128, 128, (m, k)), jnp.int8)
+            xs = jnp.asarray(rng.uniform(0.01, 0.1, (m, k // G)), jnp.float32)
+            wq = rng.integers(-32, 32, (k, n)).astype(np.int8)
+            ws = jnp.asarray(rng.uniform(0.01, 0.1, (k // G, n)), jnp.float32)
+            hi, lo = pack6(jnp.asarray(wq))
+            t_q = bench_fn(
+                lambda a, b, c, d, e: w6_matmul(a, b, c, d, e, out_dtype=jnp.bfloat16),
+                (xq, xs, hi, lo, ws),
+                iters=100 if quick else 250,
+            )
+            xb = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+            wb = jnp.asarray(wq, jnp.bfloat16)
+            t_b = bench_fn(lambda x, w: x @ w, (xb, wb), iters=100 if quick else 250)
+            sp = t_b / t_q
+            speedups.append(sp)
+            details.append(
+                f"M={m} K={k} N={n}: w6 {t_q*1e6:.0f}us bf16 {t_b*1e6:.0f}us {sp:.2f}x"
+            )
+            print(details[-1], file=sys.stderr, flush=True)
+
+    avg = float(np.mean(speedups))
+    print(
+        json.dumps(
+            {
+                "metric": "w6a8_kernel_speedup_vs_bf16_avg",
+                "value": round(avg, 3),
+                "unit": "x",
+                "vs_baseline": round(avg / 1.78, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+from flexq_tpu.eval.data import (
+    dataset_available,
+    DEFAULT_WIKITEXT2,
+    calib_samples,
+    load_wikitext2_text,
+    tokenize_eval_ids,
+)
+from flexq_tpu.eval.ppl import perplexity, window_nll

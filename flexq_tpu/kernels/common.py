@@ -28,11 +28,18 @@ def use_interpret() -> bool:
     return not default_backend_is_tpu()
 
 
-def largest_divisor_tile(dim: int, candidates=(1024, 512, 256, 128)) -> int:
-    for c in candidates:
-        if dim % c == 0:
-            return c
-    raise ValueError(f"dim {dim} is not a multiple of 128")
+def largest_divisor_tile(dim: int, cap: int = 4096) -> int:
+    """Largest divisor of dim that is a multiple of 128 and <= cap.
+
+    Non-power-of-two tiles (e.g. 2816 = 22·128) are fine for Mosaic and keep
+    DMA blocks deep for awkward widths like 11264.
+    """
+    if dim % 128:
+        raise ValueError(f"dim {dim} is not a multiple of 128")
+    for t in range(min(cap, dim) // 128, 0, -1):
+        if dim % (t * 128) == 0:
+            return t * 128
+    raise AssertionError
 
 
 def round_up(x: int, m: int) -> int:

@@ -34,18 +34,29 @@ from flexq_tpu.packing import pack6
 from flexq_tpu.quant.quantizer import QuantSpec, quantize
 
 
-def quantize_linear(w: jax.Array, spec: QuantSpec) -> Dict[str, jax.Array]:
+def quantize_linear(
+    w: jax.Array, spec: QuantSpec, k_pad_to: Optional[int] = None
+) -> Dict[str, jax.Array]:
     """Dense [K, N] -> packed planes + scales (per-group along K).
 
-    N is zero-padded to a multiple of 128 (Mosaic lane tile); the layer
-    slices the kernel output back to the true width.
+    N is zero-padded to a multiple of 128 (Mosaic lane tile) — or 1024 for
+    wide layers so the kernel gets deep N-blocks; the layer slices the kernel
+    output back to the true width. ``k_pad_to`` zero-pads K (exact: zero rows
+    quantize to int 0 and contribute nothing) so the FFN down-projection can
+    match a padded gate/up width and shard cleanly across tensor-parallel
+    ranks.
     """
     k, n = w.shape
+    if k_pad_to is not None and k_pad_to != k:
+        w = jnp.pad(w, ((0, k_pad_to - k), (0, 0)))
+        k = k_pad_to
     assert k % GROUP_SIZE == 0, f"K={k}"
     q, s, _ = quantize(w.T, spec)  # groups along K per output channel
     q = q.reshape(n, k).T  # [K, N] int8 (6-bit values)
     s = s.reshape(n, k // GROUP_SIZE).T  # [K/G, N]
-    n_pad = (-n) % 128
+    # Pad N so the kernel can use wide N-blocks (DMA depth): awkward widths
+    # like 11008 (max divisor block 256) otherwise halve streaming bandwidth.
+    n_pad = (-n) % (1024 if n >= 2048 else 128)
     if n_pad:
         q = jnp.pad(q, ((0, 0), (0, n_pad)))
         s = jnp.pad(s, ((0, 0), (0, n_pad)))
@@ -71,13 +82,17 @@ def quantize_params(
         out["lm_head"] = params["lm_head"].astype(dtype)
     if "pos_embed" in params:
         out["pos_embed"] = params["pos_embed"].astype(dtype)
+    # FFN down/fc2 input dim must match the padded gate/up output width
+    ffn = cfg.intermediate_size
+    ffn_pad = ffn + ((-ffn) % (1024 if ffn >= 2048 else 128))
     for lp in params["layers"]:
         ql: Dict[str, Any] = {}
         for name, val in lp.items():
             if isinstance(val, dict) and "w" in val:
                 spec = policy.weight_spec(name)
                 if spec.enabled:
-                    ql[name] = quantize_linear(val["w"], spec)
+                    k_pad = ffn_pad if name in ("down_proj", "fc2") else None
+                    ql[name] = quantize_linear(val["w"], spec, k_pad_to=k_pad)
                     if val.get("b") is not None:
                         ql[name]["b"] = val["b"].astype(dtype)
                 else:
@@ -115,9 +130,15 @@ def llama_layer_serve(
     mask: Optional[jax.Array],
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_pos: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
 ):
     """One quantized decoder layer (reference LlamaDecoder.cc per-layer flow:
-    fused-LN→attn→fused-add-residual-LN→ffn→add-residual)."""
+    fused-LN→attn→fused-add-residual-LN→ffn→add-residual).
+
+    With ``tp_axis`` (inside shard_map): heads/ffn are local shards and the
+    row-parallel o/down outputs are partial sums — psum'ed here before the
+    residual adds, exactly where the reference's TensorParallel* wrappers
+    issue their NCCL all-reduces."""
     b, l, hidden = x.shape
     dtype = x.dtype
     x2 = x.reshape(b * l, hidden)
@@ -143,20 +164,30 @@ def llama_layer_serve(
         new_kv = (ck, cv)
         k, v = ck, cv
 
-    attn = attention_core(q, k, v, mask, cfg.num_kv_groups)  # [B, L, H*D]
-    attn2 = attn.reshape(b * l, hidden)
+    attn = attention_core(q, k, v, mask, cfg.num_kv_groups)  # [B, L, Hloc*D]
+    attn2 = attn.reshape(b * l, nq)
     oq, os_ = quant_act(attn2, bits=policy.act_bits.get("o_proj", 6))
     o = _qlinear(lp["o_proj"], oq, os_, dtype, hidden)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
 
     # fused residual-add + post-norm + quant (producer epilogue)
     a_ffn = policy.act_bits.get("gate_proj", 6)
     fq, fs, x2 = rmsnorm_quant(
         o, lp["post_norm"], bits=a_ffn, residual=x2, eps=cfg.norm_eps
     )
-    gate = _qlinear(lp["gate_proj"], fq, fs, dtype, cfg.intermediate_size)
-    up = _qlinear(lp["up_proj"], fq, fs, dtype, cfg.intermediate_size)
+    # gate/up stay at the PADDED ffn width so they feed down_proj's padded K
+    ffn_pad = (
+        lp["down_proj"]["hi"].shape[0] * 2
+        if "hi" in lp["down_proj"]
+        else cfg.intermediate_size
+    )
+    gate = _qlinear(lp["gate_proj"], fq, fs, dtype, ffn_pad)
+    up = _qlinear(lp["up_proj"], fq, fs, dtype, ffn_pad)
     dq, ds = glu_quant(gate, up, bits=policy.act_bits.get("down_proj", 8), act="silu")
     down = _qlinear(lp["down_proj"], dq, ds, dtype, hidden)
+    if tp_axis is not None:
+        down = jax.lax.psum(down, tp_axis)
     x2 = x2 + down
     return x2.reshape(b, l, hidden), new_kv
 

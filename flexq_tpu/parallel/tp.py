@@ -1,0 +1,168 @@
+"""Tensor + data parallelism for the quantized serving path (shard_map).
+
+TPU-native re-design of the reference's NCCL tensor parallelism
+(e2e TensorParallelDecoderSelfAttentionLayer.cc:217,
+TensorParallelGeluFfnLayer.cc:57, nccl_utils.h:90-114):
+
+  * column-split q/k/v/gate/up (output dim over the `model` mesh axis),
+  * row-split o/down (input dim over `model`), followed by one `psum` each —
+    the two all-reduces per decoder layer the reference issues over NCCL ride
+    ICI here, inserted explicitly inside `shard_map`.
+
+Why shard_map and not GSPMD auto-partitioning: the quantized matmuls are
+Pallas kernels, which XLA cannot re-partition — every rank must run the
+kernel on its *local* weight shard with local shapes. shard_map gives exactly
+that (and is the idiomatic JAX way to write an explicit-collective TP layer).
+
+The `data` axis shards the batch; embed/norms/lm_head are replicated in v1
+(vocab-parallel head is a later optimization; the reference vocab-shards the
+lm_head, Llama.cc:1090-1130).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flexq_tpu.config import ModelConfig, QuantPolicy
+from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_cos_sin
+from flexq_tpu.models.quantized import llama_layer_serve
+
+COL_LINEARS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+ROW_LINEARS = ("o_proj", "down_proj")
+
+
+def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= tp * dp, f"need {tp*dp} devices, have {devices.size}"
+    return Mesh(devices[: tp * dp].reshape(dp, tp), axis_names=("data", "model"))
+
+
+def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree for a quantized llama param tree."""
+
+    def layer_spec(lp):
+        out = {}
+        for name, val in lp.items():
+            if name in COL_LINEARS and isinstance(val, dict):
+                out[name] = {k: P(None, "model") for k in val}
+            elif name in ROW_LINEARS and isinstance(val, dict):
+                # hi [K/2,N], lo [K/4,N], scale [K/G,N] all shard K (dim 0);
+                # biases are added post-psum so they stay replicated
+                out[name] = {
+                    k: (P("model", None) if k in ("hi", "lo", "scale", "w") else P())
+                    for k in val
+                }
+            else:
+                out[name] = jax.tree_util.tree_map(lambda _: P(), val)
+        return out
+
+    specs: Dict[str, Any] = {}
+    for key, val in params.items():
+        if key == "layers":
+            specs["layers"] = [layer_spec(lp) for lp in val]
+        else:
+            specs[key] = jax.tree_util.tree_map(lambda _: P(), val)
+    return specs
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a quantized param tree onto the mesh per `param_specs`."""
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def _local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
+    assert cfg.num_heads % tp == 0, f"num_heads {cfg.num_heads} % tp {tp}"
+    assert cfg.num_kv_heads % tp == 0, (
+        f"kv_heads {cfg.num_kv_heads} must divide by tp {tp} (kv-head "
+        "replication for tp>kv_heads lands in a later round)"
+    )
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+    )
+
+
+def forward_serve_tp(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    ids: jax.Array,  # [B, L] int32, sharded P("data", None)
+    mesh: Mesh,
+    kv_k: Optional[jax.Array] = None,  # [layers, B, max, KVH, D]
+    kv_v: Optional[jax.Array] = None,
+    cache_pos: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+):
+    """TP×DP quantized forward. Returns (logits, new_kv or None)."""
+    tp = mesh.shape["model"]
+    lcfg = _local_cfg(cfg, tp)
+    specs = param_specs(params)
+    kv_spec = P(None, "data", None, "model" if cfg.num_kv_heads >= tp else None, None)
+
+    # Quantized sub-layers return *partial* row-parallel outputs; psum is
+    # injected via a policy hook: llama_layer_serve already adds residuals
+    # AFTER o/down, so we wrap the layer body and psum inside.
+    def body(params, ids, kv_k, kv_v):
+        b, l = ids.shape
+        x = params["embed"][ids]
+        pos = (
+            positions
+            if positions is not None
+            else jnp.broadcast_to(jnp.arange(l), (b, l))
+        )
+        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+        m = mask if mask is not None else causal_mask(l, l)
+        new_ks, new_vs = [], []
+        for i, lp in enumerate(params["layers"]):
+            kv = (kv_k[i], kv_v[i]) if kv_k.ndim > 0 else None
+            x, new_kv = llama_layer_serve(
+                lp,
+                lcfg,
+                policy,
+                x,
+                cos,
+                sin,
+                m,
+                kv=kv,
+                cache_pos=cache_pos,
+                tp_axis="model",
+            )
+            if new_kv is not None:
+                new_ks.append(new_kv[0])
+                new_vs.append(new_kv[1])
+        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+        head = params.get("lm_head")
+        if head is None:
+            head = params["embed"].T
+        logits = x @ head.astype(x.dtype)
+        if new_ks:
+            return logits, jnp.stack(new_ks), jnp.stack(new_vs)
+        return logits, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+
+    have_cache = kv_k is not None
+    if not have_cache:
+        kv_k = jnp.zeros((), jnp.int32)
+        kv_v = jnp.zeros((), jnp.int32)
+    cache_spec = kv_spec if have_cache else P()
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(specs, P("data", None), cache_spec, cache_spec),
+        out_specs=(P("data", None, None), cache_spec, cache_spec),
+        check_vma=False,
+    )
+    logits, nk, nv = fn(params, ids, kv_k if have_cache else kv_k, kv_v)
+    return (logits, (nk, nv)) if have_cache else (logits, None)

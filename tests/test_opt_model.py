@@ -1,0 +1,50 @@
+"""OPT model parity vs HuggingFace transformers."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+from transformers import OPTConfig, OPTForCausalLM
+
+from flexq_tpu.config import QuantPolicy
+from flexq_tpu.models import config_from_hf, from_hf_opt
+from flexq_tpu.models.opt import forward, fake_quant_weights
+
+
+def tiny_hf_opt(seed=0):
+    torch.manual_seed(seed)
+    cfg = OPTConfig(
+        vocab_size=128,
+        hidden_size=64,
+        ffn_dim=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=64,
+        do_layer_norm_before=True,
+        tie_word_embeddings=True,
+    )
+    return OPTForCausalLM(cfg).eval()
+
+
+def test_logits_match_hf():
+    model = tiny_hf_opt()
+    cfg = config_from_hf(model.config)
+    params = from_hf_opt(model, dtype=jnp.float32)
+    ids = np.random.default_rng(0).integers(0, 128, (2, 9))
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_opt_flex_policy():
+    model = tiny_hf_opt()
+    cfg = config_from_hf(model.config)
+    params = from_hf_opt(model, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 128, (1, 8)))
+    dense = np.asarray(forward(params, cfg, ids))
+    policy = QuantPolicy.opt_flex(wbits=8, abits=8)  # q/k/v acts 8-bit
+    qp = fake_quant_weights(params, policy)
+    quant = np.asarray(forward(qp, cfg, ids, policy=policy))
+    assert np.abs(quant - dense).max() < 1.0

@@ -1,0 +1,105 @@
+"""Tensor/data-parallel serving tests on the 8-virtual-device CPU mesh.
+
+Validates what FasterTransformer could not test without GPUs (SURVEY.md
+§4.3): TP logits must match the single-device serve path exactly-ish, across
+mesh shapes, with and without a KV cache.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+from transformers import LlamaConfig, LlamaForCausalLM
+
+from flexq_tpu.config import QuantPolicy
+from flexq_tpu.models import config_from_hf, from_hf_llama
+from flexq_tpu.models.quantized import forward_serve, quantize_params
+from flexq_tpu.parallel import forward_serve_tp, make_mesh, shard_params
+
+
+def tiny_model(heads=4, kv_heads=4, hidden=512):
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=256,
+        hidden_size=hidden,  # 512/tp4 = 128: K stays a group multiple
+        intermediate_size=1024,
+        num_hidden_layers=2,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    mcfg = config_from_hf(m.config)
+    params = from_hf_llama(m, dtype=jnp.float32)
+    return mcfg, params
+
+
+@pytest.fixture(scope="module")
+def quantized():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    return cfg, policy, qparams
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (4, 1), (4, 2), (2, 4)])
+def test_tp_matches_single_device(quantized, tp, dp):
+    cfg, policy, qparams = quantized
+    mesh = make_mesh(tp=tp, dp=dp)
+    sharded = shard_params(qparams, mesh)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (dp, 6)))
+
+    want, _ = forward_serve(qparams, cfg, policy, ids)
+    got, _ = forward_serve_tp(sharded, cfg, policy, ids, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_tp_with_kv_cache(quantized):
+    cfg, policy, qparams = quantized
+    tp = 4
+    mesh = make_mesh(tp=tp, dp=2)
+    sharded = shard_params(qparams, mesh)
+    b, l, maxlen = 2, 4, 16
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (b, l)))
+
+    shape = (cfg.num_layers, b, maxlen, cfg.num_kv_heads, cfg.head_dim)
+    kv_k = jnp.zeros(shape, jnp.float32)
+    kv_v = jnp.zeros(shape, jnp.float32)
+
+    from flexq_tpu.serve.engine import prefill_mask
+
+    mask = prefill_mask(l, maxlen)
+    want, kv_ref = forward_serve(
+        qparams, cfg, policy, ids, kv_k=kv_k, kv_v=kv_v,
+        cache_pos=jnp.int32(0), mask=mask,
+    )
+    got, kv_tp = forward_serve_tp(
+        sharded, cfg, policy, ids, mesh, kv_k=kv_k, kv_v=kv_v,
+        cache_pos=jnp.int32(0), mask=mask,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_tp[0]), np.asarray(kv_ref[0]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_gqa_tp(tmp_path):
+    # head_dim 128 so a kv shard stays lane-aligned (like real llama models)
+    cfg, params = tiny_model(heads=4, kv_heads=2, hidden=512)
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    mesh = make_mesh(tp=2, dp=1)
+    sharded = shard_params(qparams, mesh)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (1, 5)))
+    want, _ = forward_serve(qparams, cfg, policy, ids)
+    got, _ = forward_serve_tp(sharded, cfg, policy, ids, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

@@ -1,0 +1,49 @@
+"""Perplexity harness tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flexq_tpu.eval import perplexity, window_nll
+
+
+def test_uniform_model_ppl_equals_vocab():
+    # a model with uniform logits has ppl == vocab size
+    V = 50
+    fwd = lambda ids: jnp.zeros(ids.shape + (V,), jnp.float32)
+    windows = np.random.default_rng(0).integers(0, V, (4, 33)).astype(np.int32)
+    ppl = perplexity(fwd, windows, batch_size=2)
+    assert abs(ppl - V) < 1e-3
+
+
+def test_perfect_model_ppl_one():
+    V = 17
+    def fwd(ids):
+        # predicts the next token with near-certainty
+        nxt = jnp.concatenate([ids[:, 1:], ids[:, :1]], axis=1)
+        return jax.nn.one_hot(nxt, V) * 100.0
+    windows = np.random.default_rng(1).integers(0, V, (2, 20)).astype(np.int32)
+    ppl = perplexity(fwd, windows)
+    assert ppl < 1.01
+
+
+def test_window_nll_matches_manual():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((1, 5, 7)).astype(np.float32)
+    ids = rng.integers(0, 7, (1, 5)).astype(np.int32)
+    got = float(window_nll(jnp.asarray(logits), jnp.asarray(ids)))
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    want = -sum(lp[0, t, ids[0, t + 1]] for t in range(4))
+    assert abs(got - want) < 1e-4
+
+
+def test_wikitext2_local_loader():
+    from flexq_tpu.eval import DEFAULT_WIKITEXT2, load_wikitext2_text
+    from flexq_tpu.eval.data import dataset_available
+
+    if not dataset_available():
+        pytest.skip("local wikitext-2 is an LFS stub (no real data mounted)")
+    text = load_wikitext2_text(split="test")
+    assert len(text) > 1_000_000  # ~1.2M chars
+    assert "=" in text[:10000]
