@@ -1,0 +1,210 @@
+"""Offline weight exporter: HF checkpoint → packed W6 shards.
+
+Fills the reference's missing-component gap (SURVEY.md §2.6: no in-repo tool
+produces the packed weight binaries LlamaDecoderLayerWeight::loadModel
+consumes). Output is a directory of safetensors files + meta.json that
+`load_packed` turns straight into Engine-ready params.
+
+CLI:
+    python -m flexq_tpu.export.exporter --model-dir <hf_dir> --out <dir> \
+        [--policy llama_flex|uniform|fp16] [--wbits 6] [--abits 6] [--dtype bf16]
+
+Layout:
+    out/meta.json                 model config + policy + format version
+    out/embed.safetensors         embed, final_norm, lm_head (bf16)
+    out/layer_{i}.safetensors     per linear: {name}.hi/.lo/.scale (+ .b),
+                                  norms bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+from flexq_tpu.config import ModelConfig, QuantPolicy
+from flexq_tpu.export.native import quant_pack6
+from flexq_tpu.models.hf_loader import config_from_hf
+
+FORMAT_VERSION = 2  # biased nibble+crumb planes (packing/pack6.py)
+
+
+def _np_bf16(x: np.ndarray) -> np.ndarray:
+    import jax.numpy as jnp
+
+    return np.asarray(jnp.asarray(x).astype(jnp.bfloat16))
+
+
+def _pad_cols(a: np.ndarray, n_to: int) -> np.ndarray:
+    if a.shape[1] == n_to:
+        return a
+    return np.pad(a, ((0, 0), (0, n_to - a.shape[1])))
+
+
+def export_checkpoint(
+    model_dir: str,
+    out_dir: str,
+    policy_name: str = "llama_flex",
+    wbits: int = 6,
+    abits: int = 6,
+) -> None:
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg)
+    if policy_name == "llama_flex":
+        policy = QuantPolicy.llama_flex(wbits=wbits, abits=abits)
+    elif policy_name == "opt_flex":
+        policy = QuantPolicy.opt_flex(wbits=wbits, abits=abits)
+    elif policy_name == "uniform":
+        policy = QuantPolicy.uniform(cfg.arch, wbits=wbits, abits=abits)
+    else:
+        raise ValueError(policy_name)
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    tensors: Dict[str, np.ndarray] = {}
+    for shard in sorted(f for f in os.listdir(model_dir) if f.endswith(".safetensors")):
+        with safe_open(os.path.join(model_dir, shard), framework="np") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+
+    def t(key: str, transpose=False) -> np.ndarray:
+        arr = tensors[key]
+        if arr.dtype == np.uint16:  # raw bf16
+            import jax.numpy as jnp
+
+            arr = np.asarray(jnp.asarray(arr).view(jnp.bfloat16).astype(jnp.float32))
+        arr = arr.astype(np.float32)
+        return arr.T if transpose else arr
+
+    ffn = cfg.intermediate_size
+    ffn_pad = ffn + ((-ffn) % (1024 if ffn >= 2048 else 128))
+
+    hf_names = {
+        "q_proj": "self_attn.q_proj",
+        "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj",
+        "o_proj": "self_attn.o_proj",
+        "gate_proj": "mlp.gate_proj",
+        "up_proj": "mlp.up_proj",
+        "down_proj": "mlp.down_proj",
+    }
+
+    for i in range(cfg.num_layers):
+        prefix = f"model.layers.{i}."
+        out: Dict[str, np.ndarray] = {
+            "input_norm": _np_bf16(t(prefix + "input_layernorm.weight")),
+            "post_norm": _np_bf16(t(prefix + "post_attention_layernorm.weight")),
+        }
+        for name, hf in hf_names.items():
+            w = t(prefix + hf + ".weight", transpose=True)  # [K, N]
+            spec_bits = policy.weight_bits.get(name, 16)
+            if spec_bits == 6:
+                if name == "down_proj" and w.shape[0] != ffn_pad:
+                    w = np.pad(w, ((0, ffn_pad - w.shape[0]), (0, 0)))
+                n = w.shape[1]
+                n_to = n + ((-n) % (1024 if n >= 2048 else 128))
+                hi, lo, scale = quant_pack6(_pad_cols(w, n_to))
+                out[f"{name}.hi"] = hi
+                out[f"{name}.lo"] = lo
+                out[f"{name}.scale"] = scale
+            else:
+                out[f"{name}.w"] = _np_bf16(w)
+        save_file(out, os.path.join(out_dir, f"layer_{i}.safetensors"))
+        print(f"layer {i + 1}/{cfg.num_layers} exported", flush=True)
+
+    top: Dict[str, np.ndarray] = {
+        "embed": _np_bf16(t("model.embed_tokens.weight")),
+        "final_norm": _np_bf16(t("model.norm.weight")),
+    }
+    if "lm_head.weight" in tensors and not cfg.tie_word_embeddings:
+        top["lm_head"] = _np_bf16(t("lm_head.weight", transpose=True))
+    save_file(top, os.path.join(out_dir, "embed.safetensors"))
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "config": dataclasses.asdict(cfg),
+        "policy": {
+            "weight_bits": policy.weight_bits,
+            "act_bits": policy.act_bits,
+            "w_group_size": policy.w_group_size,
+            "a_group_size": policy.a_group_size,
+            "symmetric": policy.symmetric,
+        },
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_packed(out_dir: str):
+    """Load an exported directory -> (cfg, policy, serve params pytree)."""
+    import jax.numpy as jnp
+    from safetensors import safe_open
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["format_version"] == FORMAT_VERSION, (
+        f"packed format v{meta['format_version']} != v{FORMAT_VERSION}"
+    )
+    cfg = ModelConfig(**meta["config"])
+    pol = meta["policy"]
+    policy = QuantPolicy(
+        weight_bits=pol["weight_bits"],
+        act_bits=pol["act_bits"],
+        w_group_size=pol["w_group_size"],
+        a_group_size=pol["a_group_size"],
+        symmetric=pol["symmetric"],
+    )
+
+    def load_file(path):
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for key in f.keys():
+                out[key] = jnp.asarray(f.get_tensor(key))
+        return out
+
+    top = load_file(os.path.join(out_dir, "embed.safetensors"))
+    params: Dict[str, Any] = {
+        "embed": top["embed"],
+        "final_norm": top["final_norm"],
+        "layers": [],
+    }
+    if "lm_head" in top:
+        params["lm_head"] = top["lm_head"]
+    for i in range(cfg.num_layers):
+        flat = load_file(os.path.join(out_dir, f"layer_{i}.safetensors"))
+        lp: Dict[str, Any] = {}
+        for key, val in flat.items():
+            if "." in key:
+                name, part = key.split(".", 1)
+                lp.setdefault(name, {})[part] = val
+            else:
+                lp[key] = val
+        params["layers"].append(lp)
+    return cfg, policy, params
+
+
+def main():
+    # The exporter is pure host work; never claim (or wait on) a TPU.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--policy", default="llama_flex")
+    ap.add_argument("--wbits", type=int, default=6)
+    ap.add_argument("--abits", type=int, default=6)
+    args = ap.parse_args()
+    export_checkpoint(args.model_dir, args.out, args.policy, args.wbits, args.abits)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,9 +135,11 @@ def _pick_blocks(m: int, n: int, k: int):
         bm = round_up(m, 8)
         bn = largest_divisor_tile(n, cap=4096)
     else:
-        # prefill: MXU-bound — balanced tiles, keep acc f32 block in budget
-        bm = 256 if m % 256 == 0 or m > 256 else round_up(m, 8)
-        bn = largest_divisor_tile(n, cap=1024)
+        # prefill: MXU-bound — deep M blocks so each weight block unpacks
+        # as few times as possible (the wrapper pads M up to the block);
+        # bn=512 keeps the f32 acc block in budget
+        bm = min(1024, round_up(m, 256))
+        bn = largest_divisor_tile(n, cap=512)
     return bm, bn, bk
 
 
@@ -250,3 +252,116 @@ def w6_matmul_ref(x_q, x_scale, w_hi, w_lo, w_scale, out_dtype=jnp.float32):
         "mgn,mg,gn->mn", parts, x_scale.astype(jnp.float32), w_scale.astype(jnp.float32)
     )
     return out.astype(out_dtype)
+
+
+def _w6_bf16_kernel(
+    x_ref,  # bf16 [bm, bk]
+    hi_ref,  # int8 [bk/2, bn]
+    lo_ref,  # int8 [bk/4, bn]
+    ws_ref,  # f32  [bk/G, 1, bn]
+    o_ref,  # out  [bm, bn]
+    acc_ref,  # f32 scratch [bm, bn]
+    *,
+    bm: int,
+    bn: int,
+    bk: int,
+    out_dtype,
+):
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_u = _unpack_w_block(hi_ref[:], lo_ref[:], bk, bn)  # biased [0, 63]
+    ngroups = bk // GROUP_SIZE
+    ws = ws_ref[:].reshape(ngroups, 1, bn)
+    ws_rep = pltpu.repeat(ws, GROUP_SIZE, axis=1).reshape(bk, bn)
+    w_deq = ((w_u.astype(jnp.float32) - BIAS) * ws_rep).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_deq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
+)
+def w6_matmul_bf16(
+    x: jax.Array,  # bf16/f32 [M, K] full-precision activations
+    w_hi: jax.Array,
+    w_lo: jax.Array,
+    w_scale: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """W6A16: in-kernel dequant to bf16 + one full-K MXU dot per block.
+
+    The prefill path: compute-bound at large M, where the exact-int kernel's
+    per-group VPU dequant dominates. Dequantizing the *weights* instead costs
+    ~4 VPU ops per (k,n) amortized over bm rows (<1% at bm=256), runs the MXU
+    in bf16, and keeps the 6-bit HBM traffic. Activations stay unquantized —
+    strictly more accurate than the W6Ax decode path; the fake-quant oracle
+    remains the accuracy bound for generated tokens (decode is exact).
+    """
+    m, k = x.shape
+    n = w_hi.shape[1]
+    assert k % GROUP_SIZE == 0
+    if interpret is None:
+        interpret = use_interpret()
+
+    abm, abn, abk = _pick_blocks(m, n, k)
+    bm = block_m or abm
+    bn = block_n or abn
+    bk = block_k or abk
+    mp = round_up(m, bm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    ng = k // GROUP_SIZE
+    ngb = bk // GROUP_SIZE
+    ws_t = w_scale.astype(jnp.float32).reshape(ng, 1, n)
+
+    grid = (mp // bm, n // bn, k // bk)
+    out = pl.pallas_call(
+        functools.partial(_w6_bf16_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bk // 4, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ngb, 1, bn), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 2 + (k * n * 3) // 4 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_hi, w_lo, ws_t)
+    return out[:m] if mp != m else out

@@ -28,6 +28,7 @@ from flexq_tpu.kernels import (
     relu_quant,
     rmsnorm_quant,
     w6_matmul,
+    w6_matmul_bf16,
 )
 from flexq_tpu.models.llama import apply_rope, attention_core, causal_mask, rmsnorm, rope_cos_sin
 from flexq_tpu.packing import pack6
@@ -120,6 +121,78 @@ def _qlinear(
     return y
 
 
+def _qlinear_bf16(wq, x, out_dtype, n_out=None):
+    if "hi" in wq:
+        y = w6_matmul_bf16(x, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    else:
+        y = x @ wq["w"].astype(x.dtype)
+    if n_out is not None and y.shape[-1] != n_out:
+        y = y[:, :n_out]
+    if "b" in wq:
+        y = y + wq["b"].astype(y.dtype)
+    return y
+
+
+def llama_layer_serve_prefill(
+    lp: Dict[str, Any],
+    cfg: ModelConfig,
+    x: jax.Array,  # [B, L, H]
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_pos: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
+):
+    """Prefill (large-M) layer: W6A16 — weights dequantized in-kernel to
+    bf16, activations unquantized. Compute-bound at prefill, so the bf16 MXU
+    path beats the exact-int path (which pays per-group VPU dequant per
+    token row); accuracy is strictly better than the W6Ax decode path.
+    """
+    from flexq_tpu.models.llama import rmsnorm
+
+    b, l, hidden = x.shape
+    dtype = x.dtype
+    x2 = x.reshape(b * l, hidden)
+
+    h = rmsnorm(x2, lp["input_norm"], cfg.norm_eps)
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    q = _qlinear_bf16(lp["q_proj"], h, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+    k = _qlinear_bf16(lp["k_proj"], h, dtype, nkv).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+    v = _qlinear_bf16(lp["v_proj"], h, dtype, nkv).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_kv = None
+    if kv is not None:
+        ck, cv = kv
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        new_kv = (ck, cv)
+        k, v = ck, cv
+
+    attn = attention_core(q, k, v, mask, cfg.num_kv_groups)
+    o = _qlinear_bf16(lp["o_proj"], attn.reshape(b * l, nq), dtype, hidden)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    x2 = x2 + o
+
+    h = rmsnorm(x2, lp["post_norm"], cfg.norm_eps)
+    ffn_pad = (
+        lp["down_proj"]["hi"].shape[0] * 2
+        if "hi" in lp["down_proj"]
+        else cfg.intermediate_size
+    )
+    gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
+    up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
+    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(dtype)
+    down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
+    if tp_axis is not None:
+        down = jax.lax.psum(down, tp_axis)
+    x2 = x2 + down
+    return x2.reshape(b, l, hidden), new_kv
+
+
 def llama_layer_serve(
     lp: Dict[str, Any],
     cfg: ModelConfig,
@@ -202,9 +275,11 @@ def forward_serve(
     kv_v: Optional[jax.Array] = None,
     cache_pos: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
+    prefill_bf16: bool = False,
 ):
     """Quantized forward. Without a cache: full-sequence causal (prefill/eval).
     With a cache: writes K/V at cache_pos and attends over the full cache.
+    ``prefill_bf16`` selects the W6A16 large-M layer path.
 
     Returns (logits [B, L, V], (new_kv_k, new_kv_v) or None).
     """
@@ -219,9 +294,14 @@ def forward_serve(
     new_ks, new_vs = [], []
     for i, lp in enumerate(params["layers"]):
         kv = (kv_k[i], kv_v[i]) if kv_k is not None else None
-        x, new_kv = llama_layer_serve(
-            lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
-        )
+        if prefill_bf16:
+            x, new_kv = llama_layer_serve_prefill(
+                lp, cfg, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
+            )
+        else:
+            x, new_kv = llama_layer_serve(
+                lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
+            )
         if new_kv is not None:
             new_ks.append(new_kv[0])
             new_vs.append(new_kv[1])

@@ -50,12 +50,16 @@ class Engine:
         policy: QuantPolicy,
         max_seq_len: int = 2048,
         kv_dtype=jnp.bfloat16,
+        prefill_bf16_threshold: int = 64,
     ):
         self.params = params
         self.cfg = cfg
         self.policy = policy
         self.max_seq_len = max_seq_len
         self.kv_dtype = kv_dtype
+        # prompts at/above this many tokens take the W6A16 prefill path
+        # (compute-bound: bf16 MXU beats exact-int; see w6_matmul_bf16)
+        self.prefill_bf16_threshold = prefill_bf16_threshold
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("prompt_len",), donate_argnums=(2, 3)
         )
@@ -83,6 +87,7 @@ class Engine:
             kv_v=kv_v,
             cache_pos=jnp.int32(0),
             mask=mask,
+            prefill_bf16=l >= self.prefill_bf16_threshold,
         )
         return logits[:, prompt_len - 1], kv[0], kv[1]
 

@@ -1,0 +1,91 @@
+"""Exporter + native packlib tests.
+
+The native C++ path must match the Python reference bit-for-bit, and an
+exported checkpoint must round-trip into the same logits as in-memory
+quantization.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from flexq_tpu.export.native import get_lib, group_quant_np, quant_pack6
+from flexq_tpu.packing import pack6_np
+from flexq_tpu.quant import QuantSpec, quantize
+
+
+def test_native_lib_builds():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no g++ toolchain")
+    assert lib.flexq_num_threads() >= 1
+
+
+def test_native_matches_python():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no g++ toolchain")
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((512, 384)).astype(np.float32) * 0.1
+    hi_n, lo_n, s_n = quant_pack6(w)
+
+    q_py, s_py = group_quant_np(w, 6)
+    hi_py, lo_py = pack6_np(q_py)
+    np.testing.assert_allclose(s_n, s_py, rtol=1e-6)
+    np.testing.assert_array_equal(hi_n, hi_py)
+    np.testing.assert_array_equal(lo_n, lo_py)
+
+
+def test_group_quant_np_matches_quantizer():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    q, s = group_quant_np(w, 6)
+    # quantizer groups along last axis of [N, K]; ours along K of [K, N]
+    spec = QuantSpec(bits=6, symmetric=True, group_size=128)
+    qj, sj, _ = quantize(jnp.asarray(w.T), spec)
+    qj = np.asarray(qj).reshape(128, 256).T
+    sj = np.asarray(sj).reshape(128, 2).T
+    np.testing.assert_array_equal(q, qj)
+    np.testing.assert_allclose(s, sj, rtol=1e-6)
+
+
+def test_export_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from flexq_tpu.config import QuantPolicy
+    from flexq_tpu.export import export_checkpoint, load_packed
+    from flexq_tpu.models import config_from_hf, from_hf_llama
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+
+    torch.manual_seed(0)
+    cfg_hf = LlamaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg_hf).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    out_dir = tmp_path / "packed"
+    export_checkpoint(str(hf_dir), str(out_dir))
+    cfg, policy, params = load_packed(str(out_dir))
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 6)))
+    got, _ = forward_serve(params, cfg, policy, ids)
+
+    mem_params = quantize_params(
+        from_hf_llama(model, dtype=jnp.float32),
+        config_from_hf(model.config),
+        QuantPolicy.llama_flex(),
+        dtype=jnp.bfloat16,
+    )
+    want, _ = forward_serve(mem_params, config_from_hf(model.config), policy, ids)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.05, atol=0.05
+    )

@@ -99,3 +99,16 @@ def test_generate_batch():
     out = eng.generate([[1, 2, 3], [4, 5, 6]], max_new_tokens=4, eos_id=-1)
     single = eng.generate([[4, 5, 6]], max_new_tokens=4, eos_id=-1)
     assert len(out) == 2 and out[1] == single[0]
+
+
+def test_prefill_bf16_path_close_to_exact():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (1, 8)))
+    exact, _ = forward_serve(qparams, cfg, policy, ids)
+    a16, _ = forward_serve(qparams, cfg, policy, ids, prefill_bf16=True)
+    exact, a16 = np.asarray(exact), np.asarray(a16)
+    # A16 drops act-quant noise; bf16 weight rounding adds a little — close
+    assert np.abs(a16 - exact).max() / np.abs(exact).max() < 0.08
+    assert (a16.argmax(-1) == exact.argmax(-1)).mean() >= 0.75
