@@ -68,7 +68,7 @@ def quant_act(
     assert k % GROUP_SIZE == 0
     if interpret is None:
         interpret = use_interpret()
-    bm = min(round_up(m, 8), block_m)
+    bm = min(round_up(m, 8), block_m, _rows_for_vmem(k, nbufs=3))
     mp = round_up(m, bm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
@@ -137,7 +137,7 @@ def rmsnorm_quant(
     if interpret is None:
         interpret = use_interpret()
     out_dtype = x.dtype
-    bm = min(round_up(m, 8), block_m)
+    bm = min(round_up(m, 8), block_m, _rows_for_vmem(k, nbufs=4))
     mp = round_up(m, bm)
     pad = mp - m
     if pad:
@@ -219,7 +219,7 @@ def layernorm_quant(
     if interpret is None:
         interpret = use_interpret()
     out_dtype = x.dtype
-    bm = min(round_up(m, 8), block_m)
+    bm = min(round_up(m, 8), block_m, _rows_for_vmem(k, nbufs=5))
     mp = round_up(m, bm)
     pad = mp - m
     with_res = residual is not None
@@ -258,9 +258,7 @@ def layernorm_quant(
     return (q[:m], s[:m]) if pad else (q, s)
 
 
-def _glu_quant_kernel(g_ref, u_ref, q_ref, s_ref, *, bits, act, ngb):
-    # s_ref spans the full group axis (Mosaic minor-dim constraint); each
-    # K-tile invocation writes its own ngb-wide slice.
+def _glu_quant_kernel(g_ref, u_ref, q_ref, s_ref, *, bits, act):
     g = g_ref[:].astype(jnp.float32)
     u = u_ref[:].astype(jnp.float32)
     if act == "silu":
@@ -271,7 +269,14 @@ def _glu_quant_kernel(g_ref, u_ref, q_ref, s_ref, *, bits, act, ngb):
         raise ValueError(act)
     q, s = _group_quant(y, bits)
     q_ref[:] = q
-    s_ref[:, pl.ds(pl.program_id(1) * ngb, ngb)] = s
+    s_ref[:] = s
+
+
+def _rows_for_vmem(k: int, nbufs: int, budget: int = 6 * 2**20) -> int:
+    """Rows per block so nbufs f32 row-copies fit the VMEM budget."""
+    rows = budget // (k * 4 * nbufs)
+    rows = max(8, min(256, (rows // 8) * 8))
+    return rows
 
 
 @functools.partial(
@@ -296,25 +301,22 @@ def glu_quant(
     assert k % GROUP_SIZE == 0
     if interpret is None:
         interpret = use_interpret()
-    bm = min(round_up(m, 8), block_m)
-    bk = min(k, block_k)
-    while k % bk:
-        bk //= 2
-    assert bk % GROUP_SIZE == 0
+    # full-K rows per block: the grid runs over M only (Mosaic cannot store
+    # scale slices at dynamic lane offsets, so K-tiling the scales is out)
+    bm = min(round_up(m, 8), block_m, _rows_for_vmem(k, nbufs=4))
     mp = round_up(m, bm)
     if mp != m:
         gate = jnp.pad(gate, ((0, mp - m), (0, 0)))
         up = jnp.pad(up, ((0, mp - m), (0, 0)))
-    ngb = bk // GROUP_SIZE
-    tile = pl.BlockSpec((bm, bk), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
     q, s = pl.pallas_call(
-        functools.partial(_glu_quant_kernel, bits=bits, act=act, ngb=ngb),
-        grid=(mp // bm, k // bk),
+        functools.partial(_glu_quant_kernel, bits=bits, act=act),
+        grid=(mp // bm,),
         in_specs=[tile, tile],
         out_specs=(
             tile,
             pl.BlockSpec(
-                (bm, k // GROUP_SIZE), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (bm, k // GROUP_SIZE), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
@@ -341,30 +343,26 @@ def relu_quant(
     assert k % GROUP_SIZE == 0
     if interpret is None:
         interpret = use_interpret()
-    bm = min(round_up(m, 8), block_m)
-    bk = min(k, block_k)
-    while k % bk:
-        bk //= 2
+    bm = min(round_up(m, 8), block_m, _rows_for_vmem(k, nbufs=3))
     mp = round_up(m, bm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
-    ngb = bk // GROUP_SIZE
 
     def kernel(x_ref, q_ref, s_ref):
         y = jnp.maximum(x_ref[:].astype(jnp.float32), 0.0)
         q, s = _group_quant(y, bits)
         q_ref[:] = q
-        s_ref[:, pl.ds(pl.program_id(1) * ngb, ngb)] = s
+        s_ref[:] = s
 
-    tile = pl.BlockSpec((bm, bk), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
     q, s = pl.pallas_call(
         kernel,
-        grid=(mp // bm, k // bk),
+        grid=(mp // bm,),
         in_specs=[tile],
         out_specs=(
             tile,
             pl.BlockSpec(
-                (bm, k // GROUP_SIZE), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (bm, k // GROUP_SIZE), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(

@@ -151,11 +151,13 @@ def decoder_layer(
 
     new_kv = None
     if kv is not None:
-        ck, cv = kv
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        # full-buffer in-place update at (layer_idx, :, pos); see
+        # models/quantized.py for why per-layer slice+restack is ruinous
+        ck, cv, li = kv
+        ck = jax.lax.dynamic_update_slice(ck, k[None], (li, 0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v[None], (li, 0, cache_pos, 0, 0))
         new_kv = (ck, cv)
-        k, v = ck, cv
+        k, v = ck[li], cv[li]
 
     attn = attention_core(q, k, v, mask, cfg.num_kv_groups)
     attn = _linear(lp, "o_proj", attn, policy)

@@ -95,7 +95,10 @@ def quantize_params(
                     k_pad = ffn_pad if name in ("down_proj", "fc2") else None
                     ql[name] = quantize_linear(val["w"], spec, k_pad_to=k_pad)
                     if val.get("b") is not None:
-                        ql[name]["b"] = val["b"].astype(dtype)
+                        b_ = val["b"]
+                        if name == "fc1" and b_.shape[0] != ffn_pad:
+                            b_ = jnp.pad(b_, (0, ffn_pad - b_.shape[0]))
+                        ql[name]["b"] = b_.astype(dtype)
                 else:
                     ql[name] = {"w": val["w"].astype(dtype)}
                     if val.get("b") is not None:
@@ -104,6 +107,25 @@ def quantize_params(
                 ql[name] = jax.tree_util.tree_map(lambda x: x.astype(dtype), val)
         out["layers"].append(ql)
     return out
+
+
+
+
+def _cache_update(ck, cv, k, v, li, cache_pos):
+    """Write step K/V into the full cache at (layer li, per-batch positions).
+
+    Scalar cache_pos: single dynamic_update_slice (prefill or uniform decode).
+    Vector cache_pos [B]: per-slot scatter (continuous batching, L==1).
+    """
+    if getattr(cache_pos, "ndim", 0) == 0 or not hasattr(cache_pos, "ndim"):
+        ck = jax.lax.dynamic_update_slice(ck, k[None], (li, 0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v[None], (li, 0, cache_pos, 0, 0))
+    else:
+        b = k.shape[0]
+        rows = jnp.arange(b)
+        ck = ck.at[li, rows, cache_pos].set(k[:, 0], unique_indices=True)
+        cv = cv.at[li, rows, cache_pos].set(v[:, 0], unique_indices=True)
+    return ck, cv
 
 
 def _qlinear(
@@ -165,11 +187,10 @@ def llama_layer_serve_prefill(
 
     new_kv = None
     if kv is not None:
-        ck, cv = kv
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        ck, cv, li = kv
+        ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
         new_kv = (ck, cv)
-        k, v = ck, cv
+        k, v = ck[li], cv[li]
 
     attn = attention_core(q, k, v, mask, cfg.num_kv_groups)
     o = _qlinear_bf16(lp["o_proj"], attn.reshape(b * l, nq), dtype, hidden)
@@ -231,11 +252,13 @@ def llama_layer_serve(
 
     new_kv = None
     if kv is not None:
-        ck, cv = kv
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_pos, 0, 0))
+        # in-place update of the FULL [L, B, max, KVH, D] cache buffers at
+        # (layer_idx, :, pos) — slicing out a layer then re-stacking would
+        # copy the whole cache every step (2+ GB/step at 7B scale)
+        ck, cv, li = kv
+        ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
         new_kv = (ck, cv)
-        k, v = ck, cv
+        k, v = ck[li], cv[li]
 
     attn = attention_core(q, k, v, mask, cfg.num_kv_groups)  # [B, L, Hloc*D]
     attn2 = attn.reshape(b * l, nq)
@@ -265,6 +288,69 @@ def llama_layer_serve(
     return x2.reshape(b, l, hidden), new_kv
 
 
+def opt_layer_serve(
+    lp: Dict[str, Any],
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    x: jax.Array,  # [B, L, H]
+    mask: Optional[jax.Array],
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_pos: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
+):
+    """Quantized OPT decoder layer (reference ParallelGptDecoder.cc:382-524
+    int8_mode=5 wiring): fused LayerNorm+quant producers, biased linears
+    (bias added post-psum for row-parallel), ReLU+quant fc1→fc2 producer.
+    """
+    b, l, hidden = x.shape
+    dtype = x.dtype
+    x2 = x.reshape(b * l, hidden)
+
+    a_qkv = policy.act_bits.get("q_proj", 8)
+    qx, qs = layernorm_quant(
+        x2, lp["input_norm"]["g"], lp["input_norm"]["b"], bits=a_qkv, eps=cfg.norm_eps
+    )
+    nq = cfg.num_heads * cfg.head_dim
+    q = _qlinear(lp["q_proj"], qx, qs, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+    k = _qlinear(lp["k_proj"], qx, qs, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+    v = _qlinear(lp["v_proj"], qx, qs, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+
+    new_kv = None
+    if kv is not None:
+        ck, cv, li = kv
+        ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
+        new_kv = (ck, cv)
+        k, v = ck[li], cv[li]
+
+    attn = attention_core(q, k, v, mask, 1)
+    oq, os_ = quant_act(attn.reshape(b * l, nq), bits=policy.act_bits.get("o_proj", 6))
+    wq_o = {k_: v_ for k_, v_ in lp["o_proj"].items() if k_ != "b"}
+    o = _qlinear(wq_o, oq, os_, dtype, hidden)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    if "b" in lp["o_proj"]:
+        o = o + lp["o_proj"]["b"].astype(o.dtype)
+    x2 = x2 + o
+
+    a_fc1 = policy.act_bits.get("fc1", 6)
+    fq, fs = layernorm_quant(
+        x2, lp["post_norm"]["g"], lp["post_norm"]["b"], bits=a_fc1, eps=cfg.norm_eps
+    )
+    ffn_pad = (
+        lp["fc2"]["hi"].shape[0] * 2 if "hi" in lp["fc2"] else cfg.intermediate_size
+    )
+    h = _qlinear(lp["fc1"], fq, fs, dtype, ffn_pad)
+    hq, hs = relu_quant(h, bits=policy.act_bits.get("fc2", 6))
+    wq_fc2 = {k_: v_ for k_, v_ in lp["fc2"].items() if k_ != "b"}
+    down = _qlinear(wq_fc2, hq, hs, dtype, hidden)
+    if tp_axis is not None:
+        down = jax.lax.psum(down, tp_axis)
+    if "b" in lp["fc2"]:
+        down = down + lp["fc2"]["b"].astype(down.dtype)
+    x2 = x2 + down
+    return x2.reshape(b, l, hidden), new_kv
+
+
 def forward_serve(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -287,14 +373,25 @@ def forward_serve(
     x = params["embed"][ids]
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    is_opt = cfg.arch == "opt"
+    if is_opt:
+        from flexq_tpu.models.opt import POS_OFFSET
+
+        x = x + params["pos_embed"][positions + POS_OFFSET]
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     if mask is None and kv_k is None:
         mask = causal_mask(l, l)
 
-    new_ks, new_vs = [], []
+    have_cache = kv_k is not None
     for i, lp in enumerate(params["layers"]):
-        kv = (kv_k[i], kv_v[i]) if kv_k is not None else None
-        if prefill_bf16:
+        kv = (kv_k, kv_v, i) if have_cache else None
+        if is_opt:
+            x, new_kv = opt_layer_serve(
+                lp, cfg, policy, x, mask, kv=kv, cache_pos=cache_pos
+            )
+        elif prefill_bf16:
             x, new_kv = llama_layer_serve_prefill(
                 lp, cfg, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
             )
@@ -303,14 +400,21 @@ def forward_serve(
                 lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
             )
         if new_kv is not None:
-            new_ks.append(new_kv[0])
-            new_vs.append(new_kv[1])
+            kv_k, kv_v = new_kv
 
-    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if is_opt:
+        from flexq_tpu.models.opt import layernorm
+
+        if "final_norm" in params:
+            x = layernorm(
+                x, params["final_norm"]["g"], params["final_norm"]["b"], cfg.norm_eps
+            )
+    else:
+        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
     logits = x @ head.astype(x.dtype)
-    if new_ks:
-        return logits, (jnp.stack(new_ks), jnp.stack(new_vs))
+    if have_cache:
+        return logits, (kv_k, kv_v)
     return logits, None

@@ -125,9 +125,9 @@ def forward_serve_tp(
         )
         cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
         m = mask if mask is not None else causal_mask(l, l)
-        new_ks, new_vs = [], []
+        have = kv_k.ndim > 0
         for i, lp in enumerate(params["layers"]):
-            kv = (kv_k[i], kv_v[i]) if kv_k.ndim > 0 else None
+            kv = (kv_k, kv_v, i) if have else None
             x, new_kv = llama_layer_serve(
                 lp,
                 lcfg,
@@ -141,16 +141,13 @@ def forward_serve_tp(
                 tp_axis="model",
             )
             if new_kv is not None:
-                new_ks.append(new_kv[0])
-                new_vs.append(new_kv[1])
+                kv_k, kv_v = new_kv
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         head = params.get("lm_head")
         if head is None:
             head = params["embed"].T
         logits = x @ head.astype(x.dtype)
-        if new_ks:
-            return logits, jnp.stack(new_ks), jnp.stack(new_vs)
-        return logits, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+        return logits, kv_k, kv_v
 
     have_cache = kv_k is not None
     if not have_cache:
