@@ -135,7 +135,16 @@ def _qlinear(
     out_dtype,
     n_out: Optional[int] = None,
 ) -> jax.Array:
-    y = w6_matmul(xq, xs, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    if "hi" in wq:
+        y = w6_matmul(xq, xs, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    else:
+        # 16-bit weight under a mixed policy: dequantize the (already
+        # act-quantized) input and run a dense matmul — same semantics as the
+        # reference's fp16 cuBLAS fallback for unquantized layers.
+        m, k = xq.shape
+        xf = xq.astype(jnp.float32).reshape(m, k // GROUP_SIZE, GROUP_SIZE)
+        xf = (xf * xs[:, :, None]).reshape(m, k).astype(out_dtype)
+        y = xf @ wq["w"].astype(out_dtype)
     if n_out is not None and y.shape[-1] != n_out:
         y = y[:, :n_out]
     if "b" in wq:

@@ -116,7 +116,8 @@ class Engine:
         eos_id: int = 2,
         stop_ids: Sequence[int] = (),
         seed: int = 0,
-    ) -> List[List[int]]:
+        return_stats: bool = False,
+    ):
         """Batched generation. Ragged prompts are left-padded to a common
         length (padding attends causally but sits before position 0 content —
         we instead require equal lengths for v1 and pad with bos repeats).
@@ -128,6 +129,10 @@ class Engine:
         b = len(prompts)
         assert l + max_new_tokens <= self.max_seq_len
 
+        from flexq_tpu.utils.profiling import GenerationStats, StepTimer
+
+        stats = GenerationStats(prompt_tokens=b * l)
+        timer = StepTimer()
         ids = jnp.asarray(np.asarray(prompts, np.int32))
         kv_k, kv_v = self.new_cache(b)
         logits, kv_k, kv_v = self._prefill_jit(self.params, ids, kv_k, kv_v, prompt_len=l)
@@ -155,6 +160,11 @@ class Engine:
             key, sub = jax.random.split(key)
             next_ids = sample(proc, sampling, sub)
             ids_np = np.asarray(next_ids)
+            if step == 0:
+                stats.ttft_s = timer.lap()
+            else:
+                stats.step_times_s.append(timer.lap())
+            stats.generated_tokens += int((~finished).sum())
             for row in range(b):
                 if not finished[row]:
                     out[row].append(int(ids_np[row]))
@@ -168,4 +178,7 @@ class Engine:
                 self.params, next_ids[:, None], kv_k, kv_v, jnp.int32(pos)
             )
             pos += 1
+        stats.decode_s = sum(stats.step_times_s) or stats.ttft_s
+        if return_stats:
+            return out, stats
         return out
