@@ -1,0 +1,200 @@
+"""Zero-shot multiple-choice evaluation (lm-eval-harness parity surface).
+
+Functional reimplementation of the reference's vendored EleutherAI lm_eval
+flow for the tasks its README reports (piqa, arc_easy, arc_challenge, boolq,
+hellaswag, winogrande — reference README.md:110, evaluator.py:18,
+models_utils.py:257 `_loglikelihood_tokens`): each request is a (context,
+continuation) pair; the model scores sum-log-prob of the continuation tokens
+given the context; accuracy = the gold choice having the highest score
+(acc_norm divides by continuation byte length).
+
+Dataset access is gated on local availability (this environment ships only
+LFS stubs); the scoring engine itself is fully tested with synthetic tasks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class MCItem:
+    """One multiple-choice instance: shared context + candidate continuations."""
+
+    context: str
+    choices: List[str]
+    gold: int
+
+
+def _pad_batch(rows: List[np.ndarray], pad_id: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    max_len = max(len(r) for r in rows)
+    out = np.full((len(rows), max_len), pad_id, np.int32)
+    lens = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        lens[i] = len(r)
+    return out, lens
+
+
+def loglikelihood_batch(
+    forward_fn: Callable[[jax.Array], jax.Array],  # ids [B, L] -> logits
+    ctx_tokens: List[List[int]],
+    cont_tokens: List[List[int]],
+    max_len: int = 2048,
+) -> np.ndarray:
+    """Σ log p(continuation | context) per request (reference
+    models_utils.py:257 semantics: score only the continuation positions,
+    left-truncate contexts that overflow max_len)."""
+    rows, cont_lens, ctx_lens = [], [], []
+    for ctx, cont in zip(ctx_tokens, cont_tokens):
+        seq = list(ctx) + list(cont)
+        if len(seq) > max_len:
+            seq = seq[-max_len:]
+        rows.append(np.asarray(seq, np.int32))
+        cont_lens.append(len(cont))
+        ctx_lens.append(len(seq) - len(cont))
+    ids, lens = _pad_batch(rows)
+    logits = np.asarray(forward_fn(jnp.asarray(ids)), np.float32)
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    logp = np.asarray(logp)
+    out = np.zeros(len(rows), np.float64)
+    for i in range(len(rows)):
+        s, e = ctx_lens[i], lens[i]
+        for t in range(s, e):
+            out[i] += logp[i, t - 1, rows[i][t]]
+    return out
+
+
+def evaluate_multiple_choice(
+    forward_fn: Callable,
+    tokenizer,
+    items: Sequence[MCItem],
+    batch_size: int = 8,
+    max_len: int = 2048,
+) -> Dict[str, float]:
+    """Returns acc, acc_norm and bootstrap stderr (lm_eval metrics.py)."""
+    ctxs: List[List[int]] = []
+    conts: List[List[int]] = []
+    spans: List[Tuple[int, int]] = []  # (start, n_choices) per item
+    byte_lens: List[int] = []
+    for item in items:
+        start = len(ctxs)
+        for choice in item.choices:
+            ctx_ids = tokenizer.encode(item.context)
+            cont_ids = tokenizer.encode(choice)
+            # lm_eval convention: continuation encoded in context (leading
+            # space matters); we approximate with whole-string diff when the
+            # tokenizer supports it
+            whole = tokenizer.encode(item.context + choice)
+            if whole[: len(ctx_ids)] == ctx_ids:
+                cont_ids = whole[len(ctx_ids) :]
+            ctxs.append(ctx_ids)
+            conts.append(cont_ids)
+            byte_lens.append(max(len(choice.encode()), 1))
+        spans.append((start, len(item.choices)))
+
+    scores = np.zeros(len(ctxs), np.float64)
+    for i in range(0, len(ctxs), batch_size):
+        scores[i : i + batch_size] = loglikelihood_batch(
+            forward_fn, ctxs[i : i + batch_size], conts[i : i + batch_size], max_len
+        )
+
+    correct, correct_norm = [], []
+    for item, (start, n) in zip(items, spans):
+        sc = scores[start : start + n]
+        bl = np.asarray(byte_lens[start : start + n], np.float64)
+        correct.append(float(np.argmax(sc) == item.gold))
+        correct_norm.append(float(np.argmax(sc / bl) == item.gold))
+
+    def boot_stderr(xs: List[float], iters: int = 1000, seed: int = 1234) -> float:
+        rng = np.random.default_rng(seed)
+        xs_arr = np.asarray(xs)
+        means = [
+            xs_arr[rng.integers(0, len(xs_arr), len(xs_arr))].mean()
+            for _ in range(iters)
+        ]
+        return float(np.std(means))
+
+    return {
+        "acc": float(np.mean(correct)),
+        "acc_stderr": boot_stderr(correct),
+        "acc_norm": float(np.mean(correct_norm)),
+        "acc_norm_stderr": boot_stderr(correct_norm),
+        "n": len(items),
+    }
+
+
+# --- task adapters (HF datasets schema -> MCItem) ---------------------------
+
+def _piqa(row) -> MCItem:
+    return MCItem(
+        context=f"Question: {row['goal']}\nAnswer:",
+        choices=[" " + row["sol1"], " " + row["sol2"]],
+        gold=int(row["label"]),
+    )
+
+
+def _arc(row) -> MCItem:
+    keys = row["choices"]["label"]
+    return MCItem(
+        context=f"Question: {row['question']}\nAnswer:",
+        choices=[" " + t for t in row["choices"]["text"]],
+        gold=keys.index(row["answerKey"]),
+    )
+
+
+def _boolq(row) -> MCItem:
+    return MCItem(
+        context=f"{row['passage']}\nQuestion: {row['question']}?\nAnswer:",
+        choices=[" no", " yes"],
+        gold=int(row["answer"]),
+    )
+
+
+def _hellaswag(row) -> MCItem:
+    ctx = row["ctx_a"] + " " + row["ctx_b"].capitalize()
+    return MCItem(
+        context=row["activity_label"] + ": " + ctx,
+        choices=[" " + e for e in row["endings"]],
+        gold=int(row["label"]),
+    )
+
+
+def _winogrande(row) -> MCItem:
+    # winogrande scores the sentence with each option substituted
+    idx = row["sentence"].index("_")
+    pre = row["sentence"][:idx]
+    post = row["sentence"][idx + 1 :]
+    # context is rstripped, so every option carries its leading space
+    return MCItem(
+        context=pre.rstrip(),
+        choices=[" " + opt + post for opt in (row["option1"], row["option2"])],
+        gold=int(row["answer"]) - 1,
+    )
+
+
+TASK_ADAPTERS = {
+    "piqa": _piqa,
+    "arc_easy": _arc,
+    "arc_challenge": _arc,
+    "boolq": _boolq,
+    "hellaswag": _hellaswag,
+    "winogrande": _winogrande,
+}
+
+
+def load_task_items(name: str, data_dir: str, split: str = "validation") -> List[MCItem]:
+    """Load a task from a datasets.save_to_disk directory (offline)."""
+    from datasets import load_from_disk
+
+    ds = load_from_disk(data_dir)
+    if split in getattr(ds, "keys", lambda: [])():
+        ds = ds[split]
+    adapter = TASK_ADAPTERS[name]
+    return [adapter(row) for row in ds]

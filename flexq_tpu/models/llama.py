@@ -23,6 +23,7 @@ HF numeric parity notes (verified against transformers.LlamaModel):
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -101,6 +102,9 @@ def _linear(params: Dict[str, Any], name: str, x, policy: Optional[QuantPolicy])
     return y
 
 
+ATTN_CHUNK = 1024  # key-chunk size for the blockwise path
+
+
 def attention_core(
     q: jax.Array,  # [B, Lq, H, D]
     k: jax.Array,  # [B, Lk, KVH, D]
@@ -109,11 +113,20 @@ def attention_core(
     num_kv_groups: int,
 ) -> jax.Array:
     """f32-softmax attention with GQA via kv-head repeat (reference
-    int_llama_layer.py:142-143 repeat_kv)."""
+    int_llama_layer.py:142-143 repeat_kv).
+
+    Long key runs take the blockwise online-softmax path so the [B,H,Lq,Lk]
+    score tensor is never materialized — the capability the reference lacks
+    entirely (its prefill is full O(L²) fp16 softmax, SURVEY.md §5
+    long-context row).
+    """
     b, lq, h, d = q.shape
     if num_kv_groups > 1:
         k = jnp.repeat(k, num_kv_groups, axis=2)
         v = jnp.repeat(v, num_kv_groups, axis=2)
+    lk = k.shape[1]
+    if lk > ATTN_CHUNK and lk % ATTN_CHUNK == 0 and lq > 1:
+        return _attention_blockwise(q, k, v, mask, ATTN_CHUNK)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
     scores = scores / jnp.sqrt(d).astype(jnp.float32)
     if mask is not None:
@@ -121,6 +134,47 @@ def attention_core(
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return out.reshape(b, lq, h * d)
+
+
+def _attention_blockwise(q, k, v, mask, chunk: int) -> jax.Array:
+    """Online-softmax attention scanned over key chunks (flash-style).
+
+    Numerically identical to full softmax (f32 running max/sum); memory is
+    O(Lq·chunk) per step instead of O(Lq·Lk).
+    """
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    nc = lk // chunk
+    qf = q.astype(jnp.float32)
+    kc = k.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+    vc = v.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+    if mask is not None:
+        mask = jnp.broadcast_to(mask, (b, 1, lq, lk)).astype(jnp.float32)
+        mc = mask.reshape(b, 1, lq, nc, chunk).transpose(3, 0, 1, 2, 4)
+    else:
+        mc = jnp.zeros((nc, 1, 1, 1, 1), jnp.float32)
+    scale = 1.0 / math.sqrt(d)
+
+    def step(carry, inputs):
+        m, l, acc = carry  # [B,H,Lq,1], [B,H,Lq,1], [B,H,Lq,D]
+        kb, vb, mb = inputs
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kb) * scale + mb
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.einsum("bhqk,bkhd->bhqd", p, vb)
+        return (m_new, l, acc), None
+
+    init = (
+        # finite init: -inf would give exp(nan) on fully-masked chunks
+        jnp.full((b, h, lq, 1), -1e30, jnp.float32),
+        jnp.zeros((b, h, lq, 1), jnp.float32),
+        jnp.zeros((b, h, lq, d), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(step, init, (kc, vc, mc))
+    out = (acc / l).astype(q.dtype)  # [B,H,Lq,D]
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)
 
 
 def causal_mask(lq: int, lk: int, dtype=jnp.float32) -> jax.Array:

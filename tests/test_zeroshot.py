@@ -1,0 +1,91 @@
+"""Zero-shot harness tests with a synthetic model + toy tokenizer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flexq_tpu.eval.zeroshot import (
+    MCItem,
+    evaluate_multiple_choice,
+    loglikelihood_batch,
+    _winogrande,
+)
+
+
+class ToyTokenizer:
+    """Characters as tokens (ord % 97)."""
+
+    def encode(self, s):
+        return [ord(c) % 97 for c in s]
+
+
+def constant_pref_model(pref_token: int, vocab: int = 97):
+    """Model that always assigns high probability to `pref_token`."""
+
+    def fwd(ids):
+        logits = jnp.zeros(ids.shape + (vocab,), jnp.float32)
+        return logits.at[..., pref_token].set(5.0)
+
+    return fwd
+
+
+def test_loglikelihood_scores_continuation_only():
+    vocab = 97
+    fwd = constant_pref_model(10, vocab)
+    # continuation of token 10s scores higher than token 20s
+    s = loglikelihood_batch(fwd, [[1, 2], [1, 2]], [[10, 10], [20, 20]])
+    assert s[0] > s[1]
+    # three continuation tokens accumulate exactly 1.5x the two-token sum
+    s2 = loglikelihood_batch(fwd, [[1]], [[10, 10, 10]])
+    np.testing.assert_allclose(s2[0], s[0] * 1.5, rtol=1e-5)
+
+
+def test_echo_model_gets_perfect_accuracy():
+    """A model that predicts the next token = current token + 1 prefers the
+    'abc...' continuation over scrambled ones."""
+    vocab = 97
+
+    def fwd(ids):
+        nxt = (ids + 1) % vocab
+        return jax.nn.one_hot(nxt, vocab) * 10.0
+
+    tok = ToyTokenizer()
+    items = [
+        MCItem(context="abc", choices=["def", "zqx"], gold=0),
+        MCItem(context="lmn", choices=["xyz", "opq"], gold=1),
+    ]
+    res = evaluate_multiple_choice(fwd, tok, items, batch_size=4)
+    assert res["acc"] == 1.0
+    assert res["n"] == 2
+    assert 0 <= res["acc_stderr"] <= 0.5
+
+
+def test_random_model_near_chance():
+    rng_logits = np.random.default_rng(0).standard_normal((97,)).astype(np.float32)
+
+    def fwd(ids):
+        return jnp.broadcast_to(jnp.asarray(rng_logits), ids.shape + (97,))
+
+    tok = ToyTokenizer()
+    rng = np.random.default_rng(1)
+    items = []
+    for _ in range(40):
+        a = "".join(chr(97 + rng.integers(0, 26)) for _ in range(5))
+        b = "".join(chr(97 + rng.integers(0, 26)) for _ in range(5))
+        items.append(MCItem(context="ctx", choices=[a, b], gold=int(rng.integers(0, 2))))
+    res = evaluate_multiple_choice(fwd, tok, items)
+    assert 0.2 <= res["acc"] <= 0.8  # chance-ish
+
+
+def test_winogrande_adapter():
+    row = {
+        "sentence": "The trophy doesn't fit in the suitcase because _ is too big.",
+        "option1": "the trophy",
+        "option2": "the suitcase",
+        "answer": "1",
+    }
+    item = _winogrande(row)
+    assert item.gold == 0
+    assert item.context.endswith("because")
+    assert item.choices[0].startswith(" the trophy")
+    assert item.choices[0].endswith("is too big.")
