@@ -128,6 +128,49 @@ def _cache_update(ck, cv, k, v, li, cache_pos):
     return ck, cv
 
 
+KV_QMAX = 127.0
+
+
+def _kv_quant(x: jax.Array):
+    """Per-(token, head) symmetric int8 quant over head_dim.
+
+    [B, L, KVH, D] -> (int8 values, f32 scales [B, L, KVH]). The reference
+    keeps its KV cache fp16 (SURVEY.md §5) — int8 KV halves cache traffic
+    and capacity cost, exceeding parity (the repo north star calls for it).
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.clip(absmax / KV_QMAX, 1e-8, 1e4)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None])
+    return jnp.clip(q, -128, 127).astype(jnp.int8), scale
+
+
+def _kv_write_read(kv, k, v, cache_pos, out_dtype):
+    """Write step K/V into the cache and read back the full-cache view.
+
+    kv = (ck, cv, li)                 bf16 cache
+       | (ck, cv, cks, cvs, li)      int8 cache + per-(token, head) scales
+    Returns (new_kv_state, k_read [B,max,KVH,D], v_read).
+    """
+    if len(kv) == 3:
+        ck, cv, li = kv
+        ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
+        return (ck, cv), ck[li], cv[li]
+    ck, cv, cks, cvs, li = kv
+    kq, ks = _kv_quant(k)
+    vq, vs = _kv_quant(v)
+    ck, cv = _cache_update(ck, cv, kq, vq, li, cache_pos)
+    if getattr(cache_pos, "ndim", 0) == 0 or not hasattr(cache_pos, "ndim"):
+        cks = jax.lax.dynamic_update_slice(cks, ks[None], (li, 0, cache_pos, 0))
+        cvs = jax.lax.dynamic_update_slice(cvs, vs[None], (li, 0, cache_pos, 0))
+    else:
+        rows = jnp.arange(k.shape[0])
+        cks = cks.at[li, rows, cache_pos].set(ks[:, 0], unique_indices=True)
+        cvs = cvs.at[li, rows, cache_pos].set(vs[:, 0], unique_indices=True)
+    k_read = (ck[li].astype(jnp.float32) * cks[li][..., None]).astype(out_dtype)
+    v_read = (cv[li].astype(jnp.float32) * cvs[li][..., None]).astype(out_dtype)
+    return (ck, cv, cks, cvs), k_read, v_read
+
+
 def _qlinear(
     wq: Dict[str, Any],
     xq: jax.Array,
@@ -196,10 +239,7 @@ def llama_layer_serve_prefill(
 
     new_kv = None
     if kv is not None:
-        ck, cv, li = kv
-        ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
-        new_kv = (ck, cv)
-        k, v = ck[li], cv[li]
+        new_kv, k, v = _kv_write_read(kv, k, v, cache_pos, dtype)
 
     attn = attention_core(q, k, v, mask, cfg.num_kv_groups)
     o = _qlinear_bf16(lp["o_proj"], attn.reshape(b * l, nq), dtype, hidden)
@@ -264,10 +304,7 @@ def llama_layer_serve(
         # in-place update of the FULL [L, B, max, KVH, D] cache buffers at
         # (layer_idx, :, pos) — slicing out a layer then re-stacking would
         # copy the whole cache every step (2+ GB/step at 7B scale)
-        ck, cv, li = kv
-        ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
-        new_kv = (ck, cv)
-        k, v = ck[li], cv[li]
+        new_kv, k, v = _kv_write_read(kv, k, v, cache_pos, dtype)
 
     attn = attention_core(q, k, v, mask, cfg.num_kv_groups)  # [B, L, Hloc*D]
     attn2 = attn.reshape(b * l, nq)
@@ -326,10 +363,7 @@ def opt_layer_serve(
 
     new_kv = None
     if kv is not None:
-        ck, cv, li = kv
-        ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
-        new_kv = (ck, cv)
-        k, v = ck[li], cv[li]
+        new_kv, k, v = _kv_write_read(kv, k, v, cache_pos, dtype)
 
     attn = attention_core(q, k, v, mask, 1)
     oq, os_ = quant_act(attn.reshape(b * l, nq), bits=policy.act_bits.get("o_proj", 6))
@@ -366,17 +400,21 @@ def forward_serve(
     policy: QuantPolicy,
     ids: jax.Array,  # [B, L]
     positions: Optional[jax.Array] = None,
-    kv_k: Optional[jax.Array] = None,  # [layers, B, max, KVH, D]
+    kv_k: Optional[jax.Array] = None,  # [layers, B, max, KVH, D] bf16 | int8
     kv_v: Optional[jax.Array] = None,
     cache_pos: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     prefill_bf16: bool = False,
+    kv_k_scale: Optional[jax.Array] = None,  # [layers, B, max, KVH] f32
+    kv_v_scale: Optional[jax.Array] = None,  # (present => int8 KV cache)
 ):
     """Quantized forward. Without a cache: full-sequence causal (prefill/eval).
     With a cache: writes K/V at cache_pos and attends over the full cache.
-    ``prefill_bf16`` selects the W6A16 large-M layer path.
+    ``prefill_bf16`` selects the W6A16 large-M layer path. Passing scale
+    arrays selects the int8 quantized KV cache.
 
-    Returns (logits [B, L, V], (new_kv_k, new_kv_v) or None).
+    Returns (logits [B, L, V], cache-state tuple or None) where the cache
+    state is (kv_k, kv_v) or (kv_k, kv_v, kv_k_scale, kv_v_scale).
     """
     b, l = ids.shape
     x = params["embed"][ids]
@@ -394,8 +432,14 @@ def forward_serve(
         mask = causal_mask(l, l)
 
     have_cache = kv_k is not None
+    quant_cache = kv_k_scale is not None
     for i, lp in enumerate(params["layers"]):
-        kv = (kv_k, kv_v, i) if have_cache else None
+        if not have_cache:
+            kv = None
+        elif quant_cache:
+            kv = (kv_k, kv_v, kv_k_scale, kv_v_scale, i)
+        else:
+            kv = (kv_k, kv_v, i)
         if is_opt:
             x, new_kv = opt_layer_serve(
                 lp, cfg, policy, x, mask, kv=kv, cache_pos=cache_pos
@@ -409,7 +453,10 @@ def forward_serve(
                 lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
             )
         if new_kv is not None:
-            kv_k, kv_v = new_kv
+            if quant_cache:
+                kv_k, kv_v, kv_k_scale, kv_v_scale = new_kv
+            else:
+                kv_k, kv_v = new_kv
 
     if is_opt:
         from flexq_tpu.models.opt import layernorm
@@ -425,5 +472,7 @@ def forward_serve(
         head = params["embed"].T
     logits = x @ head.astype(x.dtype)
     if have_cache:
+        if quant_cache:
+            return logits, (kv_k, kv_v, kv_k_scale, kv_v_scale)
         return logits, (kv_k, kv_v)
     return logits, None

@@ -61,52 +61,67 @@ class Engine:
         # (compute-bound: bf16 MXU beats exact-int; see w6_matmul_bf16)
         self.prefill_bf16_threshold = prefill_bf16_threshold
         self._prefill_jit = jax.jit(
-            self._prefill, static_argnames=("prompt_len",), donate_argnums=(2, 3)
+            self._prefill, static_argnames=("prompt_len",), donate_argnums=(2,)
         )
-        self._step_jit = jax.jit(self._decode_step, donate_argnums=(2, 3))
+        self._step_jit = jax.jit(self._decode_step, donate_argnums=(2,))
 
     def _kv_shape(self, batch: int) -> Tuple[int, ...]:
         c = self.cfg
         return (c.num_layers, batch, self.max_seq_len, c.num_kv_heads, c.head_dim)
 
-    def new_cache(self, batch: int) -> Tuple[jax.Array, jax.Array]:
-        shape = self._kv_shape(batch)
-        return jnp.zeros(shape, self.kv_dtype), jnp.zeros(shape, self.kv_dtype)
+    @property
+    def quantized_cache(self) -> bool:
+        return self.kv_dtype == jnp.int8
 
-    def _prefill(self, params, ids, kv_k, kv_v, prompt_len: int):
+    def new_cache(self, batch: int):
+        """kv_dtype=int8 selects the quantized KV cache (values + per-token
+        per-head f32 scales — halves cache traffic/capacity vs bf16)."""
+        shape = self._kv_shape(batch)
+        k = jnp.zeros(shape, self.kv_dtype)
+        v = jnp.zeros(shape, self.kv_dtype)
+        if not self.quantized_cache:
+            return k, v
+        sshape = shape[:-1]
+        return k, v, jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32)
+
+    def _prefill(self, params, ids, cache, prompt_len: int):
         b, l = ids.shape
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
         mask = prefill_mask(l, self.max_seq_len)
+        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
         logits, kv = forward_serve(
             params,
             self.cfg,
             self.policy,
             ids,
             positions=positions,
-            kv_k=kv_k,
-            kv_v=kv_v,
+            kv_k=cache[0],
+            kv_v=cache[1],
             cache_pos=jnp.int32(0),
             mask=mask,
             prefill_bf16=l >= self.prefill_bf16_threshold,
+            **scales,
         )
-        return logits[:, prompt_len - 1], kv[0], kv[1]
+        return logits[:, prompt_len - 1], kv
 
-    def _decode_step(self, params, ids, kv_k, kv_v, pos):
+    def _decode_step(self, params, ids, cache, pos):
         b = ids.shape[0]
         positions = jnp.broadcast_to(pos, (b, 1))
         mask = decode_mask(pos, self.max_seq_len)
+        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
         logits, kv = forward_serve(
             params,
             self.cfg,
             self.policy,
             ids,
             positions=positions,
-            kv_k=kv_k,
-            kv_v=kv_v,
+            kv_k=cache[0],
+            kv_v=cache[1],
             cache_pos=pos,
             mask=mask,
+            **scales,
         )
-        return logits[:, 0], kv[0], kv[1]
+        return logits[:, 0], kv
 
     def generate(
         self,
@@ -134,8 +149,8 @@ class Engine:
         stats = GenerationStats(prompt_tokens=b * l)
         timer = StepTimer()
         ids = jnp.asarray(np.asarray(prompts, np.int32))
-        kv_k, kv_v = self.new_cache(b)
-        logits, kv_k, kv_v = self._prefill_jit(self.params, ids, kv_k, kv_v, prompt_len=l)
+        cache = self.new_cache(b)
+        logits, cache = self._prefill_jit(self.params, ids, cache, prompt_len=l)
 
         stop_set = set(stop_ids) | {eos_id}
         key = jax.random.PRNGKey(seed)
@@ -174,8 +189,8 @@ class Engine:
                 break
             token_counts = token_counts.at[jnp.arange(b), next_ids].add(1)
             gen_len = gen_len + 1
-            logits, kv_k, kv_v = self._step_jit(
-                self.params, next_ids[:, None], kv_k, kv_v, jnp.int32(pos)
+            logits, cache = self._step_jit(
+                self.params, next_ids[:, None], cache, jnp.int32(pos)
             )
             pos += 1
         stats.decode_s = sum(stats.step_times_s) or stats.ttft_s

@@ -112,3 +112,30 @@ def test_prefill_bf16_path_close_to_exact():
     # A16 drops act-quant noise; bf16 weight rounding adds a little — close
     assert np.abs(a16 - exact).max() / np.abs(exact).max() < 0.08
     assert (a16.argmax(-1) == exact.argmax(-1)).mean() >= 0.75
+
+
+def test_int8_kv_cache_close_to_bf16():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng_f = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32)
+    eng_q = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.int8)
+    prompt = [[1, 5, 9, 12]]
+    out_f = eng_f.generate(prompt, max_new_tokens=6, eos_id=-1)
+    out_q = eng_q.generate(prompt, max_new_tokens=6, eos_id=-1)
+    # int8 KV with per-head scales is near-lossless: greedy chain matches
+    assert out_q[0] == out_f[0]
+
+
+def test_int8_kv_cache_memory_halved():
+    import numpy as np
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.int8)
+    cache = eng.new_cache(2)
+    assert len(cache) == 4 and cache[0].dtype == jnp.int8
+    val_bytes = cache[0].size  # int8: 1 byte each
+    scale_bytes = cache[2].size * 4
+    bf16_bytes = cache[0].size * 2
+    assert val_bytes + scale_bytes < bf16_bytes * 0.6  # ~0.52x with D=64
