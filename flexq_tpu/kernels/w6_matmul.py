@@ -127,8 +127,14 @@ def _w6_matmul_kernel(
 
 
 def _pick_blocks(m: int, n: int, k: int):
-    """Block-size heuristic (replaces the reference's 325-config table +
-    per-M-bucket dispatch, flexq_gemm_wrapper.cu:53-86)."""
+    """Block-size selection: measured dispatch table first (autotune.py),
+    then the shape heuristic (replaces the reference's 325-config library +
+    per-M-bucket table, flexq_gemm_wrapper.cu:53-86)."""
+    from flexq_tpu.kernels import autotune
+
+    tuned = autotune.lookup(m, k, n)
+    if tuned is not None:
+        return tuned
     bk = largest_divisor_tile(k, cap=256)
     if m <= 32:
         # decode: weight-streaming bound — maximize N block for DMA depth

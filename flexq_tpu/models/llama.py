@@ -136,6 +136,43 @@ def attention_core(
     return out.reshape(b, lq, h * d)
 
 
+def attention_core_quant(
+    q: jax.Array,  # [B, Lq, H, D]
+    k8: jax.Array,  # int8 [B, Lk, KVH, D]
+    ks: jax.Array,  # f32 [B, Lk, KVH] per-(token, head) K scales
+    v8: jax.Array,  # int8 [B, Lk, KVH, D]
+    vs: jax.Array,  # f32 [B, Lk, KVH]
+    mask: Optional[jax.Array],
+    num_kv_groups: int,
+) -> jax.Array:
+    """Attention over an int8 KV cache with scales folded into the math:
+
+        scores[q,t] = (Σ_d q_d · K8[t,d]) · ks[t]     (scale after the dot)
+        out[q,d]    = Σ_t (p[q,t] · vs[t]) · V8[t,d]  (scale folded into p)
+
+    so the int8 cache feeds the matmuls directly and no dequantized bf16
+    copy of the cache is ever materialized (that copy made a naive int8
+    cache *slower* than bf16).
+    """
+    b, lq, h, d = q.shape
+    if num_kv_groups > 1:
+        k8 = jnp.repeat(k8, num_kv_groups, axis=2)
+        v8 = jnp.repeat(v8, num_kv_groups, axis=2)
+        ks = jnp.repeat(ks, num_kv_groups, axis=2)
+        vs = jnp.repeat(vs, num_kv_groups, axis=2)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.bfloat16), k8.astype(jnp.bfloat16)
+    ).astype(jnp.float32)
+    scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]  # [B,H,1,Lk]
+    scores = scores / jnp.sqrt(d).astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    pv = (probs * vs.transpose(0, 2, 1)[:, :, None, :]).astype(jnp.bfloat16)
+    out = jnp.einsum("bhqk,bkhd->bqhd", pv, v8.astype(jnp.bfloat16))
+    return out.astype(q.dtype).reshape(b, lq, h * d)
+
+
 def _attention_blockwise(q, k, v, mask, chunk: int) -> jax.Array:
     """Online-softmax attention scanned over key chunks (flash-style).
 

@@ -145,16 +145,19 @@ def _kv_quant(x: jax.Array):
 
 
 def _kv_write_read(kv, k, v, cache_pos, out_dtype):
-    """Write step K/V into the cache and read back the full-cache view.
+    """Write step K/V into the cache and return the cache view for attention.
 
     kv = (ck, cv, li)                 bf16 cache
        | (ck, cv, cks, cvs, li)      int8 cache + per-(token, head) scales
-    Returns (new_kv_state, k_read [B,max,KVH,D], v_read).
+    Returns (new_kv_state, kv_view) where kv_view is
+    ("dense", k, v) or ("quant", k8, ks, v8, vs) — the quantized view is
+    consumed by attention_core_quant with scales folded into the math (an
+    eager dequant would materialize a bf16 cache copy and erase the win).
     """
     if len(kv) == 3:
         ck, cv, li = kv
         ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
-        return (ck, cv), ck[li], cv[li]
+        return (ck, cv), ("dense", ck[li], cv[li])
     ck, cv, cks, cvs, li = kv
     kq, ks = _kv_quant(k)
     vq, vs = _kv_quant(v)
@@ -166,9 +169,16 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
         rows = jnp.arange(k.shape[0])
         cks = cks.at[li, rows, cache_pos].set(ks[:, 0], unique_indices=True)
         cvs = cvs.at[li, rows, cache_pos].set(vs[:, 0], unique_indices=True)
-    k_read = (ck[li].astype(jnp.float32) * cks[li][..., None]).astype(out_dtype)
-    v_read = (cv[li].astype(jnp.float32) * cvs[li][..., None]).astype(out_dtype)
-    return (ck, cv, cks, cvs), k_read, v_read
+    return (ck, cv, cks, cvs), ("quant", ck[li], cks[li], cv[li], cvs[li])
+
+
+def _attend(q, kv_view, mask, num_kv_groups):
+    from flexq_tpu.models.llama import attention_core_quant
+
+    if kv_view[0] == "dense":
+        return attention_core(q, kv_view[1], kv_view[2], mask, num_kv_groups)
+    _, k8, ks, v8, vs = kv_view
+    return attention_core_quant(q, k8, ks, v8, vs, mask, num_kv_groups)
 
 
 def _qlinear(
@@ -239,9 +249,11 @@ def llama_layer_serve_prefill(
 
     new_kv = None
     if kv is not None:
-        new_kv, k, v = _kv_write_read(kv, k, v, cache_pos, dtype)
+        new_kv, kv_view = _kv_write_read(kv, k, v, cache_pos, dtype)
+    else:
+        kv_view = ("dense", k, v)
 
-    attn = attention_core(q, k, v, mask, cfg.num_kv_groups)
+    attn = _attend(q, kv_view, mask, cfg.num_kv_groups)
     o = _qlinear_bf16(lp["o_proj"], attn.reshape(b * l, nq), dtype, hidden)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
@@ -304,9 +316,11 @@ def llama_layer_serve(
         # in-place update of the FULL [L, B, max, KVH, D] cache buffers at
         # (layer_idx, :, pos) — slicing out a layer then re-stacking would
         # copy the whole cache every step (2+ GB/step at 7B scale)
-        new_kv, k, v = _kv_write_read(kv, k, v, cache_pos, dtype)
+        new_kv, kv_view = _kv_write_read(kv, k, v, cache_pos, dtype)
+    else:
+        kv_view = ("dense", k, v)
 
-    attn = attention_core(q, k, v, mask, cfg.num_kv_groups)  # [B, L, Hloc*D]
+    attn = _attend(q, kv_view, mask, cfg.num_kv_groups)  # [B, L, Hloc*D]
     attn2 = attn.reshape(b * l, nq)
     oq, os_ = quant_act(attn2, bits=policy.act_bits.get("o_proj", 6))
     o = _qlinear(lp["o_proj"], oq, os_, dtype, hidden)
@@ -363,9 +377,11 @@ def opt_layer_serve(
 
     new_kv = None
     if kv is not None:
-        new_kv, k, v = _kv_write_read(kv, k, v, cache_pos, dtype)
+        new_kv, kv_view = _kv_write_read(kv, k, v, cache_pos, dtype)
+    else:
+        kv_view = ("dense", k, v)
 
-    attn = attention_core(q, k, v, mask, 1)
+    attn = _attend(q, kv_view, mask, 1)
     oq, os_ = quant_act(attn.reshape(b * l, nq), bits=policy.act_bits.get("o_proj", 6))
     wq_o = {k_: v_ for k_, v_ in lp["o_proj"].items() if k_ != "b"}
     o = _qlinear(wq_o, oq, os_, dtype, hidden)

@@ -119,3 +119,24 @@ def test_end_to_end_vs_fake_quant():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_autotune_table_roundtrip(tmp_path):
+    from flexq_tpu.kernels import autotune
+
+    table = {(8, 4096, 4096): (8, 2048, 256), (32, 4096, 12288): (32, 4096, 128)}
+    path = str(tmp_path / "t.json")
+    autotune.save_table(path, table)
+    n = autotune.load_table(path)
+    assert n == 2
+    assert autotune.lookup(5, 4096, 4096) == (8, 2048, 256)  # bucket 8
+    assert autotune.lookup(20, 4096, 12288) == (32, 4096, 128)
+    assert autotune.lookup(8, 999, 999) is None
+    autotune._TABLE.clear()
+
+
+def test_candidate_configs_valid():
+    from flexq_tpu.kernels.autotune import candidate_configs
+
+    for bm, bn, bk in candidate_configs(8, 11008, 4096):
+        assert 11008 % bk == 0 and 4096 % bn == 0 and bm == 8
