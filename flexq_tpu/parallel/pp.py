@@ -1,0 +1,161 @@
+"""Pipeline parallelism (GPipe-style) for the quantized forward.
+
+Reference parity: FasterTransformer assigns a contiguous layer range per
+pipeline rank (`num_layer_/pipeline_para_.world_size_`, Llama.cc:112), sends
+activations between stage boundaries with NCCL send/recv
+(LlamaDecoder.cc:285-296) and micro-batches via getLocalBatchSize
+(Llama.cc:974-979). The TPU-native re-design:
+
+  * per-layer param pytrees are STACKED on a leading layer axis and sharded
+    over the `pipe` mesh axis — each stage holds a [L/pp, ...] slab and runs
+    its layers with `lax.scan`;
+  * the classic GPipe schedule runs M microbatches through pp stages in
+    M + pp − 1 ticks, passing activations to the next stage with
+    `jax.lax.ppermute` over ICI each tick;
+  * stage 0 embeds, the last stage norms + projects to logits; results are
+    gathered at the end (every device returns the full logits for
+    simplicity — the last stage's copy is authoritative).
+
+v1 scope: full-sequence forward (evaluation / prefill); decode-with-cache
+over PP lands later (the reference itself prefers TP for latency — PP's
+per-step boundary hops hurt decode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flexq_tpu.config import ModelConfig, QuantPolicy
+from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_cos_sin
+from flexq_tpu.models.quantized import llama_layer_serve
+
+
+def make_pipe_mesh(pp: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= pp
+    return Mesh(devices[:pp].reshape(pp), axis_names=("pipe",))
+
+
+def stack_layers(layers) -> Any:
+    """List of identical-structure layer pytrees -> single pytree with a
+    leading layer axis (sharded over `pipe`)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def shard_params_pp(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    stacked = {
+        "embed": params["embed"],
+        "final_norm": params["final_norm"],
+        "layers_stacked": stack_layers(params["layers"]),
+    }
+    if "lm_head" in params:
+        stacked["lm_head"] = params["lm_head"]
+    specs = {
+        "embed": P(),
+        "final_norm": jax.tree_util.tree_map(lambda _: P(), params["final_norm"]),
+        "layers_stacked": jax.tree_util.tree_map(
+            lambda _: P("pipe"), stacked["layers_stacked"]
+        ),
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P()
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), stacked, specs
+    )
+
+
+def forward_serve_pp(
+    params: Dict[str, Any],  # output of shard_params_pp
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    ids: jax.Array,  # [B, L] — B must divide into num_microbatches
+    mesh: Mesh,
+    num_microbatches: Optional[int] = None,
+) -> jax.Array:
+    """Pipelined full-sequence quantized forward -> logits [B, L, V]."""
+    pp = mesh.shape["pipe"]
+    b, l = ids.shape
+    m = num_microbatches or min(b, pp)
+    assert b % m == 0, f"batch {b} must divide into {m} microbatches"
+    mb = b // m
+
+    def body(params, ids):
+        my_stage = jax.lax.axis_index("pipe")
+        positions = jnp.broadcast_to(jnp.arange(l), (mb, l))
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        mask = causal_mask(l, l)
+        micro = ids.reshape(m, mb, l)
+
+        def run_stage(x):
+            def layer_body(carry, lp):
+                out, _ = llama_layer_serve(
+                    lp, cfg, policy, carry, cos, sin, mask
+                )
+                return out, None
+
+            out, _ = jax.lax.scan(layer_body, x, params["layers_stacked"])
+            return out
+
+        h = cfg.hidden_size
+        x_hold = jnp.zeros((mb, l, h), params["embed"].dtype)
+        outputs = jnp.zeros((m, mb, l, h), params["embed"].dtype)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+        for t in range(m + pp - 1):
+            # stage 0 injects microbatch t; others take the ppermuted input
+            inject = params["embed"][micro[min(t, m - 1)]]
+            x_in = jnp.where(my_stage == 0, inject, x_hold)
+            x_out = run_stage(x_in)
+            # pass to the next stage over ICI (boundary send/recv analogue)
+            x_hold = jax.lax.ppermute(x_out, "pipe", perm)
+            # last stage banks its result for microbatch t - (pp - 1)
+            out_idx = t - (pp - 1)
+            bank = jnp.logical_and(my_stage == pp - 1, out_idx >= 0)
+            outputs = jax.lax.cond(
+                bank,
+                lambda o: jax.lax.dynamic_update_slice(
+                    o, x_out[None], (jnp.maximum(out_idx, 0), 0, 0, 0)
+                ),
+                lambda o: o,
+                outputs,
+            )
+
+        x = outputs.reshape(b, l, h)
+        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+        head = params.get("lm_head")
+        if head is None:
+            head = params["embed"].T
+        logits = x @ head.astype(x.dtype)
+        # broadcast the last stage's logits to everyone (psum of masked copy)
+        logits = jax.lax.psum(
+            jnp.where(my_stage == pp - 1, logits, jnp.zeros_like(logits)), "pipe"
+        )
+        return logits
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            {
+                "embed": P(),
+                "final_norm": jax.tree_util.tree_map(
+                    lambda _: P(), params["final_norm"]
+                ),
+                **(
+                    {"lm_head": P()} if "lm_head" in params else {}
+                ),
+                "layers_stacked": jax.tree_util.tree_map(
+                    lambda _: P("pipe"), params["layers_stacked"]
+                ),
+            },
+            P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, ids)

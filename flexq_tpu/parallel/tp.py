@@ -67,6 +67,10 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     for key, val in params.items():
         if key == "layers":
             specs["layers"] = [layer_spec(lp) for lp in val]
+        elif key == "lm_head":
+            # vocab-parallel head (reference Llama.cc:1090-1130: vocab-TP
+            # gemm + ftNcclAllGather); gathered after the local matmul
+            specs[key] = P(None, "model")
         else:
             specs[key] = jax.tree_util.tree_map(lambda _: P(), val)
     return specs
@@ -144,9 +148,13 @@ def forward_serve_tp(
                 kv_k, kv_v = new_kv
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         head = params.get("lm_head")
-        if head is None:
-            head = params["embed"].T
-        logits = x @ head.astype(x.dtype)
+        if head is None:  # tied embeddings: replicated, no gather needed
+            logits = x @ params["embed"].T.astype(x.dtype)
+        else:
+            local = x @ head.astype(x.dtype)  # [B, L, V/tp]
+            logits = jax.lax.all_gather(
+                local, "model", axis=local.ndim - 1, tiled=True
+            )
         return logits, kv_k, kv_v
 
     have_cache = kv_k is not None

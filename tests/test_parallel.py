@@ -103,3 +103,33 @@ def test_gqa_tp(tmp_path):
     want, _ = forward_serve(qparams, cfg, policy, ids)
     got, _ = forward_serve_tp(sharded, cfg, policy, ids, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_parallel_matches_single_device(quantized):
+    from flexq_tpu.parallel.pp import forward_serve_pp, make_pipe_mesh, shard_params_pp
+
+    cfg, policy, qparams = quantized
+    mesh = make_pipe_mesh(pp=2)
+    sharded = shard_params_pp(qparams, mesh)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (4, 6)))
+    want, _ = forward_serve(qparams, cfg, policy, ids)
+    got = forward_serve_pp(sharded, cfg, policy, ids, mesh, num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_four_stages(quantized):
+    from flexq_tpu.parallel.pp import forward_serve_pp, make_pipe_mesh, shard_params_pp
+
+    cfg, policy, qparams = quantized
+    # 2 layers can't split over 4 stages; replicate layer list to 4 layers
+    import copy
+    qp4 = dict(qparams)
+    qp4["layers"] = qparams["layers"] * 2
+    import dataclasses
+    cfg4 = dataclasses.replace(cfg, num_layers=4)
+    mesh = make_pipe_mesh(pp=4)
+    sharded = shard_params_pp(qp4, mesh)
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (4, 5)))
+    want, _ = forward_serve(qp4, cfg4, policy, ids)
+    got = forward_serve_pp(sharded, cfg4, policy, ids, mesh, num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
