@@ -49,6 +49,29 @@ def tokenize_eval_ids(text: str, tokenizer, seqlen: int = 2048) -> np.ndarray:
     return ids[: n * seqlen].reshape(n, seqlen).astype(np.int32)
 
 
+JOINERS = {"wikitext2": "\n\n", "ptb": " ", "c4": "\n\n", "pile": "\n\n"}
+TEXT_FIELDS = {"wikitext2": "text", "ptb": "sentence", "c4": "text", "pile": "text"}
+
+
+def load_eval_text(
+    name: str, path: str, split: str = "test"
+) -> str:
+    """Generic offline loader for the reference's eval sets
+    (datautils.py get_wikitext2/get_ptb/get_c4/get_pile join conventions).
+
+    ``path`` is a datasets.save_to_disk directory.
+    """
+    if not dataset_available(path, split):
+        raise FileNotFoundError(f"{path}/{split}: no real data (LFS stub or missing)")
+    from datasets import load_from_disk
+
+    ds = load_from_disk(path)
+    if hasattr(ds, "keys") and split in ds.keys():
+        ds = ds[split]
+    field = TEXT_FIELDS.get(name, "text")
+    return JOINERS.get(name, "\n\n").join(ds[field])
+
+
 def calib_samples(
     text: str, tokenizer, nsamples: int = 128, seqlen: int = 2048, seed: int = 0
 ) -> np.ndarray:

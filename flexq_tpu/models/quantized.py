@@ -65,13 +65,26 @@ def quantize_linear(
     return {"hi": hi, "lo": lo, "scale": jnp.asarray(s, jnp.float32)}
 
 
+def _pad128(n: int) -> int:
+    return n + ((-n) % 128)
+
+
 def quantize_params(
     params: Dict[str, Any],
     cfg: ModelConfig,
     policy: QuantPolicy,
     dtype=jnp.bfloat16,
+    fuse: bool = False,
 ) -> Dict[str, Any]:
-    """Dense param pytree -> serve pytree (packed linears, bf16 the rest)."""
+    """Dense param pytree -> serve pytree (packed linears, bf16 the rest).
+
+    ``fuse=True`` packs q/k/v into one "qkv_proj" matrix and gate/up into one
+    "gate_up" matrix (fewer kernel launches per decode step — the reference
+    also runs one fused QKV GEMM, GptContextAttentionLayer.cc:160). Fused
+    trees are for the single-device path; TP shards the unfused layout.
+    Requires a uniform act-bit policy across the fused members (true for
+    llama_flex: q/k/v and gate/up share bits).
+    """
     out: Dict[str, Any] = {
         "embed": params["embed"].astype(dtype),
         "final_norm": jax.tree_util.tree_map(
@@ -87,10 +100,46 @@ def quantize_params(
     ffn = cfg.intermediate_size
     ffn_pad = ffn + ((-ffn) % (1024 if ffn >= 2048 else 128))
     for lp in params["layers"]:
+        lp = dict(lp)
+        if fuse and "q_proj" in lp and "gate_proj" in lp:
+            assert (
+                policy.act_bits.get("q_proj")
+                == policy.act_bits.get("k_proj")
+                == policy.act_bits.get("v_proj")
+            ) and policy.act_bits.get("gate_proj") == policy.act_bits.get("up_proj")
+
+            def pad_cols(w, to):
+                return jnp.pad(w, ((0, 0), (0, to - w.shape[1])))
+
+            nq_p = _pad128(lp["q_proj"]["w"].shape[1])
+            nkv_p = _pad128(lp["k_proj"]["w"].shape[1])
+            lp["qkv_proj"] = {
+                "w": jnp.concatenate(
+                    [
+                        pad_cols(lp.pop("q_proj")["w"], nq_p),
+                        pad_cols(lp.pop("k_proj")["w"], nkv_p),
+                        pad_cols(lp.pop("v_proj")["w"], nkv_p),
+                    ],
+                    axis=1,
+                )
+            }
+            lp["gate_up"] = {
+                "w": jnp.concatenate(
+                    [
+                        pad_cols(lp.pop("gate_proj")["w"], ffn_pad),
+                        pad_cols(lp.pop("up_proj")["w"], ffn_pad),
+                    ],
+                    axis=1,
+                )
+            }
         ql: Dict[str, Any] = {}
         for name, val in lp.items():
             if isinstance(val, dict) and "w" in val:
-                spec = policy.weight_spec(name)
+                # fused matrices inherit their representative member's spec
+                spec_name = {"qkv_proj": "q_proj", "gate_up": "gate_proj"}.get(
+                    name, name
+                )
+                spec = policy.weight_spec(spec_name)
                 if spec.enabled:
                     k_pad = ffn_pad if name in ("down_proj", "fc2") else None
                     ql[name] = quantize_linear(val["w"], spec, k_pad_to=k_pad)
@@ -302,13 +351,21 @@ def llama_layer_serve(
     qx, qs = rmsnorm_quant(x2, lp["input_norm"], bits=a_qkv, eps=cfg.norm_eps)
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
-    q = _qlinear(lp["q_proj"], qx, qs, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
-    k = _qlinear(lp["k_proj"], qx, qs, dtype, nkv).reshape(
-        b, l, cfg.num_kv_heads, cfg.head_dim
-    )
-    v = _qlinear(lp["v_proj"], qx, qs, dtype, nkv).reshape(
-        b, l, cfg.num_kv_heads, cfg.head_dim
-    )
+    if "qkv_proj" in lp:
+        # fused QKV GEMM (reference runs one QKV GEMM too); members are
+        # 128-padded at fixed offsets inside the fused output
+        nq_p, nkv_p = _pad128(nq), _pad128(nkv)
+        qkv = _qlinear(lp["qkv_proj"], qx, qs, dtype)
+        q = qkv[:, :nq]
+        k = qkv[:, nq_p : nq_p + nkv]
+        v = qkv[:, nq_p + nkv_p : nq_p + nkv_p + nkv]
+    else:
+        q = _qlinear(lp["q_proj"], qx, qs, dtype, nq)
+        k = _qlinear(lp["k_proj"], qx, qs, dtype, nkv)
+        v = _qlinear(lp["v_proj"], qx, qs, dtype, nkv)
+    q = q.reshape(b, l, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
 
     new_kv = None
@@ -338,8 +395,12 @@ def llama_layer_serve(
         if "hi" in lp["down_proj"]
         else cfg.intermediate_size
     )
-    gate = _qlinear(lp["gate_proj"], fq, fs, dtype, ffn_pad)
-    up = _qlinear(lp["up_proj"], fq, fs, dtype, ffn_pad)
+    if "gate_up" in lp:
+        gu = _qlinear(lp["gate_up"], fq, fs, dtype)
+        gate, up = gu[:, :ffn_pad], gu[:, ffn_pad : 2 * ffn_pad]
+    else:
+        gate = _qlinear(lp["gate_proj"], fq, fs, dtype, ffn_pad)
+        up = _qlinear(lp["up_proj"], fq, fs, dtype, ffn_pad)
     dq, ds = glu_quant(gate, up, bits=policy.act_bits.get("down_proj", 8), act="silu")
     down = _qlinear(lp["down_proj"], dq, ds, dtype, hidden)
     if tp_axis is not None:

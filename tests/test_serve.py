@@ -139,3 +139,17 @@ def test_int8_kv_cache_memory_halved():
     scale_bytes = cache[2].size * 4
     bf16_bytes = cache[0].size * 2
     assert val_bytes + scale_bytes < bf16_bytes * 0.6  # ~0.52x with D=64
+
+
+def test_fused_qkv_gateup_matches_unfused():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    unfused = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    fused = quantize_params(params, cfg, policy, dtype=jnp.float32, fuse=True)
+    assert "qkv_proj" in fused["layers"][0] and "gate_up" in fused["layers"][0]
+    ids = jnp.asarray(np.random.default_rng(9).integers(0, 256, (1, 8)))
+    want, _ = forward_serve(unfused, cfg, policy, ids)
+    got, _ = forward_serve(fused, cfg, policy, ids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
