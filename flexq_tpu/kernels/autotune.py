@@ -11,6 +11,12 @@ table before falling back to the heuristic.
 
 CLI (run on TPU):
     python -m flexq_tpu.kernels.autotune --out flexq_tpu/kernels/tuned/v5e.json
+
+Caution (measured): with iters=100 the marginal-timing noise (~±10%) is
+larger than many config deltas, and a noisy table made end-to-end decode
+*slower* than the heuristic (8.75 vs 7.89 ms/step at 7B). Sweep with
+--iters 500+ and re-validate e2e before shipping a table; none is shipped
+by default.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import numpy as np
 # ---- dispatch table --------------------------------------------------------
 
 _TABLE: Dict[Tuple[int, int, int], Tuple[int, int, int]] = {}
+_DEFAULT_LOADED = False
 
 
 def m_bucket(m: int) -> int:
@@ -37,6 +44,10 @@ def m_bucket(m: int) -> int:
 
 
 def lookup(m: int, k: int, n: int) -> Optional[Tuple[int, int, int]]:
+    global _DEFAULT_LOADED
+    if not _TABLE and not _DEFAULT_LOADED:
+        _DEFAULT_LOADED = True
+        try_load_default()
     return _TABLE.get((m_bucket(m), k, n))
 
 
