@@ -107,13 +107,18 @@ ATTN_CHUNK = 1024  # key-chunk size for the blockwise path
 
 def attention_core(
     q: jax.Array,  # [B, Lq, H, D]
-    k: jax.Array,  # [B, Lk, KVH, D]
-    v: jax.Array,  # [B, Lk, KVH, D]
+    k: jax.Array,  # [B, Lk, KVH, D] ("bkhd") or [B, KVH, Lk, D] ("bhkd" cache)
+    v: jax.Array,
     mask: Optional[jax.Array],  # [B, 1, Lq, Lk] additive or None (full causal)
     num_kv_groups: int,
+    kv_layout: str = "bkhd",
 ) -> jax.Array:
     """f32-softmax attention with GQA via kv-head repeat (reference
     int_llama_layer.py:142-143 repeat_kv).
+
+    ``kv_layout="bhkd"`` is the KV-cache layout (sequence second-minor so
+    the flash-decode kernel streams contiguous blocks); the einsums contract
+    it without materializing a transpose.
 
     Long key runs take the blockwise online-softmax path so the [B,H,Lq,Lk]
     score tensor is never materialized — the capability the reference lacks
@@ -121,27 +126,28 @@ def attention_core(
     long-context row).
     """
     b, lq, h, d = q.shape
+    hax = 2 if kv_layout == "bkhd" else 1
     if num_kv_groups > 1:
-        k = jnp.repeat(k, num_kv_groups, axis=2)
-        v = jnp.repeat(v, num_kv_groups, axis=2)
-    lk = k.shape[1]
+        k = jnp.repeat(k, num_kv_groups, axis=hax)
+        v = jnp.repeat(v, num_kv_groups, axis=hax)
+    lk = k.shape[3 - hax]
     if lk > ATTN_CHUNK and lk % ATTN_CHUNK == 0 and lq > 1:
-        return _attention_blockwise(q, k, v, mask, ATTN_CHUNK)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        return _attention_blockwise(q, k, v, mask, ATTN_CHUNK, kv_layout)
+    scores = jnp.einsum(f"bqhd,{kv_layout}->bhqk", q, k).astype(jnp.float32)
     scores = scores / jnp.sqrt(d).astype(jnp.float32)
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    out = jnp.einsum(f"bhqk,{kv_layout}->bqhd", probs, v)
     return out.reshape(b, lq, h * d)
 
 
 def attention_core_quant(
     q: jax.Array,  # [B, Lq, H, D]
-    k8: jax.Array,  # int8 [B, Lk, KVH, D]
-    ks: jax.Array,  # f32 [B, Lk, KVH] per-(token, head) K scales
-    v8: jax.Array,  # int8 [B, Lk, KVH, D]
-    vs: jax.Array,  # f32 [B, Lk, KVH]
+    k8: jax.Array,  # int8 [B, KVH, Lk, D] (cache layout)
+    ks: jax.Array,  # f32 [B, KVH, Lk] per-(token, head) K scales
+    v8: jax.Array,  # int8 [B, KVH, Lk, D]
+    vs: jax.Array,  # f32 [B, KVH, Lk]
     mask: Optional[jax.Array],
     num_kv_groups: int,
 ) -> jax.Array:
@@ -152,39 +158,48 @@ def attention_core_quant(
 
     so the int8 cache feeds the matmuls directly and no dequantized bf16
     copy of the cache is ever materialized (that copy made a naive int8
-    cache *slower* than bf16).
+    cache *slower* than bf16). Decode (Lq==1) takes the Pallas flash-decode
+    kernel instead; this jnp path covers prefill-over-cache.
     """
     b, lq, h, d = q.shape
     if num_kv_groups > 1:
-        k8 = jnp.repeat(k8, num_kv_groups, axis=2)
-        v8 = jnp.repeat(v8, num_kv_groups, axis=2)
-        ks = jnp.repeat(ks, num_kv_groups, axis=2)
-        vs = jnp.repeat(vs, num_kv_groups, axis=2)
+        k8 = jnp.repeat(k8, num_kv_groups, axis=1)
+        v8 = jnp.repeat(v8, num_kv_groups, axis=1)
+        ks = jnp.repeat(ks, num_kv_groups, axis=1)
+        vs = jnp.repeat(vs, num_kv_groups, axis=1)
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(jnp.bfloat16), k8.astype(jnp.bfloat16)
+        "bqhd,bhkd->bhqk", q.astype(jnp.bfloat16), k8.astype(jnp.bfloat16)
     ).astype(jnp.float32)
-    scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]  # [B,H,1,Lk]
+    scores = scores * ks[:, :, None, :]  # [B,H,1,Lk]
     scores = scores / jnp.sqrt(d).astype(jnp.float32)
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
-    pv = (probs * vs.transpose(0, 2, 1)[:, :, None, :]).astype(jnp.bfloat16)
-    out = jnp.einsum("bhqk,bkhd->bqhd", pv, v8.astype(jnp.bfloat16))
+    pv = (probs * vs[:, :, None, :]).astype(jnp.bfloat16)
+    out = jnp.einsum("bhqk,bhkd->bqhd", pv, v8.astype(jnp.bfloat16))
     return out.astype(q.dtype).reshape(b, lq, h * d)
 
 
-def _attention_blockwise(q, k, v, mask, chunk: int) -> jax.Array:
+def _attention_blockwise(q, k, v, mask, chunk: int, kv_layout: str = "bkhd") -> jax.Array:
     """Online-softmax attention scanned over key chunks (flash-style).
 
     Numerically identical to full softmax (f32 running max/sum); memory is
     O(Lq·chunk) per step instead of O(Lq·Lk).
     """
     b, lq, h, d = q.shape
-    lk = k.shape[1]
-    nc = lk // chunk
     qf = q.astype(jnp.float32)
-    kc = k.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
-    vc = v.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+    if kv_layout == "bkhd":
+        lk = k.shape[1]
+        nc = lk // chunk
+        kc = k.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+        vc = v.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
+        step_kv = "bkhd"
+    else:  # cache layout [B, H, Lk, D]
+        lk = k.shape[2]
+        nc = lk // chunk
+        kc = k.astype(jnp.float32).reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
+        vc = v.astype(jnp.float32).reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
+        step_kv = "bhkd"
     if mask is not None:
         mask = jnp.broadcast_to(mask, (b, 1, lq, lk)).astype(jnp.float32)
         mc = mask.reshape(b, 1, lq, nc, chunk).transpose(3, 0, 1, 2, 4)
@@ -195,12 +210,12 @@ def _attention_blockwise(q, k, v, mask, chunk: int) -> jax.Array:
     def step(carry, inputs):
         m, l, acc = carry  # [B,H,Lq,1], [B,H,Lq,1], [B,H,Lq,D]
         kb, vb, mb = inputs
-        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kb) * scale + mb
+        s = jnp.einsum(f"bqhd,{step_kv}->bhqk", qf, kb) * scale + mb
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         corr = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + jnp.einsum("bhqk,bkhd->bhqd", p, vb)
+        acc = acc * corr + jnp.einsum(f"bhqk,{step_kv}->bhqd", p, vb)
         return (m_new, l, acc), None
 
     init = (

@@ -163,17 +163,24 @@ def quantize_params(
 def _cache_update(ck, cv, k, v, li, cache_pos):
     """Write step K/V into the full cache at (layer li, per-batch positions).
 
+    Cache layout [L, B, KVH, S, D] (sequence second-minor: contiguous
+    per-(batch, kv-head) blocks for the flash-decode kernel's DMA).
+    Step k/v arrive as [B, L, KVH, D] and are transposed in-flight.
+
     Scalar cache_pos: single dynamic_update_slice (prefill or uniform decode).
     Vector cache_pos [B]: per-slot scatter (continuous batching, L==1).
     """
     if getattr(cache_pos, "ndim", 0) == 0 or not hasattr(cache_pos, "ndim"):
-        ck = jax.lax.dynamic_update_slice(ck, k[None], (li, 0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v[None], (li, 0, cache_pos, 0, 0))
+        kt = k.transpose(0, 2, 1, 3)[None]  # [1, B, KVH, L, D]
+        vt = v.transpose(0, 2, 1, 3)[None]
+        ck = jax.lax.dynamic_update_slice(ck, kt, (li, 0, 0, cache_pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vt, (li, 0, 0, cache_pos, 0))
     else:
         b = k.shape[0]
         rows = jnp.arange(b)
-        ck = ck.at[li, rows, cache_pos].set(k[:, 0], unique_indices=True)
-        cv = cv.at[li, rows, cache_pos].set(v[:, 0], unique_indices=True)
+        # k[:, 0] is [B, KVH, D]; scatter each row at its own position
+        ck = ck.at[li, rows, :, cache_pos].set(k[:, 0], unique_indices=True)
+        cv = cv.at[li, rows, :, cache_pos].set(v[:, 0], unique_indices=True)
     return ck, cv
 
 
@@ -196,36 +203,56 @@ def _kv_quant(x: jax.Array):
 def _kv_write_read(kv, k, v, cache_pos, out_dtype):
     """Write step K/V into the cache and return the cache view for attention.
 
-    kv = (ck, cv, li)                 bf16 cache
-       | (ck, cv, cks, cvs, li)      int8 cache + per-(token, head) scales
+    kv = (ck, cv, li)                 bf16 cache [L, B, KVH, S, D]
+       | (ck, cv, cks, cvs, li)      int8 cache + scales [L, B, KVH, S]
     Returns (new_kv_state, kv_view) where kv_view is
-    ("dense", k, v) or ("quant", k8, ks, v8, vs) — the quantized view is
-    consumed by attention_core_quant with scales folded into the math (an
+    ("cache", k, v) or ("quant", k8, ks, v8, vs) in [B, KVH, S, D] layout —
+    the quantized view is consumed with scales folded into the math (an
     eager dequant would materialize a bf16 cache copy and erase the win).
     """
     if len(kv) == 3:
         ck, cv, li = kv
         ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
-        return (ck, cv), ("dense", ck[li], cv[li])
+        return (ck, cv), ("cache", ck[li], cv[li])
     ck, cv, cks, cvs, li = kv
     kq, ks = _kv_quant(k)
     vq, vs = _kv_quant(v)
     ck, cv = _cache_update(ck, cv, kq, vq, li, cache_pos)
     if getattr(cache_pos, "ndim", 0) == 0 or not hasattr(cache_pos, "ndim"):
-        cks = jax.lax.dynamic_update_slice(cks, ks[None], (li, 0, cache_pos, 0))
-        cvs = jax.lax.dynamic_update_slice(cvs, vs[None], (li, 0, cache_pos, 0))
+        kst = ks.transpose(0, 2, 1)[None]  # [1, B, KVH, L]
+        vst = vs.transpose(0, 2, 1)[None]
+        cks = jax.lax.dynamic_update_slice(cks, kst, (li, 0, 0, cache_pos))
+        cvs = jax.lax.dynamic_update_slice(cvs, vst, (li, 0, 0, cache_pos))
     else:
         rows = jnp.arange(k.shape[0])
-        cks = cks.at[li, rows, cache_pos].set(ks[:, 0], unique_indices=True)
-        cvs = cvs.at[li, rows, cache_pos].set(vs[:, 0], unique_indices=True)
+        cks = cks.at[li, rows, :, cache_pos].set(ks[:, 0], unique_indices=True)
+        cvs = cvs.at[li, rows, :, cache_pos].set(vs[:, 0], unique_indices=True)
     return (ck, cv, cks, cvs), ("quant", ck[li], cks[li], cv[li], cvs[li])
 
 
-def _attend(q, kv_view, mask, num_kv_groups):
+def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
+    """Dispatch: Pallas flash-decode for single-token steps over a cache;
+    jnp cores otherwise (fresh K/V, prefill-over-cache, tiny test caches)."""
+    from flexq_tpu.kernels.flash_decode import flash_decode
     from flexq_tpu.models.llama import attention_core_quant
 
-    if kv_view[0] == "dense":
+    kind = kv_view[0]
+    if kind != "dense" and q.shape[1] == 1 and lengths is not None:
+        s = kv_view[1].shape[2]
+        if s % 128 == 0:  # flash kernel block constraint; tiny caches fall back
+            b, _, h, d = q.shape
+            if kind == "cache":
+                out = flash_decode(q[:, 0], kv_view[1], kv_view[2], lengths)
+            else:
+                _, k8, ks, v8, vs = kv_view
+                out = flash_decode(q[:, 0], k8, v8, lengths, ks, vs)
+            return out.astype(q.dtype).reshape(b, 1, h * d)
+    if kind == "dense":
         return attention_core(q, kv_view[1], kv_view[2], mask, num_kv_groups)
+    if kind == "cache":
+        return attention_core(
+            q, kv_view[1], kv_view[2], mask, num_kv_groups, kv_layout="bhkd"
+        )
     _, k8, ks, v8, vs = kv_view
     return attention_core_quant(q, k8, ks, v8, vs, mask, num_kv_groups)
 
@@ -276,6 +303,7 @@ def llama_layer_serve_prefill(
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_pos: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    lengths: Optional[jax.Array] = None,
 ):
     """Prefill (large-M) layer: W6A16 — weights dequantized in-kernel to
     bf16, activations unquantized. Compute-bound at prefill, so the bf16 MXU
@@ -302,7 +330,7 @@ def llama_layer_serve_prefill(
     else:
         kv_view = ("dense", k, v)
 
-    attn = _attend(q, kv_view, mask, cfg.num_kv_groups)
+    attn = _attend(q, kv_view, mask, cfg.num_kv_groups, lengths)
     o = _qlinear_bf16(lp["o_proj"], attn.reshape(b * l, nq), dtype, hidden)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
@@ -335,6 +363,7 @@ def llama_layer_serve(
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_pos: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    lengths: Optional[jax.Array] = None,
 ):
     """One quantized decoder layer (reference LlamaDecoder.cc per-layer flow:
     fused-LN→attn→fused-add-residual-LN→ffn→add-residual).
@@ -377,7 +406,7 @@ def llama_layer_serve(
     else:
         kv_view = ("dense", k, v)
 
-    attn = _attend(q, kv_view, mask, cfg.num_kv_groups)  # [B, L, Hloc*D]
+    attn = _attend(q, kv_view, mask, cfg.num_kv_groups, lengths)  # [B, L, Hloc*D]
     attn2 = attn.reshape(b * l, nq)
     oq, os_ = quant_act(attn2, bits=policy.act_bits.get("o_proj", 6))
     o = _qlinear(lp["o_proj"], oq, os_, dtype, hidden)
@@ -418,6 +447,7 @@ def opt_layer_serve(
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_pos: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    lengths: Optional[jax.Array] = None,
 ):
     """Quantized OPT decoder layer (reference ParallelGptDecoder.cc:382-524
     int8_mode=5 wiring): fused LayerNorm+quant producers, biased linears
@@ -442,7 +472,7 @@ def opt_layer_serve(
     else:
         kv_view = ("dense", k, v)
 
-    attn = _attend(q, kv_view, mask, 1)
+    attn = _attend(q, kv_view, mask, 1, lengths)
     oq, os_ = quant_act(attn.reshape(b * l, nq), bits=policy.act_bits.get("o_proj", 6))
     wq_o = {k_: v_ for k_, v_ in lp["o_proj"].items() if k_ != "b"}
     o = _qlinear(wq_o, oq, os_, dtype, hidden)
@@ -510,6 +540,10 @@ def forward_serve(
 
     have_cache = kv_k is not None
     quant_cache = kv_k_scale is not None
+    lengths = None
+    if have_cache:
+        # valid cache tokens per sequence after this step's write
+        lengths = jnp.broadcast_to(jnp.asarray(cache_pos, jnp.int32), (b,)) + l
     for i, lp in enumerate(params["layers"]):
         if not have_cache:
             kv = None
@@ -519,15 +553,15 @@ def forward_serve(
             kv = (kv_k, kv_v, i)
         if is_opt:
             x, new_kv = opt_layer_serve(
-                lp, cfg, policy, x, mask, kv=kv, cache_pos=cache_pos
+                lp, cfg, policy, x, mask, kv=kv, cache_pos=cache_pos, lengths=lengths
             )
         elif prefill_bf16:
             x, new_kv = llama_layer_serve_prefill(
-                lp, cfg, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
+                lp, cfg, x, cos, sin, mask, kv=kv, cache_pos=cache_pos, lengths=lengths
             )
         else:
             x, new_kv = llama_layer_serve(
-                lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos
+                lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos, lengths=lengths
             )
         if new_kv is not None:
             if quant_cache:

@@ -104,7 +104,7 @@ def forward_serve_tp(
     policy: QuantPolicy,
     ids: jax.Array,  # [B, L] int32, sharded P("data", None)
     mesh: Mesh,
-    kv_k: Optional[jax.Array] = None,  # [layers, B, max, KVH, D]
+    kv_k: Optional[jax.Array] = None,  # [layers, B, KVH, max, D]
     kv_v: Optional[jax.Array] = None,
     cache_pos: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
@@ -114,7 +114,7 @@ def forward_serve_tp(
     tp = mesh.shape["model"]
     lcfg = _local_cfg(cfg, tp)
     specs = param_specs(params)
-    kv_spec = P(None, "data", None, "model" if cfg.num_kv_heads >= tp else None, None)
+    kv_spec = P(None, "data", "model" if cfg.num_kv_heads >= tp else None, None, None)
 
     # Quantized sub-layers return *partial* row-parallel outputs; psum is
     # injected via a policy hook: llama_layer_serve already adds residuals
@@ -130,6 +130,11 @@ def forward_serve_tp(
         cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
         m = mask if mask is not None else causal_mask(l, l)
         have = kv_k.ndim > 0
+        lengths = (
+            jnp.broadcast_to(jnp.asarray(cache_pos, jnp.int32), (b,)) + l
+            if have
+            else None
+        )
         for i, lp in enumerate(params["layers"]):
             kv = (kv_k, kv_v, i) if have else None
             x, new_kv = llama_layer_serve(
@@ -143,6 +148,7 @@ def forward_serve_tp(
                 kv=kv,
                 cache_pos=cache_pos,
                 tp_axis="model",
+                lengths=lengths,
             )
             if new_kv is not None:
                 kv_k, kv_v = new_kv

@@ -5,9 +5,11 @@ Functional replacement for the reference's Llama<T>::forward state machine
 the first token; the decode loop then runs one jitted step per token with a
 donated cache (no per-step allocation), sampling fused on-device.
 
-The KV cache is a dense [layers, B, max_len, kv_heads, head_dim] pair
-(reference sizes its cache the same way, Llama.cc:112-115); continuous
-batching layers a slot scheduler on top (serve/scheduler.py).
+The KV cache is a dense [layers, B, kv_heads, max_len, head_dim] pair
+(sequence second-minor so the flash-decode kernel streams contiguous
+per-(batch, head) blocks; the reference sizes its cache per GPU the same
+total way, Llama.cc:112-115); continuous batching layers a slot scheduler
+on top (serve/scheduler.py).
 """
 
 from __future__ import annotations
@@ -67,7 +69,7 @@ class Engine:
 
     def _kv_shape(self, batch: int) -> Tuple[int, ...]:
         c = self.cfg
-        return (c.num_layers, batch, self.max_seq_len, c.num_kv_heads, c.head_dim)
+        return (c.num_layers, batch, c.num_kv_heads, self.max_seq_len, c.head_dim)
 
     @property
     def quantized_cache(self) -> bool:

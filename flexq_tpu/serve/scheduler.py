@@ -69,7 +69,7 @@ class BatchScheduler:
         self.policy = policy
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
-        shape = (cfg.num_layers, num_slots, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_seq_len, cfg.head_dim)
         self.kv_k = jnp.zeros(shape, kv_dtype)
         self.kv_v = jnp.zeros(shape, kv_dtype)
         self.slots = [_Slot() for _ in range(num_slots)]
@@ -110,8 +110,8 @@ class BatchScheduler:
             shape1 = (
                 self.cfg.num_layers,
                 1,
-                self.max_seq_len,
                 self.cfg.num_kv_heads,
+                self.max_seq_len,
                 self.cfg.head_dim,
             )
 
@@ -162,10 +162,10 @@ class BatchScheduler:
             plen = len(req.prompt)
             # insert the prefilled KV region into slot i
             self.kv_k = jax.lax.dynamic_update_slice(
-                self.kv_k, kv_k1[:, :, :plen], (0, i, 0, 0, 0)
+                self.kv_k, kv_k1[:, :, :, :plen], (0, i, 0, 0, 0)
             )
             self.kv_v = jax.lax.dynamic_update_slice(
-                self.kv_v, kv_v1[:, :, :plen], (0, i, 0, 0, 0)
+                self.kv_v, kv_v1[:, :, :, :plen], (0, i, 0, 0, 0)
             )
             slot.req_id = req.req_id
             slot.pos = plen

@@ -71,7 +71,7 @@ def test_tp_with_kv_cache(quantized):
     b, l, maxlen = 2, 4, 16
     ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (b, l)))
 
-    shape = (cfg.num_layers, b, maxlen, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, b, cfg.num_kv_heads, maxlen, cfg.head_dim)
     kv_k = jnp.zeros(shape, jnp.float32)
     kv_v = jnp.zeros(shape, jnp.float32)
 
