@@ -66,6 +66,11 @@ class Engine:
             self._prefill, static_argnames=("prompt_len",), donate_argnums=(2,)
         )
         self._step_jit = jax.jit(self._decode_step, donate_argnums=(2,))
+        self._loop_jit = jax.jit(
+            self._decode_loop,
+            static_argnames=("sampling", "eos_id", "stop_ids", "max_new"),
+            donate_argnums=(2,),
+        )
 
     def _kv_shape(self, batch: int) -> Tuple[int, ...]:
         c = self.cfg
@@ -125,6 +130,55 @@ class Engine:
         )
         return logits[:, 0], kv
 
+    def _decode_loop(
+        self, params, logits0, cache, pos0, key, token_counts,
+        sampling: SamplingParams, eos_id: int, stop_ids, max_new: int,
+    ):
+        """Whole decode loop fused on device (lax.while_loop): per-step
+        penalty/sampling math, stop check, and early exit all run on-chip —
+        zero host round-trips per token. This is the TPU analogue of the
+        reference's on-GPU DynamicDecodeLayer + should_stop flag
+        (Llama.cc:1197-1232), minus its per-step PP broadcast.
+
+        tokens buffer holds -1 for steps after a sequence finished; the host
+        trims rows afterwards. Semantics (sampling key sequence, count/length
+        updates for finished rows too) mirror the stepwise host loop exactly,
+        so both paths generate identical tokens.
+        """
+        b = logits0.shape[0]
+        stop_arr = jnp.asarray(sorted(set(stop_ids) | {eos_id}), jnp.int32)
+        rows = jnp.arange(b)
+        tokens = jnp.full((b, max_new), -1, jnp.int32)
+        finished0 = jnp.zeros((b,), bool)
+        gen_len0 = jnp.zeros((b,), jnp.int32)
+
+        def cond(state):
+            i, _, _, _, _, _, _, finished, _ = state
+            return (i < max_new) & ~jnp.all(finished)
+
+        def body(state):
+            i, logits, cache, pos, key, counts, gen_len, finished, tokens = state
+            proc = process_logits(
+                logits, sampling, token_counts=counts, cur_length=gen_len,
+                eos_id=eos_id,
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample(proc, sampling, sub)
+            record = ~finished
+            tokens = tokens.at[:, i].set(jnp.where(record, nxt, -1))
+            finished = finished | (record & jnp.isin(nxt, stop_arr))
+            counts = counts.at[rows, nxt].add(1)
+            gen_len = gen_len + 1
+            logits, cache = self._decode_step(params, nxt[:, None], cache, pos)
+            return (i + 1, logits, cache, pos + 1, key, counts, gen_len, finished, tokens)
+
+        state = (
+            jnp.int32(0), logits0.astype(jnp.float32), cache, jnp.int32(pos0),
+            key, token_counts, gen_len0, finished0, tokens,
+        )
+        _, _, cache, _, _, _, _, _, tokens = jax.lax.while_loop(cond, body, state)
+        return tokens, cache
+
     def generate(
         self,
         prompt_ids: Sequence[Sequence[int]] | np.ndarray,
@@ -134,6 +188,7 @@ class Engine:
         stop_ids: Sequence[int] = (),
         seed: int = 0,
         return_stats: bool = False,
+        mode: str = "fused",
     ):
         """Batched generation. Ragged prompts are left-padded to a common
         length (padding attends causally but sits before position 0 content —
@@ -161,6 +216,28 @@ class Engine:
             for t in p:
                 counts[row, t] += 1
         token_counts = jnp.asarray(counts)
+
+        if mode == "fused":
+            stats.ttft_s = timer.lap()  # prefill time (first token is on-device)
+            tokens, _ = self._loop_jit(
+                self.params,
+                logits,
+                cache,
+                jnp.int32(l),
+                key,
+                token_counts,
+                sampling=sampling,
+                eos_id=eos_id,
+                stop_ids=tuple(stop_ids),
+                max_new=max_new_tokens,
+            )
+            tok_np = np.asarray(tokens)
+            stats.decode_s = timer.lap()
+            out = [[int(t) for t in row if t >= 0] for row in tok_np]
+            stats.generated_tokens = sum(len(r) for r in out)
+            if return_stats:
+                return out, stats
+            return out
 
         out: List[List[int]] = [[] for _ in range(b)]
         finished = np.zeros(b, bool)

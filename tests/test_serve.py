@@ -153,3 +153,36 @@ def test_fused_qkv_gateup_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_loop_matches_stepwise():
+    """The on-device lax.while_loop decode must reproduce the host stepwise
+    loop exactly (same sampling-key sequence, count/length update order)."""
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32)
+    prompts = [[1, 5, 9], [2, 4, 8]]
+    for sp in (
+        SamplingParams(),  # greedy
+        SamplingParams(greedy=False, temperature=0.8, top_k=20),
+        SamplingParams(repetition_penalty=1.3),
+    ):
+        fused = eng.generate(prompts, max_new_tokens=5, sampling=sp, eos_id=-1, seed=7)
+        step = eng.generate(
+            prompts, max_new_tokens=5, sampling=sp, eos_id=-1, seed=7, mode="stepwise"
+        )
+        assert fused == step, (sp, fused, step)
+
+
+def test_fused_loop_early_stop():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32)
+    probe = eng.generate([[1, 2, 3]], max_new_tokens=8, eos_id=-1)
+    eos = probe[0][2]
+    out = eng.generate([[1, 2, 3]], max_new_tokens=8, eos_id=eos)
+    ref = eng.generate([[1, 2, 3]], max_new_tokens=8, eos_id=eos, mode="stepwise")
+    # eos may also occur earlier in the chain; stop index just must match
+    assert out == ref and out[0][-1] == eos and len(out[0]) <= 3
