@@ -26,12 +26,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
-from flexq_tpu.models.quantized import forward_serve, quantize_params
+from flexq_tpu.models.quantized import forward_serve
 
 MAX_LEN = 2048
 
 
-def synth_llama7b(seed: int = 0):
+def synth_llama7b_quantized(policy, seed: int = 0):
+    """Generate synthetic 7B weights on device and quantize LAYER BY LAYER
+    (a whole dense bf16 tree is ~13.5 GB and cannot coexist with the packed
+    tree on a 16 GB chip)."""
+    from flexq_tpu.models.quantized import quantize_linear
+
     cfg = ModelConfig.llama(
         vocab_size=32000,
         hidden_size=4096,
@@ -42,28 +47,33 @@ def synth_llama7b(seed: int = 0):
         max_seq_len=MAX_LEN,
     )
     key = jax.random.PRNGKey(seed)
-
-    def w(key, k, n):
-        return {"w": jax.random.normal(key, (k, n), jnp.bfloat16) * 0.02}
-
     keys = jax.random.split(key, cfg.num_layers + 3)
     h, f = cfg.hidden_size, cfg.intermediate_size
+    ffn_pad = f + ((-f) % 1024)
+    shapes = {
+        "q_proj": (h, h), "k_proj": (h, h), "v_proj": (h, h), "o_proj": (h, h),
+        "gate_proj": (h, f), "up_proj": (h, f), "down_proj": (f, h),
+    }
     layers = []
     for i in range(cfg.num_layers):
-        ks = jax.random.split(keys[i], 7)
-        layers.append(
-            {
-                "input_norm": jnp.ones((h,), jnp.bfloat16),
-                "post_norm": jnp.ones((h,), jnp.bfloat16),
-                "q_proj": w(ks[0], h, h),
-                "k_proj": w(ks[1], h, h),
-                "v_proj": w(ks[2], h, h),
-                "o_proj": w(ks[3], h, h),
-                "gate_proj": w(ks[4], h, f),
-                "up_proj": w(ks[5], h, f),
-                "down_proj": w(ks[6], f, h),
-            }
-        )
+        ks = jax.random.split(keys[i], len(shapes))
+        ql = {
+            "input_norm": jnp.ones((h,), jnp.bfloat16),
+            "post_norm": jnp.ones((h,), jnp.bfloat16),
+        }
+        for (name, (kk, nn)), sk in zip(shapes.items(), ks):
+            dense = jax.random.normal(sk, (kk, nn), jnp.bfloat16) * 0.02
+            ql[name] = quantize_linear(
+                dense,
+                policy.weight_spec(name),
+                k_pad_to=ffn_pad if name == "down_proj" else None,
+            )
+            ql[name] = jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), ql[name]
+            )
+            del dense
+        layers.append(ql)
+        print(f"  layer {i+1}/{cfg.num_layers} quantized", flush=True)
     params = {
         "embed": jax.random.normal(keys[-3], (cfg.vocab_size, h), jnp.bfloat16) * 0.02,
         "final_norm": jnp.ones((h,), jnp.bfloat16),
@@ -132,12 +142,9 @@ class _Step:
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    cfg, dense = synth_llama7b()
     policy = QuantPolicy.llama_flex()
-    print("quantizing...", flush=True)
-    qparams = quantize_params(dense, cfg, policy, dtype=jnp.bfloat16)
-    del dense
-    qparams = jax.tree_util.tree_map(lambda x: x.block_until_ready(), qparams)
+    print("generating + quantizing layer-by-layer...", flush=True)
+    cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
     for cache_dtype, tag in ((jnp.bfloat16, "kv_bf16"), (jnp.int8, "kv_int8")):
         fn = decode_step_fn(cfg, policy, cache_dtype == jnp.int8)
