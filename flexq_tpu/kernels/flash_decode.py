@@ -9,17 +9,21 @@ HBM-bandwidth-bound on the KV cache, so the design goals are:
      (int8 → bf16 convert on VPU after the HBM read). The XLA fallback
      materializes a dequantized bf16 copy of the cache in HBM, which made
      the int8 cache *slower* than bf16 (13.4 vs 11.5 ms/step at 7B).
-  2. Stream only ceil(len/BS) key blocks per (batch, kv-head): the block
-     index map clamps past-length grid steps to the last valid block, and
-     Pallas skips the DMA when the block index does not change — the XLA
-     path must read (and mask) the full max_seq_len cache every step.
-  3. GQA without materializing repeated K/V: the G = H/KVH query heads of a
+  2. Stream only ceil(len/BS) key blocks per batch row: the block index map
+     clamps past-length grid steps to the last valid block, and Pallas
+     skips the DMA when the block index does not change — the XLA path
+     must read (and mask) the full max_seq_len cache every step.
+  3. Process a BLOCK of kv-heads per grid step (batched head-wise dots):
+     one grid step per (batch, head) drowned in per-step overhead
+     (measured 16 ms/step of pure grid overhead at 7B B=4 — more than the
+     whole model's matmuls), so heads ride the second block axis instead.
+  4. GQA without materializing repeated K/V: the G = H/KVH query heads of a
      group attend to their kv-head's blocks inside one grid step.
 
-Cache layout: [B, KVH, S, D] (sequence on the second-minor axis) so each
-(b, kv-head) block DMA is one contiguous [BS, D] run. Online softmax carries
-(m, l, acc) in VMEM scratch across the sequence grid axis — numerically the
-same flash recurrence as models/llama.py::_attention_blockwise.
+Cache layout: [B, KVH, S, D] (sequence second-minor) so each (batch,
+head-block) DMA is contiguous per head row. Online softmax carries
+(m, l, acc) in VMEM scratch across the sequence grid axis — the same flash
+recurrence as models/llama.py::_attention_blockwise.
 """
 
 from __future__ import annotations
@@ -40,15 +44,15 @@ _NEG = -1e30  # finite -inf stand-in: exp(-1e30 - m) == 0, no NaNs on masked blo
 
 def _flash_decode_kernel(
     lens_ref,  # int32 [B] (scalar prefetch)
-    q_ref,  # [1, 1, G, D] bf16
-    k_ref,  # [1, 1, BS, D] int8 | bf16
-    ks_ref,  # [1, 1, BS] f32 (quant only)
-    v_ref,  # [1, 1, BS, D]
-    vs_ref,  # [1, 1, BS] f32 (quant only)
-    o_ref,  # [1, 1, G, D]
-    m_scr,  # f32 [G, 128]
-    l_scr,  # f32 [G, 128]
-    acc_scr,  # f32 [G, D]
+    q_ref,  # [1, HB, G, D] bf16
+    k_ref,  # [1, HB, BS, D] int8 | bf16
+    ks_ref,  # [1, HB, 1, 1, BS] f32 (quant only; see scale reshape in wrapper)
+    v_ref,  # [1, HB, BS, D]
+    vs_ref,  # [1, HB, 1, 1, BS] f32 (quant only)
+    o_ref,  # [1, HB, G, D]
+    m_scr,  # f32 [HB, G, 128]
+    l_scr,  # f32 [HB, G, 128]
+    acc_scr,  # f32 [HB, G, D]
     *,
     bs: int,
     inv_sqrt_d: float,
@@ -67,38 +71,40 @@ def _flash_decode_kernel(
 
     @pl.when(s * bs < ln)
     def _():
-        qb = q_ref[0, 0].astype(jnp.bfloat16)  # [G, D]
-        kb = k_ref[0, 0].astype(jnp.bfloat16)  # [BS, D]
+        qb = q_ref[0].astype(jnp.bfloat16)  # [HB, G, D]
+        kb = k_ref[0].astype(jnp.bfloat16)  # [HB, BS, D]
+        # head-batched q·kᵀ: contract D, batch over the head block
         sco = jax.lax.dot_general(
-            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, BS]
+            qb, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [HB, G, BS]
         sco = sco * inv_sqrt_d
         if quant:
             # K dequant folded in after the dot: (q·K8)·ks == q·(K8·ks)
-            sco = sco * ks_ref[0, 0].reshape(1, bs)
-        pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+            sco = sco * ks_ref[0, :, 0, 0][:, None, :]
+        pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bs), 2)
         sco = jnp.where(pos < ln, sco, _NEG)
 
-        m_old = m_scr[:, :1]  # [G, 1]
+        m_old = m_scr[:, :, :1]  # [HB, G, 1]
         m_new = jnp.maximum(m_old, jnp.max(sco, axis=-1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(sco - m_new)  # [G, BS]
-        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp(sco - m_new)  # [HB, G, BS]
+        l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         if quant:
             # V dequant folded into p: (p·vs)·V8 == p·(vs·V8)
-            p = p * vs_ref[0, 0].reshape(1, bs)
-        vb = v_ref[0, 0].astype(jnp.bfloat16)  # [BS, D]
+            p = p * vs_ref[0, :, 0, 0][:, None, :]
+        vb = v_ref[0].astype(jnp.bfloat16)  # [HB, BS, D]
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vb, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), vb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [G, D]
+        )  # [HB, G, D]
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(s == ns - 1)
     def _():
-        o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l_scr[:, :, :1]).astype(o_ref.dtype)
 
 
 def _pick_bs(s: int, cap: int = 512) -> int:
@@ -108,8 +114,16 @@ def _pick_bs(s: int, cap: int = 512) -> int:
     raise ValueError(f"cache length {s} must be a multiple of 128")
 
 
+def _pick_hb(kvh: int, bs: int, d: int, itemsize: int, budget: int = 2 << 20) -> int:
+    """Largest divisor of kvh whose K block fits the VMEM budget."""
+    for hb in range(kvh, 0, -1):
+        if kvh % hb == 0 and hb * bs * d * itemsize <= budget:
+            return hb
+    return 1
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_s", "interpret", "out_dtype")
+    jax.jit, static_argnames=("block_s", "block_h", "interpret", "out_dtype")
 )
 def flash_decode(
     q: jax.Array,  # [B, H, D] single-step queries
@@ -120,6 +134,7 @@ def flash_decode(
     v_scale: Optional[jax.Array] = None,
     *,
     block_s: Optional[int] = None,
+    block_h: Optional[int] = None,
     interpret: Optional[bool] = None,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
@@ -139,16 +154,17 @@ def flash_decode(
         interpret = use_interpret()
     bs = block_s or _pick_bs(s)
     assert s % bs == 0
+    hb = block_h or _pick_hb(kvh, bs, d, k.dtype.itemsize)
+    assert kvh % hb == 0
 
     qg = q.reshape(b, kvh, g, d).astype(jnp.bfloat16)
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
-
     ns = s // bs
 
     def _last_block(lens, bi):
         # clamp past-length steps to the last valid block: same index ⇒
         # Pallas skips the DMA, so only ceil(len/bs) blocks are ever read;
-        # the ns-1 bound guards callers passing lengths > S
+        # the clip guards callers passing lengths > S
         last = (jnp.clip(lens[bi], 1, s) + bs - 1) // bs - 1
         return jnp.maximum(last, 0)
 
@@ -156,24 +172,32 @@ def flash_decode(
         return bi, hi, jnp.minimum(si, _last_block(lens, bi)), 0
 
     def sc_map(bi, hi, si, lens):
-        return bi, hi, jnp.minimum(si, _last_block(lens, bi))
+        # scales are host-reshaped to [B, KVH, NS, 1, BS] — a (1,HB,1,1,BS)
+        # block keeps the last two dims Mosaic-legal ((1, BS): full extent ×
+        # lane multiple), which a (1,HB,BS) block of [B, KVH, S] is not
+        return bi, hi, jnp.minimum(si, _last_block(lens, bi)), 0, 0
 
     def qo_map(bi, hi, si, lens):
         return bi, hi, 0, 0
 
+    sc_block = pl.BlockSpec((1, hb, 1, 1, bs), sc_map, memory_space=pltpu.VMEM)
+
+    def sc_reshape(sc):
+        return sc.astype(jnp.float32).reshape(b, kvh, ns, 1, bs)
+
     in_specs = [
-        pl.BlockSpec((1, 1, g, d), qo_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bs, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, bs, d), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [qg, k]
     if quant:
-        in_specs.append(pl.BlockSpec((1, 1, bs), sc_map, memory_space=pltpu.VMEM))
-        args.append(k_scale.astype(jnp.float32))
-    in_specs.append(pl.BlockSpec((1, 1, bs, d), kv_map, memory_space=pltpu.VMEM))
+        in_specs.append(sc_block)
+        args.append(sc_reshape(k_scale))
+    in_specs.append(pl.BlockSpec((1, hb, bs, d), kv_map, memory_space=pltpu.VMEM))
     args.append(v)
     if quant:
-        in_specs.append(pl.BlockSpec((1, 1, bs), sc_map, memory_space=pltpu.VMEM))
-        args.append(v_scale.astype(jnp.float32))
+        in_specs.append(sc_block)
+        args.append(sc_reshape(v_scale))
 
     kernel = functools.partial(
         _flash_decode_kernel,
@@ -192,13 +216,13 @@ def flash_decode(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, kvh, ns),
+        grid=(b, kvh // hb, ns),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, g, d), qo_map, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((hb, g, 128), jnp.float32),
+            pltpu.VMEM((hb, g, 128), jnp.float32),
+            pltpu.VMEM((hb, g, d), jnp.float32),
         ],
     )
     kv_bytes = 2 * b * kvh * s * d * k.dtype.itemsize

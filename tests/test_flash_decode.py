@@ -43,12 +43,17 @@ def test_flash_decode_matches_golden(quant, b, h, kvh, s, lens):
     lengths = jnp.asarray(lens, jnp.int32)
     out = flash_decode(q, k, v, lengths, ks, vs, block_s=128)
     ref = flash_decode_ref(q, k, v, lengths, ks, vs)
+    # also exercise a partial head block (hb < KVH)
+    out_hb = flash_decode(q, k, v, lengths, ks, vs, block_s=128, block_h=max(kvh // 2, 1))
     got = np.asarray(out, np.float32)
     want = np.asarray(ref, np.float32)
     scale = max(1.0, np.abs(want).max())
     assert np.max(np.abs(got - want)) / scale < 2e-2, (
         np.max(np.abs(got - want)),
         scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_hb, np.float32), got, rtol=0, atol=1e-6
     )
 
 
