@@ -80,3 +80,62 @@ def calib_samples(
     ids = tokenizer(text, return_tensors="np").input_ids[0]
     starts = rng.integers(0, len(ids) - seqlen - 1, nsamples)
     return np.stack([ids[s : s + seqlen] for s in starts]).astype(np.int32)
+
+
+def load_eval_docs(name: str, path: str, split: str = "validation") -> List[str]:
+    """Document-level loader (for the c4-style per-document protocols)."""
+    if not dataset_available(path, split):
+        raise FileNotFoundError(f"{path}/{split}: no real data (LFS stub or missing)")
+    from datasets import load_from_disk
+
+    ds = load_from_disk(path)
+    if hasattr(ds, "keys") and split in ds.keys():
+        ds = ds[split]
+    field = TEXT_FIELDS.get(name, "text")
+    return list(ds[field])
+
+
+def c4_eval_ids(
+    docs: List[str], tokenizer, seqlen: int = 2048, nwindows: int = 256, seed: int = 0
+) -> np.ndarray:
+    """C4 perplexity protocol (reference datautils.py get_c4:96-109): draw
+    `nwindows` random documents that tokenize to >= seqlen tokens and take a
+    random seqlen window from each. Returns [nwindows, seqlen] int32."""
+    rng = np.random.default_rng(seed)
+    out = []
+    tries = 0
+    while len(out) < nwindows:
+        tries += 1
+        if tries > 100 * nwindows:
+            raise ValueError("not enough documents of >= seqlen tokens")
+        i = int(rng.integers(0, len(docs)))
+        ids = tokenizer(docs[i], return_tensors="np").input_ids[0]
+        if len(ids) < seqlen:
+            continue
+        if len(ids) == seqlen:
+            out.append(ids)
+        else:
+            s = int(rng.integers(0, len(ids) - seqlen))
+            out.append(ids[s : s + seqlen])
+    return np.stack(out).astype(np.int32)
+
+
+def doc_calib_samples(
+    docs: List[str], tokenizer, nsamples: int = 128, seqlen: int = 2048, seed: int = 0
+) -> np.ndarray:
+    """C4-style calibration: random seqlen windows from random long docs
+    (reference get_c4 trainloader construction)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    tries = 0
+    while len(out) < nsamples:
+        tries += 1
+        if tries > 100 * nsamples:
+            raise ValueError("not enough documents of >= seqlen tokens")
+        i = int(rng.integers(0, len(docs)))
+        ids = tokenizer(docs[i], return_tensors="np").input_ids[0]
+        if len(ids) <= seqlen:
+            continue
+        s = int(rng.integers(0, len(ids) - seqlen - 1))
+        out.append(ids[s : s + seqlen])
+    return np.stack(out).astype(np.int32)

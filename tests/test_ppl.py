@@ -47,3 +47,27 @@ def test_wikitext2_local_loader():
     text = load_wikitext2_text(split="test")
     assert len(text) > 1_000_000  # ~1.2M chars
     assert "=" in text[:10000]
+
+
+def test_c4_eval_protocol_synthetic():
+    """c4_eval_ids: random windows from long docs only, correct shapes."""
+    from flexq_tpu.eval.data import c4_eval_ids, doc_calib_samples
+
+    class ToyTok:
+        def __call__(self, text, return_tensors=None):
+            import numpy as np
+
+            ids = np.asarray([[ord(c) % 97 for c in text]], np.int64)
+
+            class R:
+                input_ids = ids
+
+            return R()
+
+    docs = ["a" * 10, "b" * 300, "c" * 40, "d" * 500]
+    got = c4_eval_ids(docs, ToyTok(), seqlen=128, nwindows=8, seed=0)
+    assert got.shape == (8, 128)
+    # only docs >= seqlen tokens can contribute (ord('a')%97=0 marks doc a)
+    assert set(got.flatten()) <= {ord("b") % 97, ord("d") % 97}
+    calib = doc_calib_samples(docs, ToyTok(), nsamples=4, seqlen=128, seed=1)
+    assert calib.shape == (4, 128)
