@@ -179,6 +179,57 @@ def _winogrande(row) -> MCItem:
     )
 
 
+def _openbookqa(row) -> MCItem:
+    keys = row["choices"]["label"]
+    return MCItem(
+        context=row["question_stem"],
+        choices=[" " + t for t in row["choices"]["text"]],
+        gold=keys.index(row["answerKey"]),
+    )
+
+
+def _sciq(row) -> MCItem:
+    support = row.get("support", "") or ""
+    ctx = (support + "\n" if support else "") + f"Question: {row['question']}\nAnswer:"
+    choices = [row["distractor1"], row["distractor2"], row["distractor3"], row["correct_answer"]]
+    return MCItem(context=ctx, choices=[" " + c for c in choices], gold=3)
+
+
+def _copa(row) -> MCItem:
+    # lm-eval convention: premise (drop final period) + because/therefore,
+    # continuations are the choices with the first letter lowercased
+    connector = " because" if row["question"] == "cause" else " therefore"
+    def lower_first(t):
+        return t[0].lower() + t[1:] if t else t
+    return MCItem(
+        context=row["premise"].strip()[:-1] + connector,
+        choices=[" " + lower_first(row["choice1"]), " " + lower_first(row["choice2"])],
+        gold=int(row["label"]),
+    )
+
+
+def _storycloze(row) -> MCItem:
+    ctx = " ".join(
+        row[k] for k in ("input_sentence_1", "input_sentence_2",
+                          "input_sentence_3", "input_sentence_4")
+    )
+    return MCItem(
+        context=ctx,
+        choices=[" " + row["sentence_quiz1"], " " + row["sentence_quiz2"]],
+        gold=int(row["answer_right_ending"]) - 1,
+    )
+
+
+def _race(row) -> MCItem:
+    letters = ["A", "B", "C", "D"]
+    ctx = f"Article: {row['article']}\n\nQuestion: {row['question']}\nAnswer:"
+    return MCItem(
+        context=ctx,
+        choices=[" " + o for o in row["options"]],
+        gold=letters.index(row["answer"]),
+    )
+
+
 TASK_ADAPTERS = {
     "piqa": _piqa,
     "arc_easy": _arc,
@@ -186,7 +237,58 @@ TASK_ADAPTERS = {
     "boolq": _boolq,
     "hellaswag": _hellaswag,
     "winogrande": _winogrande,
+    "openbookqa": _openbookqa,
+    "sciq": _sciq,
+    "copa": _copa,
+    "storycloze": _storycloze,
+    "race": _race,
 }
+
+
+def evaluate_lambada(
+    forward_fn: Callable,
+    tokenizer,
+    texts: Sequence[str],
+    batch_size: int = 8,
+    max_len: int = 2048,
+) -> Dict[str, float]:
+    """LAMBADA: predict the final word of each passage. Reports greedy
+    accuracy (all final-word tokens argmax-correct) and final-word ppl
+    (lm-eval lambada task semantics)."""
+    ctxs, conts = [], []
+    for t in texts:
+        t = t.strip()
+        pre, last = t.rsplit(" ", 1)
+        ctxs.append(tokenizer(pre, return_tensors="np").input_ids[0].tolist())
+        full = tokenizer(t, return_tensors="np").input_ids[0].tolist()
+        # continuation tokens = suffix of the full encoding beyond the prefix
+        conts.append(full[len(ctxs[-1]):])
+    n_correct, nll, ntok = 0, 0.0, 0
+    for i in range(0, len(ctxs), batch_size):
+        cb, kb = ctxs[i : i + batch_size], conts[i : i + batch_size]
+        rows, ce, cl = [], [], []
+        for c, k in zip(cb, kb):
+            seq = (c + k)[-max_len:]
+            rows.append(np.asarray(seq, np.int32))
+            cl.append(len(k))
+            ce.append(len(seq))
+        ids, lens = _pad_batch(rows)
+        logits = np.asarray(forward_fn(jnp.asarray(ids)), np.float32)
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+        for r in range(len(rows)):
+            ok = True
+            for t_ in range(ce[r] - cl[r], ce[r]):
+                tok = rows[r][t_]
+                nll -= lp[r, t_ - 1, tok]
+                ntok += 1
+                if int(np.argmax(logits[r, t_ - 1])) != tok:
+                    ok = False
+            n_correct += int(ok)
+    return {
+        "acc": n_correct / max(len(ctxs), 1),
+        "ppl": float(math.exp(nll / max(ntok, 1))),
+        "n": len(ctxs),
+    }
 
 
 def load_task_items(name: str, data_dir: str, split: str = "validation") -> List[MCItem]:

@@ -89,3 +89,77 @@ def test_winogrande_adapter():
     assert item.context.endswith("because")
     assert item.choices[0].startswith(" the trophy")
     assert item.choices[0].endswith("is too big.")
+
+
+def test_new_task_adapters_shapes():
+    from flexq_tpu.eval.zeroshot import TASK_ADAPTERS
+
+    rows = {
+        "openbookqa": {
+            "question_stem": "The sun is",
+            "choices": {"label": ["A", "B"], "text": ["hot", "cold"]},
+            "answerKey": "A",
+        },
+        "sciq": {
+            "question": "What is water?",
+            "support": "Water is H2O.",
+            "distractor1": "rock",
+            "distractor2": "fire",
+            "distractor3": "air",
+            "correct_answer": "a liquid",
+        },
+        "copa": {
+            "premise": "The man fell.",
+            "choice1": "He tripped.",
+            "choice2": "He flew.",
+            "question": "cause",
+            "label": 0,
+        },
+        "storycloze": {
+            "input_sentence_1": "A.",
+            "input_sentence_2": "B.",
+            "input_sentence_3": "C.",
+            "input_sentence_4": "D.",
+            "sentence_quiz1": "Good end.",
+            "sentence_quiz2": "Bad end.",
+            "answer_right_ending": 1,
+        },
+        "race": {
+            "article": "Text.",
+            "question": "Q?",
+            "options": ["w", "x", "y", "z"],
+            "answer": "C",
+        },
+    }
+    for name, row in rows.items():
+        item = TASK_ADAPTERS[name](row)
+        assert 0 <= item.gold < len(item.choices), name
+        assert all(c.startswith(" ") for c in item.choices), name
+
+
+def test_lambada_evaluator_synthetic():
+    """A 'model' that always predicts the token after a copy of itself gets
+    100% on texts that repeat, ~0% otherwise."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flexq_tpu.eval.zeroshot import evaluate_lambada
+
+    V = 64
+
+    class Tok:
+        def __call__(self, text, return_tensors=None):
+            ids = np.asarray([[ord(c) % V for c in text.replace(" ", "")]], np.int64)
+            class R: input_ids = ids
+            return R()
+
+    def bigram_copy_forward(ids):
+        # predicts next token == current token (so "aa aa" last word is right)
+        ids = np.asarray(ids)
+        logits = np.full(ids.shape + (V,), -10.0, np.float32)
+        for b in range(ids.shape[0]):
+            for t in range(ids.shape[1]):
+                logits[b, t, ids[b, t]] = 10.0
+        return jnp.asarray(logits)
+
+    res = evaluate_lambada(bigram_copy_forward, Tok(), ["aaaa aa", "abcd ef"])
+    assert res["n"] == 2 and res["acc"] == 0.5
