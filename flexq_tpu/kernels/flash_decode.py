@@ -9,21 +9,22 @@ HBM-bandwidth-bound on the KV cache, so the design goals are:
      (int8 → bf16 convert on VPU after the HBM read). The XLA fallback
      materializes a dequantized bf16 copy of the cache in HBM, which made
      the int8 cache *slower* than bf16 (13.4 vs 11.5 ms/step at 7B).
-  2. Stream only ceil(len/BS) key blocks per batch row: the block index map
-     clamps past-length grid steps to the last valid block, and Pallas
-     skips the DMA when the block index does not change — the XLA path
-     must read (and mask) the full max_seq_len cache every step.
-  3. Process a BLOCK of kv-heads per grid step (batched head-wise dots):
-     one grid step per (batch, head) drowned in per-step overhead
-     (measured 16 ms/step of pure grid overhead at 7B B=4 — more than the
-     whole model's matmuls), so heads ride the second block axis instead.
+  2. Read ONLY ceil(len/BS) key blocks per sequence: K/V stay in HBM and the
+     kernel runs its own double-buffered DMA loop with a *data-dependent*
+     trip count from the prefetched lengths. (A grid-over-blocks version
+     that clamped the index map — relying on Pallas's revisited-block DMA
+     skip — measured as if it streamed the full cache every step on real
+     TPU; manual DMA makes the saving unconditional.)
+  3. One grid step per (batch, kv-head-block): head-batched dots amortize
+     per-step overhead (a grid step per (batch, head) pair cost ~16 ms/step
+     at 7B B=4 — more than the model's matmuls).
   4. GQA without materializing repeated K/V: the G = H/KVH query heads of a
      group attend to their kv-head's blocks inside one grid step.
 
 Cache layout: [B, KVH, S, D] (sequence second-minor) so each (batch,
-head-block) DMA is contiguous per head row. Online softmax carries
-(m, l, acc) in VMEM scratch across the sequence grid axis — the same flash
-recurrence as models/llama.py::_attention_blockwise.
+head-block, seq-block) DMA is one dense strided copy. Online softmax carries
+(m, l, acc) as fori_loop values — the same flash recurrence as
+models/llama.py::_attention_blockwise.
 """
 
 from __future__ import annotations
@@ -43,37 +44,85 @@ _NEG = -1e30  # finite -inf stand-in: exp(-1e30 - m) == 0, no NaNs on masked blo
 
 
 def _flash_decode_kernel(
+    meta_ref,  # int32 [2] (scalar prefetch): [layer_idx, unused]
     lens_ref,  # int32 [B] (scalar prefetch)
-    q_ref,  # [1, HB, G, D] bf16
-    k_ref,  # [1, HB, BS, D] int8 | bf16
-    ks_ref,  # [1, HB, 1, 1, BS] f32 (quant only; see scale reshape in wrapper)
-    v_ref,  # [1, HB, BS, D]
-    vs_ref,  # [1, HB, 1, 1, BS] f32 (quant only)
-    o_ref,  # [1, HB, G, D]
-    m_scr,  # f32 [HB, G, 128]
-    l_scr,  # f32 [HB, G, 128]
-    acc_scr,  # f32 [HB, G, D]
+    q_ref,  # VMEM [1, HB, G, D] bf16
+    k_hbm,  # ANY  [L, B, KVH, S, D] int8 | bf16 (FULL cache: passing a
+    #        per-layer slice would make XLA materialize a copy of the slice
+    #        as the custom-call operand — ~8.6 GB/step at 7B B=4)
+    ks_hbm,  # ANY [L, B, KVH, S] f32 (quant only)
+    v_hbm,  # ANY  [L, B, KVH, S, D]
+    vs_hbm,  # ANY [L, B, KVH, S] f32 (quant only)
+    o_ref,  # VMEM [1, HB, G, D]
+    k_buf,  # VMEM scratch [2, HB, BS, D]
+    v_buf,  # VMEM scratch [2, HB, BS, D]
+    ks_buf,  # VMEM scratch [2, HB, BS] f32 (quant only; else None)
+    vs_buf,
+    sem,  # DMA semaphores [2, 4]
     *,
     bs: int,
+    hb: int,
     inv_sqrt_d: float,
     quant: bool,
 ):
     b = pl.program_id(0)
-    s = pl.program_id(2)
-    ns = pl.num_programs(2)
-    ln = jnp.clip(lens_ref[b], 1, ns * bs)
+    hi = pl.program_id(1)
+    li = meta_ref[0]
+    s_total = k_hbm.shape[3]
+    ln = jnp.clip(lens_ref[b], 1, s_total)
+    nblk = (ln + bs - 1) // bs
+    h0 = hi * hb
 
-    @pl.when(s == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, _NEG)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    def dmas(slot, i):
+        ds = pl.ds
+        out = [
+            pltpu.make_async_copy(
+                k_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs), :],
+                k_buf.at[slot],
+                sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs), :],
+                v_buf.at[slot],
+                sem.at[slot, 1],
+            ),
+        ]
+        if quant:
+            out.append(
+                pltpu.make_async_copy(
+                    ks_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs)],
+                    ks_buf.at[slot],
+                    sem.at[slot, 2],
+                )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    vs_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs)],
+                    vs_buf.at[slot],
+                    sem.at[slot, 3],
+                )
+            )
+        return out
 
-    @pl.when(s * bs < ln)
-    def _():
-        qb = q_ref[0].astype(jnp.bfloat16)  # [HB, G, D]
-        kb = k_ref[0].astype(jnp.bfloat16)  # [HB, BS, D]
-        # head-batched q·kᵀ: contract D, batch over the head block
+    for dma in dmas(0, 0):
+        dma.start()
+
+    qb = q_ref[0].astype(jnp.bfloat16)  # [HB, G, D]
+    g, d = qb.shape[1], qb.shape[2]
+
+    def body(i, carry):
+        m, l, acc = carry  # [HB,G,1], [HB,G,1], [HB,G,D] f32
+        slot = i % 2
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            for dma in dmas(1 - slot, i + 1):
+                dma.start()
+
+        for dma in dmas(slot, i):
+            dma.wait()
+
+        kb = k_buf[slot].astype(jnp.bfloat16)  # [HB, BS, D]
         sco = jax.lax.dot_general(
             qb, kb, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -81,30 +130,31 @@ def _flash_decode_kernel(
         sco = sco * inv_sqrt_d
         if quant:
             # K dequant folded in after the dot: (q·K8)·ks == q·(K8·ks)
-            sco = sco * ks_ref[0, :, 0, 0][:, None, :]
-        pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bs), 2)
+            sco = sco * ks_buf[slot][:, None, :]
+        pos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bs), 2)
         sco = jnp.where(pos < ln, sco, _NEG)
 
-        m_old = m_scr[:, :, :1]  # [HB, G, 1]
-        m_new = jnp.maximum(m_old, jnp.max(sco, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
+        m_new = jnp.maximum(m, jnp.max(sco, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
         p = jnp.exp(sco - m_new)  # [HB, G, BS]
-        l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         if quant:
             # V dequant folded into p: (p·vs)·V8 == p·(vs·V8)
-            p = p * vs_ref[0, :, 0, 0][:, None, :]
-        vb = v_ref[0].astype(jnp.bfloat16)  # [HB, BS, D]
+            p = p * vs_buf[slot][:, None, :]
+        vb = v_buf[slot].astype(jnp.bfloat16)  # [HB, BS, D]
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vb, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [HB, G, D]
-        acc_scr[:] = acc_scr[:] * alpha + pv
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        return m_new, l_new, acc * alpha + pv
 
-    @pl.when(s == ns - 1)
-    def _():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :, :1]).astype(o_ref.dtype)
+    init = (
+        jnp.full((hb, g, 1), _NEG, jnp.float32),
+        jnp.zeros((hb, g, 1), jnp.float32),
+        jnp.zeros((hb, g, d), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, nblk, body, init)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def _pick_bs(s: int, cap: int = 512) -> int:
@@ -115,7 +165,7 @@ def _pick_bs(s: int, cap: int = 512) -> int:
 
 
 def _pick_hb(kvh: int, bs: int, d: int, itemsize: int, budget: int = 2 << 20) -> int:
-    """Largest divisor of kvh whose K block fits the VMEM budget."""
+    """Largest divisor of kvh whose per-slot K buffer fits the VMEM budget."""
     for hb in range(kvh, 0, -1):
         if kvh % hb == 0 and hb * bs * d * itemsize <= budget:
             return hb
@@ -127,12 +177,13 @@ def _pick_hb(kvh: int, bs: int, d: int, itemsize: int, budget: int = 2 << 20) ->
 )
 def flash_decode(
     q: jax.Array,  # [B, H, D] single-step queries
-    k: jax.Array,  # [B, KVH, S, D] cache keys (bf16 or int8)
-    v: jax.Array,  # [B, KVH, S, D] cache values
+    k: jax.Array,  # [L?, B, KVH, S, D] FULL cache keys (bf16 or int8)
+    v: jax.Array,  # [L?, B, KVH, S, D] cache values
     lengths: jax.Array,  # int32 [B] valid tokens per sequence
-    k_scale: Optional[jax.Array] = None,  # f32 [B, KVH, S] (int8 cache)
+    k_scale: Optional[jax.Array] = None,  # f32 [L?, B, KVH, S] (int8 cache)
     v_scale: Optional[jax.Array] = None,
     *,
+    layer_idx=None,  # int32 scalar: which layer of a 5-D cache to attend over
     block_s: Optional[int] = None,
     block_h: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -140,13 +191,28 @@ def flash_decode(
 ) -> jax.Array:
     """Single-token attention over a (possibly int8-quantized) KV cache.
 
+    Accepts either a per-layer [B, KVH, S, D] view (4-D; layer_idx ignored)
+    or the FULL [L, B, KVH, S, D] cache with `layer_idx` — preferred in the
+    serving graph: handing XLA a per-layer slice as a custom-call operand
+    materializes a copy of that slice every step (measured ~10.7 ms/step of
+    pure copies at 7B B=4 bf16), while the full-cache form stays a view and
+    the kernel DMAs [layer, batch, heads, block] directly.
+
     Returns [B, H*D]. Math (quant case) matches
     models/llama.py::attention_core_quant: scores = (q·K8)·ks/√d,
     out = Σ (softmax(scores)·vs)·V8 — scales folded in, never a dequantized
     cache copy in HBM.
     """
+    if k.ndim == 4:
+        k = k[None]
+        v = v[None]
+        if k_scale is not None:
+            k_scale = k_scale[None]
+            v_scale = v_scale[None]
+        layer_idx = 0
+    assert layer_idx is not None, "5-D cache requires layer_idx"
     b, h, d = q.shape
-    _, kvh, s, _ = k.shape
+    _, _, kvh, s, _ = k.shape
     assert h % kvh == 0, (h, kvh)
     g = h // kvh
     quant = k_scale is not None
@@ -159,79 +225,67 @@ def flash_decode(
 
     qg = q.reshape(b, kvh, g, d).astype(jnp.bfloat16)
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
-    ns = s // bs
+    meta = jnp.asarray(layer_idx, jnp.int32).reshape(-1)[:1]
+    meta = jnp.concatenate([meta, jnp.zeros((1,), jnp.int32)])
 
-    def _last_block(lens, bi):
-        # clamp past-length steps to the last valid block: same index ⇒
-        # Pallas skips the DMA, so only ceil(len/bs) blocks are ever read;
-        # the clip guards callers passing lengths > S
-        last = (jnp.clip(lens[bi], 1, s) + bs - 1) // bs - 1
-        return jnp.maximum(last, 0)
-
-    def kv_map(bi, hi, si, lens):
-        return bi, hi, jnp.minimum(si, _last_block(lens, bi)), 0
-
-    def sc_map(bi, hi, si, lens):
-        # scales are host-reshaped to [B, KVH, NS, 1, BS] — a (1,HB,1,1,BS)
-        # block keeps the last two dims Mosaic-legal ((1, BS): full extent ×
-        # lane multiple), which a (1,HB,BS) block of [B, KVH, S] is not
-        return bi, hi, jnp.minimum(si, _last_block(lens, bi)), 0, 0
-
-    def qo_map(bi, hi, si, lens):
+    def qo_map(bi, hi, meta, lens):
         return bi, hi, 0, 0
-
-    sc_block = pl.BlockSpec((1, hb, 1, 1, bs), sc_map, memory_space=pltpu.VMEM)
-
-    def sc_reshape(sc):
-        return sc.astype(jnp.float32).reshape(b, kvh, ns, 1, bs)
 
     in_specs = [
         pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hb, bs, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     args = [qg, k]
     if quant:
-        in_specs.append(sc_block)
-        args.append(sc_reshape(k_scale))
-    in_specs.append(pl.BlockSpec((1, hb, bs, d), kv_map, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(k_scale.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     args.append(v)
     if quant:
-        in_specs.append(sc_block)
-        args.append(sc_reshape(v_scale))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(v_scale.astype(jnp.float32))
 
     kernel = functools.partial(
         _flash_decode_kernel,
         bs=bs,
+        hb=hb,
         inv_sqrt_d=1.0 / math.sqrt(d),
         quant=quant,
     )
-    if not quant:
-        # keep kernel signature uniform: drop the scale refs
-        def kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):  # noqa: F811
-            return _flash_decode_kernel(
-                lens_ref, q_ref, k_ref, None, v_ref, None, o_ref,
-                m_scr, l_scr, acc_scr,
-                bs=bs, inv_sqrt_d=1.0 / math.sqrt(d), quant=False,
+    scratch = [
+        pltpu.VMEM((2, hb, bs, d), k.dtype),
+        pltpu.VMEM((2, hb, bs, d), v.dtype),
+    ]
+    if quant:
+        scratch += [
+            pltpu.VMEM((2, hb, bs), jnp.float32),
+            pltpu.VMEM((2, hb, bs), jnp.float32),
+        ]
+        kfull = kernel
+    else:
+
+        def kfull(meta_ref, lens_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem):
+            return kernel(
+                meta_ref, lens_ref, q_ref, k_hbm, None, v_hbm, None, o_ref,
+                k_buf, v_buf, None, None, sem,
             )
 
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, kvh // hb, ns),
+        num_scalar_prefetch=2,
+        grid=(b, kvh // hb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((hb, g, 128), jnp.float32),
-            pltpu.VMEM((hb, g, 128), jnp.float32),
-            pltpu.VMEM((hb, g, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     kv_bytes = 2 * b * kvh * s * d * k.dtype.itemsize
     out = pl.pallas_call(
-        kernel,
+        kfull,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * d,
@@ -239,7 +293,7 @@ def flash_decode(
             transcendentals=b * h * s,
         ),
         interpret=interpret,
-    )(lengths, *args)
+    )(meta, lengths, *args)
     return out.reshape(b, h * d)
 
 

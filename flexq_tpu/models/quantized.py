@@ -213,7 +213,7 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
     if len(kv) == 3:
         ck, cv, li = kv
         ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
-        return (ck, cv), ("cache", ck[li], cv[li])
+        return (ck, cv), ("cache", ck, cv, li)
     ck, cv, cks, cvs, li = kv
     kq, ks = _kv_quant(k)
     vq, vs = _kv_quant(v)
@@ -227,34 +227,40 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
         rows = jnp.arange(k.shape[0])
         cks = cks.at[li, rows, :, cache_pos].set(ks[:, 0], unique_indices=True)
         cvs = cvs.at[li, rows, :, cache_pos].set(vs[:, 0], unique_indices=True)
-    return (ck, cv, cks, cvs), ("quant", ck[li], cks[li], cv[li], cvs[li])
+    return (ck, cv, cks, cvs), ("quant", ck, cks, cv, cvs, li)
 
 
 def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
     """Dispatch: Pallas flash-decode for single-token steps over a cache;
-    jnp cores otherwise (fresh K/V, prefill-over-cache, tiny test caches)."""
+    jnp cores otherwise (fresh K/V, prefill-over-cache, tiny test caches).
+
+    Cache views carry the FULL [L, B, KVH, S, D] buffers + layer index: the
+    flash kernel slices the layer itself (a pre-sliced custom-call operand
+    would cost a per-step copy of the slice), while the jnp fallbacks slice
+    here (einsums fuse the slice — no copy).
+    """
     from flexq_tpu.kernels.flash_decode import flash_decode
     from flexq_tpu.models.llama import attention_core_quant
 
     kind = kv_view[0]
     if kind != "dense" and q.shape[1] == 1 and lengths is not None:
-        s = kv_view[1].shape[2]
+        s = kv_view[1].shape[3]
         if s % 128 == 0:  # flash kernel block constraint; tiny caches fall back
             b, _, h, d = q.shape
             if kind == "cache":
-                out = flash_decode(q[:, 0], kv_view[1], kv_view[2], lengths)
+                _, ck, cv, li = kv_view
+                out = flash_decode(q[:, 0], ck, cv, lengths, layer_idx=li)
             else:
-                _, k8, ks, v8, vs = kv_view
-                out = flash_decode(q[:, 0], k8, v8, lengths, ks, vs)
+                _, ck, cks, cv, cvs, li = kv_view
+                out = flash_decode(q[:, 0], ck, cv, lengths, cks, cvs, layer_idx=li)
             return out.astype(q.dtype).reshape(b, 1, h * d)
     if kind == "dense":
         return attention_core(q, kv_view[1], kv_view[2], mask, num_kv_groups)
     if kind == "cache":
-        return attention_core(
-            q, kv_view[1], kv_view[2], mask, num_kv_groups, kv_layout="bhkd"
-        )
-    _, k8, ks, v8, vs = kv_view
-    return attention_core_quant(q, k8, ks, v8, vs, mask, num_kv_groups)
+        _, ck, cv, li = kv_view
+        return attention_core(q, ck[li], cv[li], mask, num_kv_groups, kv_layout="bhkd")
+    _, ck, cks, cv, cvs, li = kv_view
+    return attention_core_quant(q, ck[li], cks[li], cv[li], cvs[li], mask, num_kv_groups)
 
 
 def _qlinear(
