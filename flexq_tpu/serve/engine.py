@@ -53,12 +53,15 @@ class Engine:
         max_seq_len: int = 2048,
         kv_dtype=jnp.bfloat16,
         prefill_bf16_threshold: int = 64,
+        prefill_chunk: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.policy = policy
         self.max_seq_len = max_seq_len
         self.kv_dtype = kv_dtype
+        # prompts longer than this prefill in chunks (None = single pass)
+        self.prefill_chunk = prefill_chunk
         # prompts at/above this many tokens take the W6A16 prefill path
         # (compute-bound: bf16 MXU beats exact-int; see w6_matmul_bf16)
         self.prefill_bf16_threshold = prefill_bf16_threshold
@@ -66,6 +69,7 @@ class Engine:
             self._prefill, static_argnames=("prompt_len",), donate_argnums=(2,)
         )
         self._step_jit = jax.jit(self._decode_step, donate_argnums=(2,))
+        self._prefill_chunk_jit = jax.jit(self._prefill_chunk, donate_argnums=(2,))
         self._loop_jit = jax.jit(
             self._decode_loop,
             static_argnames=("sampling", "eos_id", "stop_ids", "max_new"),
@@ -110,6 +114,49 @@ class Engine:
             **scales,
         )
         return logits[:, prompt_len - 1], kv
+
+    def _prefill_chunk(self, params, ids, cache, start):
+        """One chunk of a chunked prefill: queries at absolute positions
+        start..start+C-1 attend over cache[0 : start+C]. Bounds prefill
+        memory to O(C·max_len) scores instead of O(L·max_len) — the long-
+        prompt admission path (the reference is hard-bounded by one full
+        O(L²) prefill; SURVEY.md §5 long-context row).
+        """
+        b, c = ids.shape
+        positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
+        qi = start + jnp.arange(c)[:, None]
+        ki = jnp.arange(self.max_seq_len)[None, :]
+        mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
+        logits, kv = forward_serve(
+            params,
+            self.cfg,
+            self.policy,
+            ids,
+            positions=positions,
+            kv_k=cache[0],
+            kv_v=cache[1],
+            cache_pos=start,
+            mask=mask,
+            prefill_bf16=c >= self.prefill_bf16_threshold,
+            **scales,
+        )
+        return logits[:, -1], kv
+
+    def prefill_chunked(self, ids: jax.Array, cache, chunk: int = 512):
+        """Prefill `ids` [B, L] into the cache in fixed-size chunks.
+        Returns (last-token logits, cache). L need not be chunk-aligned;
+        at most two chunk shapes are compiled (chunk + remainder)."""
+        b, l = ids.shape
+        logits = None
+        start = 0
+        while start < l:
+            c = min(chunk, l - start)
+            logits, cache = self._prefill_chunk_jit(
+                self.params, ids[:, start : start + c], cache, jnp.int32(start)
+            )
+            start += c
+        return logits, cache
 
     def _decode_step(self, params, ids, cache, pos):
         b = ids.shape[0]
@@ -207,7 +254,10 @@ class Engine:
         timer = StepTimer()
         ids = jnp.asarray(np.asarray(prompts, np.int32))
         cache = self.new_cache(b)
-        logits, cache = self._prefill_jit(self.params, ids, cache, prompt_len=l)
+        if self.prefill_chunk and l > self.prefill_chunk:
+            logits, cache = self.prefill_chunked(ids, cache, self.prefill_chunk)
+        else:
+            logits, cache = self._prefill_jit(self.params, ids, cache, prompt_len=l)
 
         stop_set = set(stop_ids) | {eos_id}
         key = jax.random.PRNGKey(seed)

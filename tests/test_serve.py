@@ -186,3 +186,29 @@ def test_fused_loop_early_stop():
     ref = eng.generate([[1, 2, 3]], max_new_tokens=8, eos_id=eos, mode="stepwise")
     # eos may also occur earlier in the chain; stop index just must match
     assert out == ref and out[0][-1] == eos and len(out[0]) <= 3
+
+
+def test_chunked_prefill_matches_single_pass():
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    import jax.numpy as jnp2
+
+    ids = jnp2.asarray(np.random.default_rng(0).integers(0, 256, (2, 11)))
+    eng1 = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32,
+                  prefill_bf16_threshold=10**9)
+    eng2 = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32,
+                  prefill_bf16_threshold=10**9, prefill_chunk=4)
+    c1 = eng1.new_cache(2)
+    l1, c1 = eng1._prefill_jit(eng1.params, ids, c1, prompt_len=11)
+    c2 = eng2.new_cache(2)
+    l2, c2 = eng2.prefill_chunked(ids, c2, chunk=4)  # chunks 4,4,3
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=2e-4)
+    for a, b in zip(c1, c2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-4, atol=2e-4
+        )
+    # and the generate() path end-to-end
+    out1 = eng1.generate([[1, 5, 9, 12, 3, 7]], max_new_tokens=4, eos_id=-1)
+    out2 = eng2.generate([[1, 5, 9, 12, 3, 7]], max_new_tokens=4, eos_id=-1)
+    assert out1 == out2
