@@ -170,6 +170,8 @@ def _cache_update(ck, cv, k, v, li, cache_pos):
     Scalar cache_pos: single dynamic_update_slice (prefill or uniform decode).
     Vector cache_pos [B]: per-slot scatter (continuous batching, L==1).
     """
+    k = k.astype(ck.dtype)  # cache dtype is authoritative (e.g. bf16 cache
+    v = v.astype(cv.dtype)  # under an f32 model)
     if getattr(cache_pos, "ndim", 0) == 0 or not hasattr(cache_pos, "ndim"):
         kt = k.transpose(0, 2, 1, 3)[None]  # [1, B, KVH, L, D]
         vt = v.transpose(0, 2, 1, 3)[None]

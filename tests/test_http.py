@@ -1,0 +1,83 @@
+"""HTTP front-end over the continuous-batching scheduler."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+from transformers import LlamaConfig, LlamaForCausalLM
+
+from flexq_tpu.config import QuantPolicy
+from flexq_tpu.models import config_from_hf, from_hf_llama
+from flexq_tpu.models.quantized import quantize_params
+from flexq_tpu.serve.http import serve_background
+from flexq_tpu.serve.scheduler import BatchScheduler
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def test_http_generate_matches_scheduler():
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    mcfg = config_from_hf(m.config)
+    params = from_hf_llama(m, dtype=jnp.float32)
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, mcfg, policy, dtype=jnp.float32)
+
+    # reference result via a direct scheduler run
+    ref_sched = BatchScheduler(qparams, mcfg, policy, num_slots=2, max_seq_len=48)
+    r1 = ref_sched.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1)
+    r2 = ref_sched.add_request([2, 4, 8], max_new_tokens=5, eos_id=-1)
+    want = ref_sched.run()
+
+    sched = BatchScheduler(qparams, mcfg, policy, num_slots=2, max_seq_len=48)
+    server, service, port = serve_background(sched)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["slots"] == 2
+
+        import threading
+
+        results = {}
+
+        def call(name, prompt):
+            results[name] = _post(
+                port, "/generate",
+                {"prompt_ids": prompt, "max_new_tokens": 5, "eos_id": -1},
+            )
+
+        t1 = threading.Thread(target=call, args=("a", [1, 5, 9]))
+        t2 = threading.Thread(target=call, args=("b", [2, 4, 8]))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert results["a"]["tokens"] == want[r1]
+        assert results["b"]["tokens"] == want[r2]
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        service.shutdown()
+        server.shutdown()
