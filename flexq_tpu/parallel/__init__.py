@@ -1,4 +1,10 @@
-from flexq_tpu.parallel.pp import forward_serve_pp, make_pipe_mesh, shard_params_pp
+from flexq_tpu.parallel.pp import (
+    decode_step_pp,
+    forward_serve_pp,
+    make_pipe_mesh,
+    shard_cache_pp,
+    shard_params_pp,
+)
 from flexq_tpu.parallel.tp import (
     forward_serve_tp,
     make_mesh,

@@ -159,3 +159,110 @@ def forward_serve_pp(
         check_vma=False,
     )
     return fn(params, ids)
+
+
+def shard_cache_pp(mesh: Mesh, *arrays):
+    """Place KV-cache buffers [L, B, ...] with the layer axis over `pipe`."""
+    return tuple(
+        jax.device_put(a, NamedSharding(mesh, P("pipe"))) for a in arrays
+    )
+
+
+def decode_step_pp(
+    params: Dict[str, Any],  # output of shard_params_pp
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    ids: jax.Array,  # [B, 1] last tokens
+    mesh: Mesh,
+    kv_k: jax.Array,  # [L, B, KVH, S, D], layer axis sharded P("pipe")
+    kv_v: jax.Array,
+    cache_pos: jax.Array,  # scalar int32
+):
+    """One pipelined decode step with a layer-sharded KV cache.
+
+    The reference's decode PP (Llama.cc:970-1240): each step the activation
+    hops stage boundaries (ftNcclSend/Recv, LlamaDecoder.cc:285-296) and the
+    last stage samples. Here each stage scans its local layer slab (updating
+    its local cache shard at cache_pos) and hands the hidden state to the
+    next stage with ppermute; the last stage's logits are psum-broadcast.
+    Serial across stages per token — the same latency shape as the
+    reference; use TP for latency, PP for fitting more layers (SURVEY §2.4).
+
+    Returns (logits [B, 1, V], (kv_k, kv_v)).
+    """
+    pp = mesh.shape["pipe"]
+    nl_local = cfg.num_layers // pp
+    b = ids.shape[0]
+
+    def body(params, ids, kv_k, kv_v, pos):
+        my_stage = jax.lax.axis_index("pipe")
+        positions = jnp.broadcast_to(pos, (b, 1))
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        s_max = kv_k.shape[3]
+        ki = jnp.arange(s_max)[None, :]
+        mask = jnp.where(ki <= pos, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        lengths = jnp.broadcast_to(pos, (b,)) + 1
+
+        def run_stage(x, kvk, kvv):
+            def layer_body(carry, inp):
+                x, kvk, kvv = carry
+                lp, i = inp
+                x, new_kv = llama_layer_serve(
+                    lp, cfg, policy, x, cos, sin, mask,
+                    kv=(kvk, kvv, i), cache_pos=pos, lengths=lengths,
+                )
+                return (x, new_kv[0], new_kv[1]), None
+
+            idx = jnp.arange(nl_local)
+            (x, kvk, kvv), _ = jax.lax.scan(
+                layer_body, (x, kvk, kvv), (params["layers_stacked"], idx)
+            )
+            return x, kvk, kvv
+
+        x = jnp.where(
+            my_stage == 0,
+            params["embed"][ids],
+            jnp.zeros((b, 1, cfg.hidden_size), params["embed"].dtype),
+        )
+        final = jnp.zeros_like(x)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+        for t in range(pp):
+            active = my_stage == t
+            x2, kv_k, kv_v = jax.lax.cond(
+                active,
+                run_stage,
+                lambda x, kvk, kvv: (x, kvk, kvv),
+                x, kv_k, kv_v,
+            )
+            if t == pp - 1:
+                final = x2  # only valid on the last stage
+            else:
+                x = jax.lax.ppermute(x2, "pipe", perm)
+
+        h = rmsnorm(final, params["final_norm"], cfg.norm_eps)
+        head = params.get("lm_head")
+        if head is None:
+            head = params["embed"].T
+        logits = h @ head.astype(h.dtype)
+        logits = jax.lax.psum(
+            jnp.where(my_stage == pp - 1, logits, jnp.zeros_like(logits)), "pipe"
+        )
+        return logits, kv_k, kv_v
+
+    param_specs = {
+        "embed": P(),
+        "final_norm": jax.tree_util.tree_map(lambda _: P(), params["final_norm"]),
+        **({"lm_head": P()} if "lm_head" in params else {}),
+        "layers_stacked": jax.tree_util.tree_map(
+            lambda _: P("pipe"), params["layers_stacked"]
+        ),
+    }
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(param_specs, P(), P("pipe"), P("pipe"), P()),
+        out_specs=(P(), P("pipe"), P("pipe")),
+        check_vma=False,
+    )
+    logits, kv_k, kv_v = fn(params, ids, kv_k, kv_v, jnp.asarray(cache_pos, jnp.int32))
+    return logits, (kv_k, kv_v)

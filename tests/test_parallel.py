@@ -133,3 +133,62 @@ def test_pipeline_four_stages(quantized):
     want, _ = forward_serve(qp4, cfg4, policy, ids)
     got = forward_serve_pp(sharded, cfg4, policy, ids, mesh, num_microbatches=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pp_decode_with_cache(quantized):
+    """Pipelined decode (layer-sharded cache) == single-device decode."""
+    import jax
+    from flexq_tpu.models.quantized import forward_serve
+    from flexq_tpu.parallel import (
+        decode_step_pp, make_pipe_mesh, shard_cache_pp, shard_params_pp,
+    )
+    from flexq_tpu.serve.engine import decode_mask, prefill_mask
+
+    cfg, policy, qparams = quantized
+    pmesh = make_pipe_mesh(pp=2)
+    psharded = shard_params_pp(qparams, pmesh)
+
+    b, l, maxlen = 2, 4, 16
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (b, l)), jnp.int32)
+    shape = (cfg.num_layers, b, cfg.num_kv_heads, maxlen, cfg.head_dim)
+    kv_k = jnp.zeros(shape, jnp.float32)
+    kv_v = jnp.zeros(shape, jnp.float32)
+
+    # reference: single-device token-by-token decode (the exact-equivalent
+    # path; batched prefill differs by f32 reduction order beyond 2e-3)
+    def sd_step(ids_t, kvk, kvv, t):
+        lg, kvt = forward_serve(
+            qparams, cfg, policy, ids_t,
+            positions=jnp.full((b, 1), t), kv_k=kvk, kv_v=kvv,
+            cache_pos=jnp.int32(t), mask=decode_mask(jnp.int32(t), maxlen),
+        )
+        return lg, kvt[0], kvt[1]
+
+    kvk, kvv = kv_k, kv_v
+    for t in range(l):
+        want, kvk, kvv = sd_step(ids[:, t : t + 1], kvk, kvv, t)
+    nxt = jnp.argmax(want[:, -1], -1).astype(jnp.int32)[:, None]
+    want1, kvk, kvv = sd_step(nxt, kvk, kvv, l)
+    nxt2 = jnp.argmax(want1[:, -1], -1).astype(jnp.int32)[:, None]
+    want2, kvk, kvv = sd_step(nxt2, kvk, kvv, l + 1)
+
+    # PP: same schedule over the layer-sharded cache — must match exactly
+    pk, pv = shard_cache_pp(
+        pmesh, jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+    )
+    for t in range(l):
+        lg, (pk, pv) = decode_step_pp(
+            psharded, cfg, policy, ids[:, t : t + 1], pmesh, pk, pv, jnp.int32(t)
+        )
+    nxt_p = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+    np.testing.assert_array_equal(np.asarray(nxt_p), np.asarray(nxt))
+    got1, (pk, pv) = decode_step_pp(
+        psharded, cfg, policy, nxt_p, pmesh, pk, pv, jnp.int32(l)
+    )
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=1e-5)
+    nxt2_p = jnp.argmax(got1[:, -1], -1).astype(jnp.int32)[:, None]
+    np.testing.assert_array_equal(np.asarray(nxt2_p), np.asarray(nxt2))
+    got2, _ = decode_step_pp(
+        psharded, cfg, policy, nxt2_p, pmesh, pk, pv, jnp.int32(l + 1)
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
