@@ -177,3 +177,44 @@ def forward_serve_tp(
     )
     logits, nk, nv = fn(params, ids, kv_k if have_cache else kv_k, kv_v)
     return (logits, (nk, nv)) if have_cache else (logits, None)
+
+
+def replicate_kv_heads(params: Dict[str, Any], cfg: ModelConfig, tp: int):
+    """Expand K/V projections so kv_heads >= tp (dense params, pre-quant).
+
+    When tp exceeds the model's kv-head count (e.g. llama-2-70B kv_heads=8
+    on 16 ranks), each kv head is replicated tp/kv_heads times so every rank
+    owns exactly one copy — the standard Megatron/FT treatment (the
+    reference sizes weights by /tensor_para_size_ and requires
+    kv_head_num % tp == 0 likewise). Each head's D-column block is repeated
+    contiguously, matching repeat_kv's query→kv-head grouping, so GQA
+    semantics are unchanged. Returns (new_params, new_cfg).
+    """
+    if cfg.num_kv_heads >= tp:
+        return params, cfg
+    assert tp % cfg.num_kv_heads == 0, (tp, cfg.num_kv_heads)
+    f = tp // cfg.num_kv_heads
+    d = cfg.head_dim
+
+    def expand(w):  # [in, KVH*D] -> [in, KVH*f*D]
+        k_in = w.shape[0]
+        return (
+            jnp.repeat(w.reshape(k_in, cfg.num_kv_heads, d), f, axis=1)
+            .reshape(k_in, cfg.num_kv_heads * f * d)
+        )
+
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        for name in ("k_proj", "v_proj"):
+            fc = dict(lp[name])
+            fc["w"] = expand(fc["w"])
+            if fc.get("b") is not None:
+                fc["b"] = jnp.repeat(
+                    fc["b"].reshape(cfg.num_kv_heads, d), f, axis=0
+                ).reshape(-1)
+            lp[name] = fc
+        out["layers"].append(lp)
+    new_cfg = dataclasses.replace(cfg, num_kv_heads=cfg.num_kv_heads * f)
+    return out, new_cfg

@@ -141,6 +141,10 @@ class _Step:
 
 
 def main():
+    if len(sys.argv) > 1:
+        from flexq_tpu.kernels import autotune
+        n = autotune.load_table(sys.argv[1])
+        print(f"loaded tuned table {sys.argv[1]} ({n} entries)", flush=True)
     print("devices:", jax.devices(), flush=True)
     policy = QuantPolicy.llama_flex()
     print("generating + quantizing layer-by-layer...", flush=True)

@@ -192,3 +192,40 @@ def test_pp_decode_with_cache(quantized):
         psharded, cfg, policy, nxt2_p, pmesh, pk, pv, jnp.int32(l + 1)
     )
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
+
+
+def test_tp_exceeds_kv_heads_via_replication():
+    """tp=4 over a kv_heads=2 model: replicate kv heads, outputs unchanged."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from flexq_tpu.models import config_from_hf, from_hf_llama
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+    from flexq_tpu.parallel import forward_serve_tp, make_mesh, shard_params
+    from flexq_tpu.parallel.tp import replicate_kv_heads
+
+    torch.manual_seed(0)
+    # hidden/ffn = 512 so row-sharded per-group scales (K/128 rows) split 4 ways
+    hf = LlamaConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=512,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(hf).eval()
+    cfg = config_from_hf(m.config)
+    params = from_hf_llama(m, dtype=jnp.float32)
+    policy = QuantPolicy.llama_flex()
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 6)))
+    qref = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    want, _ = forward_serve(qref, cfg, policy, ids)
+
+    xparams, xcfg = replicate_kv_heads(params, cfg, tp=4)
+    assert xcfg.num_kv_heads == 4
+    qx = quantize_params(xparams, xcfg, policy, dtype=jnp.float32)
+    mesh = make_mesh(tp=4, dp=1)
+    sharded = shard_params(qx, mesh)
+    got, _ = forward_serve_tp(sharded, xcfg, policy, ids, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-3, atol=3e-3
+    )
