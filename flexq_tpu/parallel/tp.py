@@ -189,6 +189,10 @@ def replicate_kv_heads(params: Dict[str, Any], cfg: ModelConfig, tp: int):
     kv_head_num % tp == 0 likewise). Each head's D-column block is repeated
     contiguously, matching repeat_kv's query→kv-head grouping, so GQA
     semantics are unchanged. Returns (new_params, new_cfg).
+
+    Granularity limits (toy-model scale only — real 7B+ shapes satisfy
+    both): each rank's K/V shard width (kv_heads_local * head_dim) must be
+    >= 128 lanes, and row-parallel scale rows (K/128) must divide by tp.
     """
     if cfg.num_kv_heads >= tp:
         return params, cfg
