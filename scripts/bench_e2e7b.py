@@ -50,10 +50,17 @@ def synth_llama7b_quantized(policy, seed: int = 0):
     keys = jax.random.split(key, cfg.num_layers + 3)
     h, f = cfg.hidden_size, cfg.intermediate_size
     ffn_pad = f + ((-f) % 1024)
-    shapes = {
-        "q_proj": (h, h), "k_proj": (h, h), "v_proj": (h, h), "o_proj": (h, h),
-        "gate_proj": (h, f), "up_proj": (h, f), "down_proj": (f, h),
-    }
+    fuse = bool(int(os.environ.get("FLEXQ_BENCH_FUSE", "0")))
+    if fuse:
+        shapes = {
+            "qkv_proj": (h, 3 * h), "o_proj": (h, h),
+            "gate_up": (h, 2 * ffn_pad), "down_proj": (f, h),
+        }
+    else:
+        shapes = {
+            "q_proj": (h, h), "k_proj": (h, h), "v_proj": (h, h), "o_proj": (h, h),
+            "gate_proj": (h, f), "up_proj": (h, f), "down_proj": (f, h),
+        }
     layers = []
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[i], len(shapes))
@@ -63,9 +70,10 @@ def synth_llama7b_quantized(policy, seed: int = 0):
         }
         for (name, (kk, nn)), sk in zip(shapes.items(), ks):
             dense = jax.random.normal(sk, (kk, nn), jnp.bfloat16) * 0.02
+            spec_name = {"qkv_proj": "q_proj", "gate_up": "gate_proj"}.get(name, name)
             ql[name] = quantize_linear(
                 dense,
-                policy.weight_spec(name),
+                policy.weight_spec(spec_name),
                 k_pad_to=ffn_pad if name == "down_proj" else None,
             )
             ql[name] = jax.tree_util.tree_map(
