@@ -46,13 +46,15 @@ _NEG = -1e30  # finite -inf stand-in: exp(-1e30 - m) == 0, no NaNs on masked blo
 def _flash_decode_kernel(
     meta_ref,  # int32 [2] (scalar prefetch): [layer_idx, unused]
     lens_ref,  # int32 [B] (scalar prefetch)
+    table_ref,  # int32 [B, MAXPAGES] (scalar prefetch; paged mode) | None
     q_ref,  # VMEM [1, HB, G, D] bf16
-    k_hbm,  # ANY  [L, B, KVH, S, D] int8 | bf16 (FULL cache: passing a
-    #        per-layer slice would make XLA materialize a copy of the slice
-    #        as the custom-call operand — ~8.6 GB/step at 7B B=4)
-    ks_hbm,  # ANY [L, B, KVH, S] f32 (quant only)
-    v_hbm,  # ANY  [L, B, KVH, S, D]
-    vs_hbm,  # ANY [L, B, KVH, S] f32 (quant only)
+    k_hbm,  # ANY  [L, B, KVH, S, D] — or paged pool [L, P, KVH, PS, D].
+    #        FULL buffers: passing a per-layer slice would make XLA
+    #        materialize a copy of the slice as the custom-call operand
+    #        (~8.6 GB/step at 7B B=4)
+    ks_hbm,  # ANY [L, B, KVH, S] f32 (quant only) | pool [L, P, KVH, PS]
+    v_hbm,  # ANY  like k_hbm
+    vs_hbm,  # ANY like ks_hbm (quant only)
     o_ref,  # VMEM [1, HB, G, D]
     k_buf,  # VMEM scratch [2, HB, BS, D]
     v_buf,  # VMEM scratch [2, HB, BS, D]
@@ -64,44 +66,37 @@ def _flash_decode_kernel(
     hb: int,
     inv_sqrt_d: float,
     quant: bool,
+    s_total: int,
 ):
     b = pl.program_id(0)
     hi = pl.program_id(1)
     li = meta_ref[0]
-    s_total = k_hbm.shape[3]
     ln = jnp.clip(lens_ref[b], 1, s_total)
     nblk = (ln + bs - 1) // bs
     h0 = hi * hb
+    paged = table_ref is not None
 
     def dmas(slot, i):
         ds = pl.ds
+        if paged:
+            # block i of sequence b lives in pool page table[b, i]
+            pg = table_ref[b, i]
+            k_src = k_hbm.at[li, pg, ds(h0, hb), :, :]
+            v_src = v_hbm.at[li, pg, ds(h0, hb), :, :]
+            ks_src = ks_hbm.at[li, pg, ds(h0, hb), :] if quant else None
+            vs_src = vs_hbm.at[li, pg, ds(h0, hb), :] if quant else None
+        else:
+            k_src = k_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs), :]
+            v_src = v_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs), :]
+            ks_src = ks_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs)] if quant else None
+            vs_src = vs_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs)] if quant else None
         out = [
-            pltpu.make_async_copy(
-                k_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs), :],
-                k_buf.at[slot],
-                sem.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                v_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs), :],
-                v_buf.at[slot],
-                sem.at[slot, 1],
-            ),
+            pltpu.make_async_copy(k_src, k_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(v_src, v_buf.at[slot], sem.at[slot, 1]),
         ]
         if quant:
-            out.append(
-                pltpu.make_async_copy(
-                    ks_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs)],
-                    ks_buf.at[slot],
-                    sem.at[slot, 2],
-                )
-            )
-            out.append(
-                pltpu.make_async_copy(
-                    vs_hbm.at[li, b, ds(h0, hb), ds(i * bs, bs)],
-                    vs_buf.at[slot],
-                    sem.at[slot, 3],
-                )
-            )
+            out.append(pltpu.make_async_copy(ks_src, ks_buf.at[slot], sem.at[slot, 2]))
+            out.append(pltpu.make_async_copy(vs_src, vs_buf.at[slot], sem.at[slot, 3]))
         return out
 
     for dma in dmas(0, 0):
@@ -251,6 +246,7 @@ def flash_decode(
         hb=hb,
         inv_sqrt_d=1.0 / math.sqrt(d),
         quant=quant,
+        s_total=s,
     )
     scratch = [
         pltpu.VMEM((2, hb, bs, d), k.dtype),
@@ -261,12 +257,18 @@ def flash_decode(
             pltpu.VMEM((2, hb, bs), jnp.float32),
             pltpu.VMEM((2, hb, bs), jnp.float32),
         ]
-        kfull = kernel
+
+        def kfull(meta_ref, lens_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm,
+                  o_ref, k_buf, v_buf, ks_buf, vs_buf, sem):
+            return kernel(
+                meta_ref, lens_ref, None, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm,
+                o_ref, k_buf, v_buf, ks_buf, vs_buf, sem,
+            )
     else:
 
         def kfull(meta_ref, lens_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem):
             return kernel(
-                meta_ref, lens_ref, q_ref, k_hbm, None, v_hbm, None, o_ref,
+                meta_ref, lens_ref, None, q_ref, k_hbm, None, v_hbm, None, o_ref,
                 k_buf, v_buf, None, None, sem,
             )
 
@@ -313,4 +315,119 @@ def flash_decode_ref(q, k, v, lengths, k_scale=None, v_scale=None):
     sco = jnp.where(pos < lengths[:, None, None, None], sco, -jnp.inf)
     p = jax.nn.softmax(sco, axis=-1)
     out = jnp.einsum("bhgs,bhsd->bhgd", p, vf)
+    return out.reshape(b, h * d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_h", "interpret", "out_dtype")
+)
+def flash_decode_paged(
+    q: jax.Array,  # [B, H, D] single-step queries
+    pool_k: jax.Array,  # [L, P, KVH, PS, D] page pool (bf16 or int8)
+    pool_v: jax.Array,
+    page_table: jax.Array,  # int32 [B, MAXPAGES]: logical block i -> page id
+    lengths: jax.Array,  # int32 [B] valid tokens per sequence
+    k_scale: Optional[jax.Array] = None,  # f32 [L, P, KVH, PS] (int8 pool)
+    v_scale: Optional[jax.Array] = None,
+    *,
+    layer_idx,
+    block_h: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Single-token attention over a PAGED KV cache (vLLM-style).
+
+    The manual-DMA loop makes paging nearly free: instead of a contiguous
+    block index, each iteration fetches pool page `page_table[b, i]` from
+    the prefetched table. The reference has no paging (dense per-GPU cache,
+    Llama.cc:112-115); this exceeds parity. Same math as flash_decode.
+    """
+    b, h, d = q.shape
+    _, npages_pool, kvh, ps, _ = pool_k.shape
+    assert h % kvh == 0
+    g = h // kvh
+    assert ps % 128 == 0, f"page size {ps} must be a multiple of 128"
+    quant = k_scale is not None
+    if interpret is None:
+        interpret = use_interpret()
+    hb = block_h or _pick_hb(kvh, ps, d, pool_k.dtype.itemsize)
+    assert kvh % hb == 0
+    max_pages = page_table.shape[1]
+    s_virtual = max_pages * ps  # logical capacity bound
+
+    qg = q.reshape(b, kvh, g, d).astype(jnp.bfloat16)
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    meta = jnp.asarray(layer_idx, jnp.int32).reshape(-1)[:1]
+    meta = jnp.concatenate([meta, jnp.zeros((1,), jnp.int32)])
+    table = jnp.asarray(page_table, jnp.int32)
+
+    def qo_map(bi, hi, meta_, lens, tbl):
+        return bi, hi, 0, 0
+
+    in_specs = [
+        pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [qg, pool_k]
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(k_scale.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    args.append(pool_v)
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(v_scale.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _flash_decode_kernel,
+        bs=ps,
+        hb=hb,
+        inv_sqrt_d=1.0 / math.sqrt(d),
+        quant=quant,
+        s_total=s_virtual,
+    )
+    if quant:
+
+        def kfull(meta_ref, lens_ref, tbl_ref, q_ref, k_hbm, ks_hbm, v_hbm,
+                  vs_hbm, o_ref, k_buf, v_buf, ks_buf, vs_buf, sem):
+            return kernel(
+                meta_ref, lens_ref, tbl_ref, q_ref, k_hbm, ks_hbm, v_hbm,
+                vs_hbm, o_ref, k_buf, v_buf, ks_buf, vs_buf, sem,
+            )
+    else:
+
+        def kfull(meta_ref, lens_ref, tbl_ref, q_ref, k_hbm, v_hbm, o_ref,
+                  k_buf, v_buf, sem):
+            return kernel(
+                meta_ref, lens_ref, tbl_ref, q_ref, k_hbm, None, v_hbm, None,
+                o_ref, k_buf, v_buf, None, None, sem,
+            )
+
+    scratch = [
+        pltpu.VMEM((2, hb, ps, d), pool_k.dtype),
+        pltpu.VMEM((2, hb, ps, d), pool_v.dtype),
+    ]
+    if quant:
+        scratch += [
+            pltpu.VMEM((2, hb, ps), jnp.float32),
+            pltpu.VMEM((2, hb, ps), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, kvh // hb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kfull,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, lengths, table, *args)
     return out.reshape(b, h * d)

@@ -212,6 +212,29 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
     the quantized view is consumed with scales folded into the math (an
     eager dequant would materialize a bf16 cache copy and erase the win).
     """
+    if isinstance(kv[0], str) and kv[0].startswith("paged"):
+        # paged pool: write this step's K/V into table-mapped pages
+        # (decode-only: L == 1; prefill fills pages via PagePool.insert_prefill)
+        if kv[0] == "paged8":
+            _, pk, pv, sk, sv, table, li = kv
+            kq, ks = _kv_quant(k)
+            vq, vs = _kv_quant(v)
+        else:
+            _, pk, pv, table, li = kv
+            kq, vq = k.astype(pk.dtype), v.astype(pv.dtype)
+        b = k.shape[0]
+        ps = pk.shape[3]
+        pos = jnp.broadcast_to(jnp.asarray(cache_pos, jnp.int32), (b,))
+        rows = jnp.arange(b)
+        pages = table[rows, pos // ps]  # [B]
+        offs = pos % ps
+        pk = pk.at[li, pages, :, offs].set(kq[:, 0], unique_indices=True)
+        pv = pv.at[li, pages, :, offs].set(vq[:, 0], unique_indices=True)
+        if kv[0] == "paged8":
+            sk = sk.at[li, pages, :, offs].set(ks[:, 0], unique_indices=True)
+            sv = sv.at[li, pages, :, offs].set(vs[:, 0], unique_indices=True)
+            return (pk, pv, sk, sv), ("paged8", pk, pv, sk, sv, table, li)
+        return (pk, pv), ("paged", pk, pv, table, li)
     if len(kv) == 3:
         ck, cv, li = kv
         ck, cv = _cache_update(ck, cv, k, v, li, cache_pos)
@@ -241,10 +264,20 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
     would cost a per-step copy of the slice), while the jnp fallbacks slice
     here (einsums fuse the slice — no copy).
     """
-    from flexq_tpu.kernels.flash_decode import flash_decode
+    from flexq_tpu.kernels.flash_decode import flash_decode, flash_decode_paged
     from flexq_tpu.models.llama import attention_core_quant
 
     kind = kv_view[0]
+    if kind.startswith("paged"):
+        assert q.shape[1] == 1 and lengths is not None, "paged cache is decode-only"
+        b, _, h, d = q.shape
+        if kind == "paged8":
+            _, pk, pv, sk, sv, table, li = kv_view
+            out = flash_decode_paged(q[:, 0], pk, pv, table, lengths, sk, sv, layer_idx=li)
+        else:
+            _, pk, pv, table, li = kv_view
+            out = flash_decode_paged(q[:, 0], pk, pv, table, lengths, layer_idx=li)
+        return out.astype(q.dtype).reshape(b, 1, h * d)
     if kind != "dense" and q.shape[1] == 1 and lengths is not None:
         s = kv_view[1].shape[3]
         if s % 128 == 0:  # flash kernel block constraint; tiny caches fall back
@@ -520,8 +553,9 @@ def forward_serve(
     cache_pos: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     prefill_bf16: bool = False,
-    kv_k_scale: Optional[jax.Array] = None,  # [layers, B, max, KVH] f32
+    kv_k_scale: Optional[jax.Array] = None,  # [layers, B, KVH, max] f32
     kv_v_scale: Optional[jax.Array] = None,  # (present => int8 KV cache)
+    page_table: Optional[jax.Array] = None,  # int32 [B, maxpages] => paged
 ):
     """Quantized forward. Without a cache: full-sequence causal (prefill/eval).
     With a cache: writes K/V at cache_pos and attends over the full cache.
@@ -548,6 +582,9 @@ def forward_serve(
 
     have_cache = kv_k is not None
     quant_cache = kv_k_scale is not None
+    paged = page_table is not None
+    if paged:
+        assert l == 1, "paged cache is decode-only (prefill fills pages host-side)"
     lengths = None
     if have_cache:
         # valid cache tokens per sequence after this step's write
@@ -555,6 +592,10 @@ def forward_serve(
     for i, lp in enumerate(params["layers"]):
         if not have_cache:
             kv = None
+        elif paged and quant_cache:
+            kv = ("paged8", kv_k, kv_v, kv_k_scale, kv_v_scale, page_table, i)
+        elif paged:
+            kv = ("paged", kv_k, kv_v, page_table, i)
         elif quant_cache:
             kv = (kv_k, kv_v, kv_k_scale, kv_v_scale, i)
         else:

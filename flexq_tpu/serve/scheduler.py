@@ -63,22 +63,49 @@ class BatchScheduler:
         max_seq_len: int = 512,
         kv_dtype=jnp.bfloat16,
         seed: int = 0,
+        paged: bool = False,
+        page_size: int = 128,
+        num_pages: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.policy = policy
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
-        shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_seq_len, cfg.head_dim)
-        self.kv_k = jnp.zeros(shape, kv_dtype)
-        self.kv_v = jnp.zeros(shape, kv_dtype)
+        self.paged = paged
+        if paged:
+            # paged pool: memory scales with live tokens, not slots*max_len
+            # (exceeds the reference's dense per-GPU cache, Llama.cc:112-115)
+            from flexq_tpu.serve.paged import PagePool, PageTable
+
+            assert kv_dtype != jnp.int8, "paged+int8 lands later (prefill scales)"
+            assert max_seq_len % page_size == 0
+            if num_pages is None:
+                num_pages = num_slots * (max_seq_len // page_size) + 1
+            self.pool = PagePool(
+                cfg.num_layers, num_pages, cfg.num_kv_heads, page_size,
+                cfg.head_dim, dtype=kv_dtype,
+            )
+            self.ptable = PageTable(num_slots, max_seq_len // page_size)
+            # page 0 is the garbage page: inactive slots (table all-zero)
+            # decode junk into it without corrupting live pages
+            garbage = self.pool.alloc(1)
+            assert garbage == [0]
+            self.kv_k = self.kv_v = None
+        else:
+            shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_seq_len, cfg.head_dim)
+            self.kv_k = jnp.zeros(shape, kv_dtype)
+            self.kv_v = jnp.zeros(shape, kv_dtype)
         self.slots = [_Slot() for _ in range(num_slots)]
         self.pending: Deque[_Pending] = deque()
         self.done: Dict[int, List[int]] = {}
         self.last_tokens = jnp.zeros((num_slots, 1), jnp.int32)
         self._req_counter = itertools.count()
         self._key = jax.random.PRNGKey(seed)
-        self._step_jit = jax.jit(self._step_fn, donate_argnums=(2, 3))
+        if paged:
+            self._step_jit = jax.jit(self._step_paged_fn, donate_argnums=(2, 3))
+        else:
+            self._step_jit = jax.jit(self._step_fn, donate_argnums=(2, 3))
         self._prefill_cache: Dict[int, Any] = {}
 
     # ---- jitted pieces -------------------------------------------------
@@ -102,6 +129,21 @@ class BatchScheduler:
         )
         return logits[:, 0], kv[0], kv[1]
 
+    def _step_paged_fn(self, params, ids, pool_k, pool_v, positions, table):
+        """Paged decode step: pools + page table instead of a dense cache."""
+        logits, kv = forward_serve(
+            params,
+            self.cfg,
+            self.policy,
+            ids,
+            positions=positions[:, None],
+            kv_k=pool_k,
+            kv_v=pool_v,
+            cache_pos=positions,
+            page_table=table,
+        )
+        return logits[:, 0], kv[0], kv[1]
+
     def _prefill_one(self, prompt: List[int]):
         """B=1 prefill -> (last logits [V], kv_k1, kv_v1 small cache)."""
         l = len(prompt)
@@ -116,8 +158,9 @@ class BatchScheduler:
             )
 
             def fn(params, ids):
-                kv_k = jnp.zeros(shape1, self.kv_k.dtype)
-                kv_v = jnp.zeros(shape1, self.kv_v.dtype)
+                dt = self.pool.pool_k.dtype if self.paged else self.kv_k.dtype
+                kv_k = jnp.zeros(shape1, dt)
+                kv_v = jnp.zeros(shape1, dt)
                 logits, kv = forward_serve(
                     params,
                     self.cfg,
@@ -158,15 +201,25 @@ class BatchScheduler:
             if slot.req_id is not None or not self.pending:
                 continue
             req = self.pending.popleft()
+            if self.paged and self.pool.free_pages < self.pool.pages_for(
+                len(req.prompt) + req.max_new
+            ):
+                self.pending.appendleft(req)  # not enough pages yet; retry later
+                break
             logits, kv_k1, kv_v1 = self._prefill_one(req.prompt)
             plen = len(req.prompt)
-            # insert the prefilled KV region into slot i
-            self.kv_k = jax.lax.dynamic_update_slice(
-                self.kv_k, kv_k1[:, :, :, :plen], (0, i, 0, 0, 0)
-            )
-            self.kv_v = jax.lax.dynamic_update_slice(
-                self.kv_v, kv_v1[:, :, :, :plen], (0, i, 0, 0, 0)
-            )
+            if self.paged:
+                pages = self.pool.alloc(self.pool.pages_for(plen))
+                self.pool.insert_prefill(pages, kv_k1, kv_v1, plen)
+                self.ptable.assign(i, pages)
+            else:
+                # insert the prefilled KV region into slot i
+                self.kv_k = jax.lax.dynamic_update_slice(
+                    self.kv_k, kv_k1[:, :, :, :plen], (0, i, 0, 0, 0)
+                )
+                self.kv_v = jax.lax.dynamic_update_slice(
+                    self.kv_v, kv_v1[:, :, :, :plen], (0, i, 0, 0, 0)
+                )
             slot.req_id = req.req_id
             slot.pos = plen
             slot.generated = []
@@ -197,6 +250,8 @@ class BatchScheduler:
         self.last_tokens = self.last_tokens.at[i, 0].set(tok)
         if tok == slot.eos_id or len(slot.generated) >= slot.max_new:
             self.done[slot.req_id] = slot.generated
+            if self.paged:
+                self.pool.free(p for p in self.ptable.release(i) if p != 0)
             self.slots[i] = _Slot()
 
     def step(self) -> Dict[int, List[int]]:
@@ -207,9 +262,23 @@ class BatchScheduler:
             positions = jnp.asarray(
                 [s.pos if s.req_id is not None else 0 for s in self.slots], jnp.int32
             )
-            logits, self.kv_k, self.kv_v = self._step_jit(
-                self.params, self.last_tokens, self.kv_k, self.kv_v, positions
-            )
+            if self.paged:
+                ps = self.pool.page_size
+                for i in active:
+                    # the write at pos may open a new logical block
+                    needed = self.slots[i].pos // ps + 1
+                    while self.ptable.num_blocks[i] < needed:
+                        self.ptable.append(i, self.pool.alloc(1)[0])
+                pk, pv = self.pool.state()
+                logits, pk, pv = self._step_jit(
+                    self.params, self.last_tokens, pk, pv, positions,
+                    self.ptable.device_table(),
+                )
+                self.pool.set_state((pk, pv))
+            else:
+                logits, self.kv_k, self.kv_v = self._step_jit(
+                    self.params, self.last_tokens, self.kv_k, self.kv_v, positions
+                )
             logits_np = logits  # device array; sampled per active slot
             for i in active:
                 slot = self.slots[i]

@@ -132,3 +132,58 @@ def test_engine_flash_path_matches_small_cache_path():
     # rounding bins — so this is a wiring check (layout/lengths/scatter), not
     # a numerics check; kernel exactness is pinned by the golden tests above.
     assert np.max(np.abs(a - b_)) / scale < 8e-2, np.max(np.abs(a - b_))
+
+
+def test_flash_decode_paged_matches_contiguous():
+    """Paged pool with a scrambled page table == contiguous flash decode."""
+    from flexq_tpu.kernels.flash_decode import flash_decode_paged
+
+    rng = np.random.default_rng(11)
+    L, B, H, KVH, D, PS = 2, 2, 4, 2, 128, 128
+    SMAX = 512  # 4 pages per sequence
+    npages = B * SMAX // PS + 2
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.bfloat16)
+    lens = jnp.asarray([300, 512], jnp.int32)
+
+    for quant in (False, True):
+        if quant:
+            k = jnp.asarray(rng.integers(-127, 128, (L, B, KVH, SMAX, D)), jnp.int8)
+            v = jnp.asarray(rng.integers(-127, 128, (L, B, KVH, SMAX, D)), jnp.int8)
+            ks = jnp.asarray(rng.uniform(0.005, 0.02, (L, B, KVH, SMAX)), jnp.float32)
+            vs = jnp.asarray(rng.uniform(0.005, 0.02, (L, B, KVH, SMAX)), jnp.float32)
+        else:
+            k = jnp.asarray(rng.standard_normal((L, B, KVH, SMAX, D)), jnp.bfloat16)
+            v = jnp.asarray(rng.standard_normal((L, B, KVH, SMAX, D)), jnp.bfloat16)
+            ks = vs = None
+
+        # scatter the contiguous cache into a scrambled page pool
+        nblocks = SMAX // PS
+        perm = rng.permutation(npages)[: B * nblocks]
+        table = np.zeros((B, nblocks), np.int32)
+        pool_k = np.zeros((L, npages, KVH, PS, D), k.dtype)
+        pool_v = np.zeros_like(pool_k)
+        pool_ks = np.zeros((L, npages, KVH, PS), np.float32)
+        pool_vs = np.zeros_like(pool_ks)
+        kn, vn = np.asarray(k), np.asarray(v)
+        for b_ in range(B):
+            for i in range(nblocks):
+                pg = int(perm[b_ * nblocks + i])
+                table[b_, i] = pg
+                pool_k[:, pg] = kn[:, b_, :, i * PS : (i + 1) * PS].transpose(0, 1, 2, 3)
+                pool_v[:, pg] = vn[:, b_, :, i * PS : (i + 1) * PS]
+                if quant:
+                    pool_ks[:, pg] = np.asarray(ks)[:, b_, :, i * PS : (i + 1) * PS]
+                    pool_vs[:, pg] = np.asarray(vs)[:, b_, :, i * PS : (i + 1) * PS]
+
+        li = 1
+        scales = (ks, vs) if quant else (None, None)
+        want = flash_decode(q, k, v, lens, *scales, layer_idx=jnp.int32(li), block_s=PS)
+        psc = (jnp.asarray(pool_ks), jnp.asarray(pool_vs)) if quant else (None, None)
+        got = flash_decode_paged(
+            q, jnp.asarray(pool_k), jnp.asarray(pool_v), jnp.asarray(table),
+            lens, *psc, layer_idx=jnp.int32(li),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=0, atol=1e-6, err_msg=f"quant={quant}",
+        )

@@ -81,3 +81,44 @@ def test_late_arrival_mid_decode(setup):
                  prefill_bf16_threshold=10**9)
     assert done[r1] == eng.generate([[3, 14, 15, 9]], max_new_tokens=8, eos_id=-1)[0]
     assert done[r2] == eng.generate([[7, 7]], max_new_tokens=4, eos_id=-1)[0]
+
+
+def test_paged_scheduler_matches_dense(setup):
+    """Paged continuous batching == dense-cache continuous batching."""
+    cfg, policy, qparams = setup
+    dense = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32)
+    r1 = dense.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1)
+    r2 = dense.add_request([2, 4, 8, 3], max_new_tokens=6, eos_id=-1)
+    want = dense.run()
+
+    paged = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32, paged=True, page_size=128)
+    p1 = paged.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1)
+    p2 = paged.add_request([2, 4, 8, 3], max_new_tokens=6, eos_id=-1)
+    got = paged.run()
+    assert got[p1] == want[r1] and got[p2] == want[r2], (got, want)
+    # all non-garbage pages recycled after completion
+    assert paged.pool.free_pages == paged.pool.num_pages - 1
+
+
+def test_paged_pool_allocator():
+    from flexq_tpu.serve.paged import PagePool, PageTable
+
+    pool = PagePool(2, 8, 2, 128, 64, dtype=jnp.float32)
+    a = pool.alloc(3)
+    assert len(set(a)) == 3 and pool.free_pages == 5
+    pool.free(a[:2])
+    assert pool.free_pages == 7
+    assert pool.pages_for(1) == 1 and pool.pages_for(128) == 1
+    assert pool.pages_for(129) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(MemoryError):
+        pool.alloc(100)
+
+    t = PageTable(2, 4)
+    t.assign(0, [3, 5])
+    t.append(0, 7)
+    assert list(t.table[0, :3]) == [3, 5, 7] and t.num_blocks[0] == 3
+    assert t.release(0) == [3, 5, 7] and t.num_blocks[0] == 0
