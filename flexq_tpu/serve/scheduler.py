@@ -73,12 +73,12 @@ class BatchScheduler:
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
         self.paged = paged
+        self.quantized = kv_dtype == jnp.int8
         if paged:
             # paged pool: memory scales with live tokens, not slots*max_len
             # (exceeds the reference's dense per-GPU cache, Llama.cc:112-115)
             from flexq_tpu.serve.paged import PagePool, PageTable
 
-            assert kv_dtype != jnp.int8, "paged+int8 lands later (prefill scales)"
             assert max_seq_len % page_size == 0
             if num_pages is None:
                 num_pages = num_slots * (max_seq_len // page_size) + 1
@@ -96,6 +96,9 @@ class BatchScheduler:
             shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_seq_len, cfg.head_dim)
             self.kv_k = jnp.zeros(shape, kv_dtype)
             self.kv_v = jnp.zeros(shape, kv_dtype)
+            if self.quantized:
+                self.kv_ks = jnp.zeros(shape[:-1], jnp.float32)
+                self.kv_vs = jnp.zeros(shape[:-1], jnp.float32)
         self.slots = [_Slot() for _ in range(num_slots)]
         self.pending: Deque[_Pending] = deque()
         self.done: Dict[int, List[int]] = {}
@@ -109,40 +112,52 @@ class BatchScheduler:
         self._prefill_cache: Dict[int, Any] = {}
 
     # ---- jitted pieces -------------------------------------------------
-    def _step_fn(self, params, ids, kv_k, kv_v, positions):
-        """One decode step over all slots; per-slot positions [S]."""
-        s = ids.shape[0]
+    def _step_fn(self, params, ids, cache, positions):
+        """One decode step over all slots; per-slot positions [S].
+        ``cache`` = (k, v) or (k, v, ks, vs) for the int8 quantized cache."""
         ki = jnp.arange(self.max_seq_len)[None, None, None, :]
         mask = jnp.where(
             ki <= positions[:, None, None, None], 0.0, jnp.finfo(jnp.float32).min
         )
+        scales = (
+            {"kv_k_scale": cache[2], "kv_v_scale": cache[3]}
+            if len(cache) == 4
+            else {}
+        )
         logits, kv = forward_serve(
             params,
             self.cfg,
             self.policy,
             ids,
             positions=positions[:, None],
-            kv_k=kv_k,
-            kv_v=kv_v,
+            kv_k=cache[0],
+            kv_v=cache[1],
             cache_pos=positions,
             mask=mask,
+            **scales,
         )
-        return logits[:, 0], kv[0], kv[1]
+        return logits[:, 0], kv
 
-    def _step_paged_fn(self, params, ids, pool_k, pool_v, positions, table):
+    def _step_paged_fn(self, params, ids, cache, positions, table):
         """Paged decode step: pools + page table instead of a dense cache."""
+        scales = (
+            {"kv_k_scale": cache[2], "kv_v_scale": cache[3]}
+            if len(cache) == 4
+            else {}
+        )
         logits, kv = forward_serve(
             params,
             self.cfg,
             self.policy,
             ids,
             positions=positions[:, None],
-            kv_k=pool_k,
-            kv_v=pool_v,
+            kv_k=cache[0],
+            kv_v=cache[1],
             cache_pos=positions,
             page_table=table,
+            **scales,
         )
-        return logits[:, 0], kv[0], kv[1]
+        return logits[:, 0], kv
 
     def _prefill_one(self, prompt: List[int]):
         """B=1 prefill -> (last logits [V], kv_k1, kv_v1 small cache)."""
@@ -161,6 +176,14 @@ class BatchScheduler:
                 dt = self.pool.pool_k.dtype if self.paged else self.kv_k.dtype
                 kv_k = jnp.zeros(shape1, dt)
                 kv_v = jnp.zeros(shape1, dt)
+                scales = (
+                    {
+                        "kv_k_scale": jnp.zeros(shape1[:-1], jnp.float32),
+                        "kv_v_scale": jnp.zeros(shape1[:-1], jnp.float32),
+                    }
+                    if self.quantized
+                    else {}
+                )
                 logits, kv = forward_serve(
                     params,
                     self.cfg,
@@ -170,8 +193,9 @@ class BatchScheduler:
                     kv_v=kv_v,
                     cache_pos=jnp.int32(0),
                     mask=prefill_mask(ids.shape[1], self.max_seq_len),
+                    **scales,
                 )
-                return logits[:, -1], kv[0], kv[1]
+                return logits[:, -1], kv
 
             self._prefill_cache[key] = jax.jit(fn)
         ids = jnp.asarray(np.asarray(prompt, np.int32))[None]
@@ -206,20 +230,28 @@ class BatchScheduler:
             ):
                 self.pending.appendleft(req)  # not enough pages yet; retry later
                 break
-            logits, kv_k1, kv_v1 = self._prefill_one(req.prompt)
+            logits, kv1 = self._prefill_one(req.prompt)
             plen = len(req.prompt)
             if self.paged:
                 pages = self.pool.alloc(self.pool.pages_for(plen))
-                self.pool.insert_prefill(pages, kv_k1, kv_v1, plen)
+                self.pool.insert_prefill(pages, kv1[0], kv1[1], plen,
+                                         *(kv1[2:] if self.quantized else ()))
                 self.ptable.assign(i, pages)
             else:
                 # insert the prefilled KV region into slot i
                 self.kv_k = jax.lax.dynamic_update_slice(
-                    self.kv_k, kv_k1[:, :, :, :plen], (0, i, 0, 0, 0)
+                    self.kv_k, kv1[0][:, :, :, :plen], (0, i, 0, 0, 0)
                 )
                 self.kv_v = jax.lax.dynamic_update_slice(
-                    self.kv_v, kv_v1[:, :, :, :plen], (0, i, 0, 0, 0)
+                    self.kv_v, kv1[1][:, :, :, :plen], (0, i, 0, 0, 0)
                 )
+                if self.quantized:
+                    self.kv_ks = jax.lax.dynamic_update_slice(
+                        self.kv_ks, kv1[2][:, :, :, :plen], (0, i, 0, 0)
+                    )
+                    self.kv_vs = jax.lax.dynamic_update_slice(
+                        self.kv_vs, kv1[3][:, :, :, :plen], (0, i, 0, 0)
+                    )
             slot.req_id = req.req_id
             slot.pos = plen
             slot.generated = []
@@ -269,16 +301,24 @@ class BatchScheduler:
                     needed = self.slots[i].pos // ps + 1
                     while self.ptable.num_blocks[i] < needed:
                         self.ptable.append(i, self.pool.alloc(1)[0])
-                pk, pv = self.pool.state()
-                logits, pk, pv = self._step_jit(
-                    self.params, self.last_tokens, pk, pv, positions,
+                logits, state = self._step_jit(
+                    self.params, self.last_tokens, self.pool.state(), positions,
                     self.ptable.device_table(),
                 )
-                self.pool.set_state((pk, pv))
+                self.pool.set_state(state)
             else:
-                logits, self.kv_k, self.kv_v = self._step_jit(
-                    self.params, self.last_tokens, self.kv_k, self.kv_v, positions
+                cache = (
+                    (self.kv_k, self.kv_v, self.kv_ks, self.kv_vs)
+                    if self.quantized
+                    else (self.kv_k, self.kv_v)
                 )
+                logits, cache = self._step_jit(
+                    self.params, self.last_tokens, cache, positions
+                )
+                if self.quantized:
+                    self.kv_k, self.kv_v, self.kv_ks, self.kv_vs = cache
+                else:
+                    self.kv_k, self.kv_v = cache
             logits_np = logits  # device array; sampled per active slot
             for i in active:
                 slot = self.slots[i]

@@ -122,3 +122,18 @@ def test_paged_pool_allocator():
     t.append(0, 7)
     assert list(t.table[0, :3]) == [3, 5, 7] and t.num_blocks[0] == 3
     assert t.release(0) == [3, 5, 7] and t.num_blocks[0] == 0
+
+
+def test_int8_scheduler_dense_and_paged(setup):
+    """int8 quantized KV works under the scheduler, dense == paged."""
+    cfg, policy, qparams = setup
+    dense = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.int8)
+    r1 = dense.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1)
+    want = dense.run()
+    paged = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.int8, paged=True, page_size=128)
+    p1 = paged.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1)
+    got = paged.run()
+    assert got[p1] == want[r1], (got, want)
+    assert paged.pool.free_pages == paged.pool.num_pages - 1
