@@ -217,6 +217,9 @@ class Engine:
             counts = counts.at[rows, nxt].add(1)
             gen_len = gen_len + 1
             logits, cache = self._decode_step(params, nxt[:, None], cache, pos)
+            # f32 carry regardless of model dtype (bf16 logits otherwise
+            # mismatch the f32-seeded while_loop carry)
+            logits = logits.astype(jnp.float32)
             return (i + 1, logits, cache, pos + 1, key, counts, gen_len, finished, tokens)
 
         state = (
