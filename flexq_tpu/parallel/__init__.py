@@ -11,3 +11,4 @@ from flexq_tpu.parallel.tp import (
     param_specs,
     shard_params,
 )
+from flexq_tpu.parallel.cp import forward_sp, make_sp_mesh, ring_attention
