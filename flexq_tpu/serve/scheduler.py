@@ -160,15 +160,23 @@ class BatchScheduler:
         return logits[:, 0], kv
 
     def _prefill_one(self, prompt: List[int]):
-        """B=1 prefill -> (last logits [V], kv_k1, kv_v1 small cache)."""
+        """B=1 prefill -> (last logits [V], small kv cache state).
+
+        The scratch cache is sized to the prompt rounded up to a page (or
+        128) — NOT max_seq_len: a full-length dense scratch per admission
+        would spike memory by exactly what paging saves. One compile per
+        (prompt_len, bucket) pair.
+        """
         l = len(prompt)
-        key = l
+        unit = self.pool.page_size if self.paged else 128
+        bucket = -(-l // unit) * unit
+        key = (l, bucket)
         if key not in self._prefill_cache:
             shape1 = (
                 self.cfg.num_layers,
                 1,
                 self.cfg.num_kv_heads,
-                self.max_seq_len,
+                bucket,
                 self.cfg.head_dim,
             )
 
@@ -192,7 +200,7 @@ class BatchScheduler:
                     kv_k=kv_k,
                     kv_v=kv_v,
                     cache_pos=jnp.int32(0),
-                    mask=prefill_mask(ids.shape[1], self.max_seq_len),
+                    mask=prefill_mask(ids.shape[1], bucket),
                     **scales,
                 )
                 return logits[:, -1], kv
