@@ -135,7 +135,11 @@ def _pick_blocks(m: int, n: int, k: int):
     tuned = autotune.lookup(m, k, n)
     if tuned is not None:
         return tuned
-    bk = largest_divisor_tile(k, cap=256)
+    import os
+    # decode default bk=512: measured marginally faster than 256 across the
+    # 7B e2e matrix (deeper K per grid step amortizes per-step fixed cost);
+    # FLEXQ_BK_CAP overrides for A/B runs
+    bk = largest_divisor_tile(k, cap=int(os.environ.get("FLEXQ_BK_CAP", "512")))
     if m <= 32:
         # decode: weight-streaming bound — maximize N block for DMA depth
         # (cap 8192: measured ~10-20% over 4096 on wide-N 7B shapes; VMEM
@@ -145,7 +149,8 @@ def _pick_blocks(m: int, n: int, k: int):
     else:
         # prefill: MXU-bound — deep M blocks so each weight block unpacks
         # as few times as possible (the wrapper pads M up to the block);
-        # bn=512 keeps the f32 acc block in budget
+        # bn=512 keeps the f32 acc block in budget; bk stays 256 here
+        bk = largest_divisor_tile(k, cap=256)
         bm = min(1024, round_up(m, 256))
         bn = largest_divisor_tile(n, cap=512)
     return bm, bn, bk
