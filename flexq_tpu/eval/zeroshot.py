@@ -230,6 +230,62 @@ def _race(row) -> MCItem:
     )
 
 
+def _swag(row) -> MCItem:
+    return MCItem(
+        context=row["startphrase"],
+        choices=[" " + row[f"ending{i}"] for i in range(4)],
+        gold=int(row["label"]),
+    )
+
+
+def _mathqa(row) -> MCItem:
+    # options like "a ) 38 , b ) 27 , ..."; answerKey letter in "correct"
+    letters = ["a", "b", "c", "d", "e"]
+    opts = [o.split(")", 1)[1].strip() for o in row["options"].split(",")]
+    return MCItem(
+        context=f"Question: {row['Problem']}\nAnswer:",
+        choices=[" " + o for o in opts],
+        gold=letters.index(row["correct"]),
+    )
+
+
+def _truthfulqa_mc1(row) -> MCItem:
+    tgt = row["mc1_targets"]
+    return MCItem(
+        context=f"Q: {row['question']}\nA:",
+        choices=[" " + c for c in tgt["choices"]],
+        gold=int(np.argmax(tgt["labels"])),
+    )
+
+
+def _logiqa(row) -> MCItem:
+    ctx = (
+        f"Passage: {row['context']}\nQuestion: {row['query']}\nChoices:\n"
+        + "".join(
+            f"{l}. {o}\n" for l, o in zip("ABCD", row["options"])
+        )
+        + "Answer:"
+    )
+    return MCItem(
+        context=ctx,
+        choices=[" " + o for o in row["options"]],
+        gold=int(row["correct_option"]),
+    )
+
+
+def _wsc273(row) -> MCItem:
+    # score the full sentence with each candidate substituted at the pronoun
+    text = row["text"]
+    start = int(row["pronoun_loc"])
+    pre = text[:start].rstrip()
+    post = text[start + len(row["pronoun"]):]
+    return MCItem(
+        context=pre,
+        choices=[" " + opt + post for opt in row["options"]],
+        gold=int(row["label"]),
+    )
+
+
 TASK_ADAPTERS = {
     "piqa": _piqa,
     "arc_easy": _arc,
@@ -242,6 +298,11 @@ TASK_ADAPTERS = {
     "copa": _copa,
     "storycloze": _storycloze,
     "race": _race,
+    "swag": _swag,
+    "mathqa": _mathqa,
+    "truthfulqa_mc1": _truthfulqa_mc1,
+    "logiqa": _logiqa,
+    "wsc273": _wsc273,
 }
 
 

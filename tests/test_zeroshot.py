@@ -163,3 +163,25 @@ def test_lambada_evaluator_synthetic():
 
     res = evaluate_lambada(bigram_copy_forward, Tok(), ["aaaa aa", "abcd ef"])
     assert res["n"] == 2 and res["acc"] == 0.5
+
+
+def test_second_batch_task_adapters():
+    from flexq_tpu.eval.zeroshot import TASK_ADAPTERS
+
+    rows = {
+        "swag": {"startphrase": "He ran", "ending0": "a", "ending1": "b",
+                 "ending2": "c", "ending3": "d", "label": 2},
+        "mathqa": {"Problem": "2+2?", "options": "a ) 3 , b ) 4 , c ) 5 , d ) 6 , e ) 7",
+                   "correct": "b"},
+        "truthfulqa_mc1": {"question": "Why?",
+                           "mc1_targets": {"choices": ["x", "y"], "labels": [0, 1]}},
+        "logiqa": {"context": "All A are B.", "query": "So?",
+                   "options": ["p", "q", "r", "s"], "correct_option": 1},
+        "wsc273": {"text": "The cup fell because it was heavy.",
+                   "pronoun": "it", "pronoun_loc": 21,
+                   "options": ["the cup", "the table"], "label": 0},
+    }
+    for name, row in rows.items():
+        item = TASK_ADAPTERS[name](row)
+        assert 0 <= item.gold < len(item.choices), name
+        assert all(c.startswith(" ") for c in item.choices), name
