@@ -104,22 +104,36 @@ def forward_serve_tp(
     policy: QuantPolicy,
     ids: jax.Array,  # [B, L] int32, sharded P("data", None)
     mesh: Mesh,
-    kv_k: Optional[jax.Array] = None,  # [layers, B, KVH, max, D]
-    kv_v: Optional[jax.Array] = None,
+    kv_k: Optional[jax.Array] = None,  # dense [L, B, KVH, max, D]
+    kv_v: Optional[jax.Array] = None,  # — or paged pools [L, P, KVH, PS, D]
     cache_pos: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,
+    page_table: Optional[jax.Array] = None,  # int32 [B, maxpages] => paged
 ):
-    """TP×DP quantized forward. Returns (logits, new_kv or None)."""
+    """TP×DP quantized forward. Returns (logits, new_kv or None).
+
+    With ``page_table`` the cache buffers are PAGED pools (kv-head axis
+    sharded over `model`, pages+table shared by all data-parallel rows —
+    page ids are global, so the table is replicated)."""
     tp = mesh.shape["model"]
     lcfg = _local_cfg(cfg, tp)
     specs = param_specs(params)
-    kv_spec = P(None, "data", "model" if cfg.num_kv_heads >= tp else None, None, None)
+    paged = page_table is not None
+    if paged:
+        # v1: pages are written per batch row; replicating the pool across a
+        # data axis would fork its replicas
+        assert mesh.shape["data"] == 1, "paged TP requires dp=1 (v1)"
+    head_ax = "model" if cfg.num_kv_heads >= tp else None
+    if paged:
+        kv_spec = P(None, None, head_ax, None, None)  # pool: pages replicated
+    else:
+        kv_spec = P(None, "data", head_ax, None, None)
 
     # Quantized sub-layers return *partial* row-parallel outputs; psum is
     # injected via a policy hook: llama_layer_serve already adds residuals
     # AFTER o/down, so we wrap the layer body and psum inside.
-    def body(params, ids, kv_k, kv_v):
+    def body(params, ids, kv_k, kv_v, table):
         b, l = ids.shape
         x = params["embed"][ids]
         pos = (
@@ -136,7 +150,12 @@ def forward_serve_tp(
             else None
         )
         for i, lp in enumerate(params["layers"]):
-            kv = (kv_k, kv_v, i) if have else None
+            if not have:
+                kv = None
+            elif paged:
+                kv = ("paged", kv_k, kv_v, table, i)
+            else:
+                kv = (kv_k, kv_v, i)
             x, new_kv = llama_layer_serve(
                 lp,
                 lcfg,
@@ -167,15 +186,17 @@ def forward_serve_tp(
     if not have_cache:
         kv_k = jnp.zeros((), jnp.int32)
         kv_v = jnp.zeros((), jnp.int32)
+    if page_table is None:
+        page_table = jnp.zeros((), jnp.int32)
     cache_spec = kv_spec if have_cache else P()
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(specs, P("data", None), cache_spec, cache_spec),
+        in_specs=(specs, P("data", None), cache_spec, cache_spec, P()),
         out_specs=(P("data", None, None), cache_spec, cache_spec),
         check_vma=False,
     )
-    logits, nk, nv = fn(params, ids, kv_k if have_cache else kv_k, kv_v)
+    logits, nk, nv = fn(params, ids, kv_k, kv_v, page_table)
     return (logits, (nk, nv)) if have_cache else (logits, None)
 
 

@@ -229,3 +229,46 @@ def test_tp_exceeds_kv_heads_via_replication():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-3, atol=3e-3
     )
+
+
+def test_tp_paged_decode_matches_dense(quantized):
+    """TP decode over a paged pool (kv-heads sharded) == TP dense cache."""
+    from flexq_tpu.parallel import forward_serve_tp, make_mesh, shard_params
+    from flexq_tpu.serve.engine import decode_mask
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax
+
+    cfg, policy, qparams = quantized
+    mesh = make_mesh(tp=2, dp=1)
+    sharded = shard_params(qparams, mesh)
+    b, maxlen, ps = 2, 256, 128
+    dshape = (cfg.num_layers, b, cfg.num_kv_heads, maxlen, cfg.head_dim)
+    kv_k = jnp.zeros(dshape, jnp.float32)
+    kv_v = jnp.zeros(dshape, jnp.float32)
+
+    npages = b * (maxlen // ps) + 1
+    pshape = (cfg.num_layers, npages, cfg.num_kv_heads, ps, cfg.head_dim)
+    pool_k = jnp.zeros(pshape, jnp.float32)
+    pool_v = jnp.zeros(pshape, jnp.float32)
+    # row 0 -> pages 1,2 ; row 1 -> pages 3,4 (page 0 = garbage)
+    table = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    spec = NamedSharding(mesh, P(None, None, "model", None, None))
+    pool_k = jax.device_put(pool_k, spec)
+    pool_v = jax.device_put(pool_v, spec)
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (b, 1)))
+    # several decode steps; caches start empty both sides
+    want = got = None
+    for t in range(3):
+        want, (kv_k, kv_v) = forward_serve_tp(
+            sharded, cfg, policy, ids, mesh, kv_k=kv_k, kv_v=kv_v,
+            cache_pos=jnp.int32(t), mask=decode_mask(jnp.int32(t), maxlen),
+        )
+        got, (pool_k, pool_v) = forward_serve_tp(
+            sharded, cfg, policy, ids, mesh, kv_k=pool_k, kv_v=pool_v,
+            cache_pos=jnp.int32(t), page_table=table,
+        )
+        ids = jnp.argmax(want[:, -1], -1).astype(jnp.int32)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
