@@ -136,10 +136,11 @@ def _pick_blocks(m: int, n: int, k: int):
     if tuned is not None:
         return tuned
     import os
-    # decode default bk=512: measured marginally faster than 256 across the
-    # 7B e2e matrix (deeper K per grid step amortizes per-step fixed cost);
-    # FLEXQ_BK_CAP overrides for A/B runs
-    bk = largest_divisor_tile(k, cap=int(os.environ.get("FLEXQ_BK_CAP", "512")))
+    # decode bk=256: bk=512 looked marginally faster on the 7B e2e matrix
+    # but dropped the reference-shape kernel metric (M=1 + 70B shapes) from
+    # 2.667x to 2.583x vs bf16 — 256 wins across the full matrix.
+    # FLEXQ_BK_CAP overrides for A/B runs.
+    bk = largest_divisor_tile(k, cap=int(os.environ.get("FLEXQ_BK_CAP", "256")))
     if m <= 32:
         # decode: weight-streaming bound — maximize N block for DMA depth
         # (cap 8192: measured ~10-20% over 4096 on wide-N 7B shapes; VMEM
