@@ -148,12 +148,13 @@ def _pick_blocks(m: int, n: int, k: int):
         bm = round_up(m, 8)
         bn = largest_divisor_tile(n, cap=8192)
     else:
-        # prefill: MXU-bound — deep M blocks so each weight block unpacks
-        # as few times as possible (the wrapper pads M up to the block);
-        # bn=512 keeps the f32 acc block in budget; bk stays 256 here
-        bk = largest_divisor_tile(k, cap=256)
-        bm = min(1024, round_up(m, 256))
-        bn = largest_divisor_tile(n, cap=512)
+        # prefill: MXU-bound. Swept at M=2048 over 7B shapes: bm=512 with
+        # wide bn (2048) and bk=512 runs 162-172 TF vs ~135-150 for the old
+        # (1024, 512, 256) choice — wider N amortizes the in-kernel weight
+        # dequant across more MXU work per block. f32 acc 512x2048 = 4 MB.
+        bk = largest_divisor_tile(k, cap=512)
+        bm = min(512, round_up(m, 256))
+        bn = largest_divisor_tile(n, cap=2048)
     return bm, bn, bk
 
 
