@@ -71,15 +71,41 @@ class PagePool:
     def insert_prefill(self, pages: List[int], kv_k1, kv_v1, plen: int,
                        ks1=None, vs1=None) -> None:
         """Copy a B=1 dense prefill cache region [L, 1, KVH, S, D] into the
-        allocated pages (page i gets tokens [i*PS, (i+1)*PS))."""
+        allocated pages (page i gets tokens [i*PS, (i+1)*PS)).
+
+        One jitted donated scatter for all pages — per-page .at[].set calls
+        would copy the whole multi-GB pool once per page.
+        """
+        import functools
+
+        n = len(pages)
+        key = (n, self.quantized)
+        if not hasattr(self, "_insert_jit"):
+            self._insert_jit = {}
+        if key not in self._insert_jit:
+            ps = self.page_size
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def ins(pool, region, idx):
+                # region [L, n*PS, KVH, ...] -> paged [L, n, KVH, PS, ...]
+                l = region.shape[0]
+                r = region.reshape((l, n, ps) + region.shape[2:])
+                r = jnp.moveaxis(r, 2, 3)  # [L, n, KVH, PS, ...]
+                return pool.at[:, idx].set(r)
+
+            self._insert_jit[key] = ins
+        ins = self._insert_jit[key]
+        idx = jnp.asarray(pages, jnp.int32)
         ps = self.page_size
-        for i, pg in enumerate(pages):
-            sl = slice(i * ps, (i + 1) * ps)
-            self.pool_k = self.pool_k.at[:, pg].set(kv_k1[:, 0, :, sl])
-            self.pool_v = self.pool_v.at[:, pg].set(kv_v1[:, 0, :, sl])
-            if self.quantized:
-                self.scale_k = self.scale_k.at[:, pg].set(ks1[:, 0, :, sl])
-                self.scale_v = self.scale_v.at[:, pg].set(vs1[:, 0, :, sl])
+
+        def region(x):  # [L, 1, KVH, S>=n*PS, D?] -> [L, n*PS, KVH, ...]
+            return jnp.swapaxes(x[:, 0, :, : len(pages) * ps], 1, 2)
+
+        self.pool_k = ins(self.pool_k, region(kv_k1), idx)
+        self.pool_v = ins(self.pool_v, region(kv_v1), idx)
+        if self.quantized:
+            self.scale_k = ins(self.scale_k, region(ks1), idx)
+            self.scale_v = ins(self.scale_v, region(vs1), idx)
 
     def state(self) -> Tuple:
         if self.quantized:
