@@ -190,6 +190,25 @@ def w6_matmul(
     if interpret is None:
         interpret = use_interpret()
 
+    import os
+
+    if (
+        m <= 32
+        and k > n
+        and block_m is None
+        and not os.environ.get("FLEXQ_NO_STREAM")
+    ):
+        # K-tall decode shapes (down_proj/fc2): the manual triple-buffered
+        # streaming kernel measures ~3-5% faster (9/12 repeats) — deep-K
+        # loops favor owning the DMA pipeline (same finding as flash_decode)
+        from flexq_tpu.kernels.w6_stream import w6_matmul_stream
+
+        return w6_matmul_stream(
+            x_q, x_scale, w_hi, w_lo, w_scale,
+            out_dtype=out_dtype, block_n=block_n, block_k=block_k,
+            interpret=interpret,
+        )
+
     abm, abn, abk = _pick_blocks(m, n, k)
     bm = block_m or abm
     bn = block_n or abn

@@ -140,3 +140,40 @@ def test_candidate_configs_valid():
 
     for bm, bn, bk in candidate_configs(8, 11008, 4096):
         assert 11008 % bk == 0 and 4096 % bn == 0 and bm == 8
+
+
+def test_stream_kernel_matches_golden():
+    """Manual-DMA streaming decode kernel (k-tall dispatch target)."""
+    import jax.numpy as jnp2
+    from flexq_tpu.kernels.w6_stream import w6_matmul_stream
+    from flexq_tpu.kernels.w6_matmul import w6_matmul_ref
+    from flexq_tpu.packing import pack6 as _p6
+
+    rng = np.random.default_rng(4)
+    for m, k, n in [(1, 768, 256), (8, 512, 128), (13, 1024, 384)]:
+        xq = jnp.asarray(rng.integers(-32, 32, (m, k)), jnp.int8)
+        xs = jnp.asarray(rng.uniform(0.01, 0.1, (m, k // 128)), jnp.float32)
+        wq = jnp.asarray(rng.integers(-32, 32, (k, n)), jnp.int8)
+        ws = jnp.asarray(rng.uniform(0.01, 0.1, (k // 128, n)), jnp.float32)
+        hi, lo = _p6(wq)
+        got = np.asarray(
+            w6_matmul_stream(xq, xs, hi, lo, ws, out_dtype=jnp.float32,
+                             block_n=128, block_k=128)
+        )
+        want = np.asarray(w6_matmul_ref(xq, xs, hi, lo, ws))
+        assert np.abs(got - want).max() < 1e-3 * max(1.0, np.abs(want).max()), (m, k, n)
+
+
+def test_ktall_dispatch_routes_to_stream():
+    """w6_matmul with k>n, m<=32 must produce identical results through the
+    stream dispatch path (exactness is the contract either way)."""
+    rng = np.random.default_rng(5)
+    m, k, n = 4, 1024, 256
+    xq = jnp.asarray(rng.integers(-32, 32, (m, k)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(0.01, 0.1, (m, k // 128)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-32, 32, (k, n)), jnp.int8)
+    ws = jnp.asarray(rng.uniform(0.01, 0.1, (k // 128, n)), jnp.float32)
+    hi, lo = pack6(wq)
+    got = np.asarray(w6_matmul(xq, xs, hi, lo, ws, out_dtype=jnp.float32))
+    want = np.asarray(w6_matmul_ref(xq, xs, hi, lo, ws))
+    assert np.abs(got - want).max() < 1e-3 * max(1.0, np.abs(want).max())
