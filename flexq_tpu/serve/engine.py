@@ -271,6 +271,10 @@ class Engine:
         token_counts = jnp.asarray(counts)
 
         if mode == "fused":
+            if return_stats:
+                # force prefill completion so TTFT is real (a lap after an
+                # async dispatch measures ~nothing); costs one value fetch
+                float(jnp.max(logits))
             stats.ttft_s = timer.lap()  # prefill time (first token is on-device)
             tokens, _ = self._loop_jit(
                 self.params,

@@ -212,3 +212,35 @@ def test_chunked_prefill_matches_single_pass():
     out1 = eng1.generate([[1, 5, 9, 12, 3, 7]], max_new_tokens=4, eos_id=-1)
     out2 = eng2.generate([[1, 5, 9, 12, 3, 7]], max_new_tokens=4, eos_id=-1)
     assert out1 == out2
+
+
+def test_opt_engine_generate_with_cache():
+    """OPT serve path through the Engine (cache + flash/fallback attention):
+    incremental decode must equal the full-sequence argmax chain."""
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from flexq_tpu.models import config_from_hf, from_hf_opt
+
+    torch.manual_seed(0)
+    ocfg = OPTConfig(
+        vocab_size=128, hidden_size=128, ffn_dim=256, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=256,
+        do_layer_norm_before=True, tie_word_embeddings=True,
+    )
+    m = OPTForCausalLM(ocfg).eval()
+    cfg = config_from_hf(m.config)
+    params = from_hf_opt(m, dtype=jnp.float32)
+    policy = QuantPolicy.opt_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    # max_seq_len 128 => flash decode path active
+    eng = Engine(qparams, cfg, policy, max_seq_len=128, kv_dtype=jnp.float32)
+    prompt = [4, 9, 17]
+    out = eng.generate([prompt], max_new_tokens=5, eos_id=-1)[0]
+    seq = list(prompt)
+    want = []
+    for _ in range(5):
+        logits, _ = forward_serve(qparams, cfg, policy, jnp.asarray([seq]))
+        nxt = int(np.asarray(logits)[0, -1].argmax())
+        want.append(nxt)
+        seq.append(nxt)
+    assert out == want, (out, want)
