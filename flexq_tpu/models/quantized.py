@@ -61,6 +61,10 @@ def quantize_linear(
     if n_pad:
         q = jnp.pad(q, ((0, 0), (0, n_pad)))
         s = jnp.pad(s, ((0, 0), (0, n_pad)))
+    if spec.bits == 8:
+        # W8A8 baseline path (reference's SmoothQuant comparison,
+        # int8_mode=2): dense int8 weights, no sub-byte packing
+        return {"q8": q, "scale": jnp.asarray(s, jnp.float32)}
     hi, lo = pack6(q)
     return {"hi": hi, "lo": lo, "scale": jnp.asarray(s, jnp.float32)}
 
@@ -307,6 +311,10 @@ def _qlinear(
 ) -> jax.Array:
     if "hi" in wq:
         y = w6_matmul(xq, xs, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    elif "q8" in wq:
+        from flexq_tpu.kernels.w8_matmul import w8_matmul
+
+        y = w8_matmul(xq, xs, wq["q8"], wq["scale"], out_dtype=out_dtype)
     else:
         # 16-bit weight under a mixed policy: dequantize the (already
         # act-quantized) input and run a dense matmul — same semantics as the
@@ -325,6 +333,15 @@ def _qlinear(
 def _qlinear_bf16(wq, x, out_dtype, n_out=None):
     if "hi" in wq:
         y = w6_matmul_bf16(x, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    elif "q8" in wq:
+        # W8A16 prefill for the baseline path: dequantize per group and run
+        # a dense matmul (XLA fuses the dequant into the dot's producer)
+        k, n = wq["q8"].shape
+        wdq = (
+            wq["q8"].astype(jnp.float32).reshape(k // GROUP_SIZE, GROUP_SIZE, n)
+            * wq["scale"][:, None, :]
+        ).reshape(k, n).astype(x.dtype)
+        y = x @ wdq
     else:
         y = x @ wq["w"].astype(x.dtype)
     if n_out is not None and y.shape[-1] != n_out:
@@ -378,10 +395,10 @@ def llama_layer_serve_prefill(
     x2 = x2 + o
 
     h = rmsnorm(x2, lp["post_norm"], cfg.norm_eps)
+    dp = lp["down_proj"]
     ffn_pad = (
-        lp["down_proj"]["hi"].shape[0] * 2
-        if "hi" in lp["down_proj"]
-        else cfg.intermediate_size
+        dp["hi"].shape[0] * 2 if "hi" in dp
+        else (dp["q8"].shape[0] if "q8" in dp else cfg.intermediate_size)
     )
     gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
     up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
@@ -460,10 +477,10 @@ def llama_layer_serve(
         o, lp["post_norm"], bits=a_ffn, residual=x2, eps=cfg.norm_eps
     )
     # gate/up stay at the PADDED ffn width so they feed down_proj's padded K
+    dp = lp["down_proj"]
     ffn_pad = (
-        lp["down_proj"]["hi"].shape[0] * 2
-        if "hi" in lp["down_proj"]
-        else cfg.intermediate_size
+        dp["hi"].shape[0] * 2 if "hi" in dp
+        else (dp["q8"].shape[0] if "q8" in dp else cfg.intermediate_size)
     )
     if "gate_up" in lp:
         gu = _qlinear(lp["gate_up"], fq, fs, dtype)
@@ -528,7 +545,8 @@ def opt_layer_serve(
         x2, lp["post_norm"]["g"], lp["post_norm"]["b"], bits=a_fc1, eps=cfg.norm_eps
     )
     ffn_pad = (
-        lp["fc2"]["hi"].shape[0] * 2 if "hi" in lp["fc2"] else cfg.intermediate_size
+        lp["fc2"]["hi"].shape[0] * 2 if "hi" in lp["fc2"]
+        else (lp["fc2"]["q8"].shape[0] if "q8" in lp["fc2"] else cfg.intermediate_size)
     )
     h = _qlinear(lp["fc1"], fq, fs, dtype, ffn_pad)
     hq, hs = relu_quant(h, bits=policy.act_bits.get("fc2", 6))

@@ -154,7 +154,14 @@ def main():
         n = autotune.load_table(sys.argv[1])
         print(f"loaded tuned table {sys.argv[1]} ({n} entries)", flush=True)
     print("devices:", jax.devices(), flush=True)
-    policy = QuantPolicy.llama_flex()
+    if os.environ.get("FLEXQ_BENCH_WBITS") == "8":
+        # the reference's central e2e comparison: FlexQ W6Ax vs SmoothQuant
+        # W8A8 (README.md:193: 1.25-1.33x) — run with WBITS=8 for the
+        # baseline side
+        policy = QuantPolicy.uniform("llama", wbits=8, abits=8)
+        print("policy: uniform W8A8 (SmoothQuant-baseline path)", flush=True)
+    else:
+        policy = QuantPolicy.llama_flex()
     print("generating + quantizing layer-by-layer...", flush=True)
     cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
