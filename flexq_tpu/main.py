@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--abits", type=int, default=6)
     ap.add_argument("--flex_linear_quant", action="store_true",
                     help="per-architecture sensitivity policy (reference default)")
+    ap.add_argument("--w_group_size", type=int, default=128)
+    ap.add_argument("--a_group_size", type=int, default=128)
+    ap.add_argument("--asymmetric", action="store_true",
+                    help="asymmetric quantization (reference --symmetric default here)")
     ap.add_argument("--smooth", action="store_true",
                     help="SmoothQuant-style folds before quantization")
     ap.add_argument("--smooth-alpha", type=float, default=0.5)
@@ -87,7 +91,15 @@ def main(argv=None):
     params = loader(model, dtype=jnp.float32)
     del model
 
+    import dataclasses as _dc
+
     policy = build_policy(args)
+    policy = _dc.replace(
+        policy,
+        w_group_size=args.w_group_size,
+        a_group_size=args.a_group_size,
+        symmetric=not args.asymmetric,
+    )
     results = {"model": args.model, "wbits": args.wbits, "abits": args.abits}
 
     if args.smooth:
