@@ -9,6 +9,7 @@ connections are admitted into the scheduler's slots and decoded together
 
 API:
   GET  /health            -> {"ok": true, "slots": N, "pending": M}
+  GET  /metrics           -> request/token counters, tok/s, slot occupancy
   POST /generate          body: {"prompt_ids": [int...],
                                  "max_new_tokens": int = 64,
                                  "temperature"/"top_k"/"top_p"/
@@ -42,6 +43,10 @@ class SchedulerService:
         self._results: Dict[int, List[int]] = {}
         self._poll_idle_s = poll_idle_s
         self._stop = False
+        self._t0 = time.monotonic()
+        self._requests_done = 0
+        self._tokens_out = 0
+        self._steps = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -51,8 +56,11 @@ class SchedulerService:
                 had_work = self.scheduler.has_work
                 if had_work:
                     finished = self.scheduler.step()
+                    self._steps += 1
                     for rid, toks in finished.items():
                         self._results[rid] = toks
+                        self._requests_done += 1
+                        self._tokens_out += len(toks)
                         ev = self._events.get(rid)
                         if ev is not None:
                             ev.set()
@@ -85,6 +93,26 @@ class SchedulerService:
                 "pending": len(self.scheduler.pending),
             }
 
+    def metrics(self) -> Dict[str, float]:
+        up = max(time.monotonic() - self._t0, 1e-9)
+        with self._lock:
+            m = {
+                "uptime_s": round(up, 3),
+                "requests_completed": self._requests_done,
+                "tokens_generated": self._tokens_out,
+                "decode_steps": self._steps,
+                "tokens_per_s_lifetime": round(self._tokens_out / up, 3),
+                **{f"slots_{k}": v for k, v in (
+                    ("total", self.scheduler.num_slots),
+                    ("active", sum(1 for s in self.scheduler.slots if s.req_id is not None)),
+                )},
+                "pending": len(self.scheduler.pending),
+            }
+            if getattr(self.scheduler, "paged", False):
+                m["pages_free"] = self.scheduler.pool.free_pages
+                m["pages_total"] = self.scheduler.pool.num_pages
+            return m
+
     def shutdown(self):
         self._stop = True
         self._worker.join(timeout=5)
@@ -106,6 +134,8 @@ def _make_handler(service: SchedulerService):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"ok": True, **service.stats()})
+            elif self.path == "/metrics":
+                self._send(200, service.metrics())
             else:
                 self._send(404, {"error": "not found"})
 

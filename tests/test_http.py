@@ -81,3 +81,30 @@ def test_http_generate_matches_scheduler():
     finally:
         service.shutdown()
         server.shutdown()
+
+
+def test_http_metrics_endpoint():
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    mcfg = config_from_hf(m.config)
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(from_hf_llama(m, dtype=jnp.float32), mcfg, policy,
+                              dtype=jnp.float32)
+    sched = BatchScheduler(qparams, mcfg, policy, num_slots=2, max_seq_len=256,
+                           paged=True, page_size=128, kv_dtype=jnp.float32)
+    server, service, port = serve_background(sched)
+    try:
+        _ = _post(port, "/generate", {"prompt_ids": [1, 2, 3],
+                                      "max_new_tokens": 4, "eos_id": -1})
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            met = json.loads(r.read())
+        assert met["requests_completed"] == 1 and met["tokens_generated"] == 4
+        assert met["pages_total"] > met["pages_free"] >= 0 or met["pages_free"] == met["pages_total"] - 1
+    finally:
+        service.shutdown()
+        server.shutdown()
