@@ -361,3 +361,111 @@ def load_task_items(name: str, data_dir: str, split: str = "validation") -> List
         ds = ds[split]
     adapter = TASK_ADAPTERS[name]
     return [adapter(row) for row in ds]
+
+
+# --- generation-based tasks (greedy_until + exact-match/F1 scoring) ---------
+
+@dataclasses.dataclass
+class GenItem:
+    """One generation instance: prompt + acceptable answers."""
+
+    context: str
+    answers: List[str]
+
+
+def _normalize_answer(s: str) -> str:
+    """SQuAD-style normalization: lowercase, strip articles/punct/whitespace."""
+    import re
+    import string
+
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def _f1(pred: str, gold: str) -> float:
+    p = _normalize_answer(pred).split()
+    g = _normalize_answer(gold).split()
+    if not p or not g:
+        return float(p == g)
+    common = {}
+    for t in p:
+        common[t] = min(p.count(t), g.count(t))
+    overlap = sum(common.values())
+    if overlap == 0:
+        return 0.0
+    prec = overlap / len(p)
+    rec = overlap / len(g)
+    return 2 * prec * rec / (prec + rec)
+
+
+def evaluate_generation(
+    generate_fn: Callable[[List[int], int], List[int]],  # ids, max_new -> ids
+    tokenizer,
+    items: Sequence[GenItem],
+    max_new_tokens: int = 64,
+    stop_strings: Sequence[str] = ("\n",),
+    extract_number: bool = False,
+) -> Dict[str, float]:
+    """Greedy-until evaluation (lm_eval greedy_until request type — the
+    harness class behind squad/triviaqa/gsm8k/drop). Scores exact match and
+    token F1 against the answer set; ``extract_number`` pulls the last
+    number from the completion first (gsm8k final-answer convention)."""
+    import re
+
+    em = 0.0
+    f1 = 0.0
+    for item in items:
+        ids = tokenizer(item.context, return_tensors="np").input_ids[0].tolist()
+        out_ids = generate_fn(ids, max_new_tokens)
+        text = tokenizer.decode(out_ids) if hasattr(tokenizer, "decode") else "".join(
+            chr(t) for t in out_ids
+        )
+        for stop in stop_strings:
+            if stop in text:
+                text = text[: text.index(stop)]
+        if extract_number:
+            nums = re.findall(r"-?\d[\d,]*\.?\d*", text.replace(",", ""))
+            text = nums[-1] if nums else text
+        em += max(
+            float(_normalize_answer(text) == _normalize_answer(a))
+            for a in item.answers
+        )
+        f1 += max(_f1(text, a) for a in item.answers)
+    n = max(len(items), 1)
+    return {"exact_match": em / n, "f1": f1 / n, "n": len(items)}
+
+
+def _squad(row) -> GenItem:
+    return GenItem(
+        context=(
+            f"Title: {row.get('title', '')}\n\nBackground: {row['context']}\n\n"
+            f"Question: {row['question']}\n\nAnswer:"
+        ),
+        answers=list(row["answers"]["text"]) or [""],
+    )
+
+
+def _triviaqa(row) -> GenItem:
+    ans = row["answer"]
+    aliases = list(ans.get("aliases", [])) or [ans.get("value", "")]
+    return GenItem(
+        context=f"Question: {row['question']}\nAnswer:",
+        answers=aliases,
+    )
+
+
+def _gsm8k(row) -> GenItem:
+    gold = row["answer"].split("####")[-1].strip()
+    return GenItem(
+        context=f"Question: {row['question']}\nAnswer:",
+        answers=[gold],
+    )
+
+
+GEN_TASK_ADAPTERS = {
+    "squad": _squad,
+    "triviaqa": _triviaqa,
+    "gsm8k": _gsm8k,
+}

@@ -185,3 +185,43 @@ def test_second_batch_task_adapters():
         item = TASK_ADAPTERS[name](row)
         assert 0 <= item.gold < len(item.choices), name
         assert all(c.startswith(" ") for c in item.choices), name
+
+
+def test_generation_eval_harness():
+    """greedy_until scoring: EM/F1 with normalization + number extraction."""
+    import numpy as np
+    from flexq_tpu.eval.zeroshot import (
+        GEN_TASK_ADAPTERS, GenItem, evaluate_generation,
+    )
+
+    class Tok:
+        def __call__(self, text, return_tensors=None):
+            ids = np.asarray([[ord(c) for c in text]], np.int64)
+            class R: input_ids = ids
+            return R()
+        def decode(self, ids):
+            return "".join(chr(int(t)) for t in ids)
+
+    # a "model" that always answers " The Cat.\nmore" (EM after normalization)
+    fixed = [ord(c) for c in " The Cat.\njunk"]
+    gen = lambda ids, n: fixed[:n]
+    items = [GenItem(context="Q: what?\nA:", answers=["cat"]),
+             GenItem(context="Q: who?\nA:", answers=["dog"])]
+    res = evaluate_generation(gen, Tok(), items, max_new_tokens=20)
+    assert res["exact_match"] == 0.5 and res["n"] == 2
+
+    # gsm8k number extraction
+    fixed_num = [ord(c) for c in " reasoning... so the answer is 42\n"]
+    gen2 = lambda ids, n: fixed_num[:n]
+    item = GEN_TASK_ADAPTERS["gsm8k"]({"question": "2*21?", "answer": "blah\n#### 42"})
+    res2 = evaluate_generation(gen2, Tok(), [item], max_new_tokens=64,
+                               extract_number=True)
+    assert res2["exact_match"] == 1.0
+
+    # adapters shape check
+    sq = GEN_TASK_ADAPTERS["squad"]({"title": "T", "context": "C.",
+                                     "question": "Q?", "answers": {"text": ["a1"]}})
+    assert sq.answers == ["a1"]
+    tq = GEN_TASK_ADAPTERS["triviaqa"]({"question": "Q?",
+                                        "answer": {"aliases": ["x", "y"], "value": "x"}})
+    assert tq.answers == ["x", "y"]
