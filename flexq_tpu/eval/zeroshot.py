@@ -286,6 +286,74 @@ def _wsc273(row) -> MCItem:
     )
 
 
+def _mmlu(row) -> MCItem:
+    # hendrycks_test: question, choices [4], answer int
+    ctx = row["question"].strip()
+    letters = ["A", "B", "C", "D"]
+    ctx = (
+        ctx + "\n" + "".join(
+            f"{l}. {c}\n" for l, c in zip(letters, row["choices"])
+        ) + "Answer:"
+    )
+    return MCItem(
+        context=ctx,
+        choices=[" " + l for l in letters],
+        gold=int(row["answer"]),
+    )
+
+
+def _anli(row) -> MCItem:
+    # 3-way NLI (lm_eval phrasing); label 0=entail 1=neutral 2=contradiction
+    ctx = (
+        f"{row['premise']}\nQuestion: {row['hypothesis']} True, False, "
+        "or Neither?\nAnswer:"
+    )
+    return MCItem(
+        context=ctx,
+        choices=[" True", " Neither", " False"],
+        gold=[0, 1, 2].index(int(row["label"])),
+    )
+
+
+def _cb(row) -> MCItem:
+    ctx = (
+        f"{row['premise']}\nQuestion: {row['hypothesis']}. True, False, "
+        "or Neither?\nAnswer:"
+    )
+    return MCItem(
+        context=ctx,
+        choices=[" True", " False", " Neither"],
+        gold=int(row["label"]),
+    )
+
+
+def _rte(row) -> MCItem:
+    ctx = f"{row['sentence1']}\nQuestion: {row['sentence2']} True or False?\nAnswer:"
+    return MCItem(context=ctx, choices=[" True", " False"], gold=int(row["label"]))
+
+
+def _wic(row) -> MCItem:
+    ctx = (
+        f"Sentence 1: {row['sentence1']}\nSentence 2: {row['sentence2']}\n"
+        f"Question: Is the word '{row['word']}' used in the same way in the "
+        "two sentences above?\nAnswer:"
+    )
+    return MCItem(context=ctx, choices=[" no", " yes"], gold=int(row["label"]))
+
+
+def _pubmedqa(row) -> MCItem:
+    ctx_txt = " ".join(row["context"]["contexts"]) if isinstance(
+        row.get("context"), dict
+    ) else str(row.get("context", ""))
+    ctx = f"Abstract: {ctx_txt}\nQuestion: {row['question']}\nAnswer:"
+    order = ["yes", "no", "maybe"]
+    return MCItem(
+        context=ctx,
+        choices=[" " + o for o in order],
+        gold=order.index(row["final_decision"]),
+    )
+
+
 TASK_ADAPTERS = {
     "piqa": _piqa,
     "arc_easy": _arc,
@@ -303,6 +371,13 @@ TASK_ADAPTERS = {
     "truthfulqa_mc1": _truthfulqa_mc1,
     "logiqa": _logiqa,
     "wsc273": _wsc273,
+    "hendrycks_test": _mmlu,
+    "mmlu": _mmlu,
+    "anli": _anli,
+    "cb": _cb,
+    "rte": _rte,
+    "wic": _wic,
+    "pubmedqa": _pubmedqa,
 }
 
 
@@ -464,8 +539,26 @@ def _gsm8k(row) -> GenItem:
     )
 
 
+def _webqs(row) -> GenItem:
+    return GenItem(
+        context=f"Question: {row['question']}\nAnswer:",
+        answers=list(row["answers"]),
+    )
+
+
+def _naturalqs(row) -> GenItem:
+    # natural_questions open variant: question + short answers
+    q = row["question"]
+    if isinstance(q, dict):
+        q = q.get("text", "")
+    ans = row.get("answer") or row.get("answers") or [""]
+    return GenItem(context=f"Q: {q}\nA:", answers=list(ans))
+
+
 GEN_TASK_ADAPTERS = {
     "squad": _squad,
     "triviaqa": _triviaqa,
     "gsm8k": _gsm8k,
+    "webqs": _webqs,
+    "naturalqs": _naturalqs,
 }

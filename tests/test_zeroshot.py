@@ -225,3 +225,26 @@ def test_generation_eval_harness():
     tq = GEN_TASK_ADAPTERS["triviaqa"]({"question": "Q?",
                                         "answer": {"aliases": ["x", "y"], "value": "x"}})
     assert tq.answers == ["x", "y"]
+
+
+def test_third_batch_task_adapters():
+    from flexq_tpu.eval.zeroshot import GEN_TASK_ADAPTERS, TASK_ADAPTERS
+
+    rows = {
+        "mmlu": {"question": "2+2?", "choices": ["1", "2", "3", "4"], "answer": 3},
+        "anli": {"premise": "P.", "hypothesis": "H", "label": 1},
+        "cb": {"premise": "P.", "hypothesis": "H", "label": 2},
+        "rte": {"sentence1": "A.", "sentence2": "B", "label": 0},
+        "wic": {"sentence1": "A.", "sentence2": "B.", "word": "bank", "label": 1},
+        "pubmedqa": {
+            "question": "Q?", "final_decision": "maybe",
+            "context": {"contexts": ["c1", "c2"]},
+        },
+    }
+    for name, row in rows.items():
+        item = TASK_ADAPTERS[name](row)
+        assert 0 <= item.gold < len(item.choices), name
+    g = GEN_TASK_ADAPTERS["webqs"]({"question": "Q?", "answers": ["a", "b"]})
+    assert g.answers == ["a", "b"]
+    n = GEN_TASK_ADAPTERS["naturalqs"]({"question": "Q?", "answer": ["x"]})
+    assert n.answers == ["x"]
