@@ -6,3 +6,10 @@ from flexq_tpu.eval.data import (
     tokenize_eval_ids,
 )
 from flexq_tpu.eval.ppl import perplexity, window_nll
+from flexq_tpu.eval.zeroshot import (
+    GEN_TASK_ADAPTERS,
+    TASK_ADAPTERS,
+    evaluate_generation,
+    evaluate_lambada,
+    evaluate_multiple_choice,
+)
