@@ -44,7 +44,9 @@ def _kernel(
     bn: int,
     bk: int,
     out_dtype,
+    nbuf: int = NBUF,
 ):
+    NBUF = nbuf
     j = pl.program_id(0)
     k_total = x_ref.shape[1]
     nk = k_total // bk
@@ -101,7 +103,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "block_n", "block_k", "interpret")
+    jax.jit, static_argnames=("out_dtype", "block_n", "block_k", "interpret", "nbuf")
 )
 def w6_matmul_stream(
     x_q: jax.Array,  # int8 [M, K]
@@ -114,6 +116,7 @@ def w6_matmul_stream(
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    nbuf: int = NBUF,
 ) -> jax.Array:
     m, k = x_q.shape
     n = w_hi.shape[1]
@@ -131,7 +134,9 @@ def w6_matmul_stream(
     ws_t = w_scale.astype(jnp.float32).reshape(ng, 1, n)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype),
+        functools.partial(
+            _kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype, nbuf=nbuf
+        ),
         grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((bm, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -143,10 +148,10 @@ def w6_matmul_stream(
         out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bm, n), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, bk // 2, bn), jnp.int8),
-            pltpu.VMEM((NBUF, bk // 4, bn), jnp.int8),
+            pltpu.VMEM((nbuf, bk // 2, bn), jnp.int8),
+            pltpu.VMEM((nbuf, bk // 4, bn), jnp.int8),
             pltpu.VMEM((bm, bn), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SemaphoreType.DMA((nbuf, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

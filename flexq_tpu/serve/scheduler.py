@@ -31,6 +31,13 @@ from flexq_tpu.serve.engine import prefill_mask
 from flexq_tpu.serve.sampling import SamplingParams, process_logits, sample
 
 
+def _cache_spec(cfg, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    head_ax = "model" if cfg.num_kv_heads >= mesh.shape["model"] else None
+    return NamedSharding(mesh, P(None, None, head_ax, None, None))
+
+
 @dataclasses.dataclass
 class _Slot:
     req_id: Optional[int] = None
@@ -40,6 +47,12 @@ class _Slot:
     eos_id: int = 2
     max_new: int = 64
     prompt: List[int] = dataclasses.field(default_factory=list)
+    # chunked-prefill admission state (phase == "prefill" while the prompt
+    # is being chunked into the scratch cache; decode ticks skip the slot)
+    phase: str = "decode"
+    prefill_pos: int = 0
+    bucket: int = 0
+    scratch: Optional[Tuple] = None
 
 
 @dataclasses.dataclass
@@ -66,7 +79,20 @@ class BatchScheduler:
         paged: bool = False,
         page_size: int = 128,
         num_pages: Optional[int] = None,
+        prefill_chunk: Optional[int] = None,
+        mesh=None,
     ):
+        # mesh => multi-device serving: params TP-sharded (column/row split),
+        # KV cache / page pool sharded on the kv-head axis, every scheduler
+        # step a shard_map TP forward (parallel/tp.py). v1 keeps the bf16
+        # cache (quantized KV scales are single-device-only) and dp=1.
+        self.mesh = mesh
+        if mesh is not None:
+            from flexq_tpu.parallel.tp import shard_params
+
+            assert kv_dtype != jnp.int8, "mesh + int8 KV not supported (v1)"
+            assert mesh.shape.get("data", 1) == 1, "scheduler TP requires dp=1"
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.policy = policy
@@ -74,6 +100,12 @@ class BatchScheduler:
         self.max_seq_len = max_seq_len
         self.paged = paged
         self.quantized = kv_dtype == jnp.int8
+        # chunked-prefill admission: long prompts prefill `prefill_chunk`
+        # tokens per scheduler tick instead of one monolithic pass, so
+        # decoding slots keep emitting tokens while a long prompt is being
+        # admitted (the reference stalls its whole static batch on one
+        # O(L²) context pass, LlamaContextDecoder.cc).
+        self.prefill_chunk = prefill_chunk
         if paged:
             # paged pool: memory scales with live tokens, not slots*max_len
             # (exceeds the reference's dense per-GPU cache, Llama.cc:112-115)
@@ -86,6 +118,10 @@ class BatchScheduler:
                 cfg.num_layers, num_pages, cfg.num_kv_heads, page_size,
                 cfg.head_dim, dtype=kv_dtype,
             )
+            if mesh is not None:
+                sh = _cache_spec(cfg, mesh)
+                self.pool.pool_k = jax.device_put(self.pool.pool_k, sh)
+                self.pool.pool_v = jax.device_put(self.pool.pool_v, sh)
             self.ptable = PageTable(num_slots, max_seq_len // page_size)
             # page 0 is the garbage page: inactive slots (table all-zero)
             # decode junk into it without corrupting live pages
@@ -96,6 +132,10 @@ class BatchScheduler:
             shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_seq_len, cfg.head_dim)
             self.kv_k = jnp.zeros(shape, kv_dtype)
             self.kv_v = jnp.zeros(shape, kv_dtype)
+            if mesh is not None:
+                sh = _cache_spec(cfg, mesh)
+                self.kv_k = jax.device_put(self.kv_k, sh)
+                self.kv_v = jax.device_put(self.kv_v, sh)
             if self.quantized:
                 self.kv_ks = jnp.zeros(shape[:-1], jnp.float32)
                 self.kv_vs = jnp.zeros(shape[:-1], jnp.float32)
@@ -112,6 +152,30 @@ class BatchScheduler:
         self._prefill_cache: Dict[int, Any] = {}
 
     # ---- jitted pieces -------------------------------------------------
+    def _forward(self, params, ids, cache, positions, cache_pos, mask=None,
+                 table=None):
+        """Route to the single-device or the shard_map TP forward."""
+        scales = (
+            {"kv_k_scale": cache[2], "kv_v_scale": cache[3]}
+            if len(cache) == 4
+            else {}
+        )
+        if self.mesh is not None:
+            from flexq_tpu.parallel.tp import forward_serve_tp
+
+            return forward_serve_tp(
+                params, self.cfg, self.policy, ids, self.mesh,
+                kv_k=cache[0], kv_v=cache[1], cache_pos=cache_pos,
+                mask=mask, positions=positions, page_table=table,
+            )
+        extra = {"page_table": table} if table is not None else {"mask": mask}
+        return forward_serve(
+            params, self.cfg, self.policy, ids,
+            positions=positions,
+            kv_k=cache[0], kv_v=cache[1], cache_pos=cache_pos,
+            **extra, **scales,
+        )
+
     def _step_fn(self, params, ids, cache, positions):
         """One decode step over all slots; per-slot positions [S].
         ``cache`` = (k, v) or (k, v, ks, vs) for the int8 quantized cache."""
@@ -119,43 +183,15 @@ class BatchScheduler:
         mask = jnp.where(
             ki <= positions[:, None, None, None], 0.0, jnp.finfo(jnp.float32).min
         )
-        scales = (
-            {"kv_k_scale": cache[2], "kv_v_scale": cache[3]}
-            if len(cache) == 4
-            else {}
-        )
-        logits, kv = forward_serve(
-            params,
-            self.cfg,
-            self.policy,
-            ids,
-            positions=positions[:, None],
-            kv_k=cache[0],
-            kv_v=cache[1],
-            cache_pos=positions,
-            mask=mask,
-            **scales,
+        logits, kv = self._forward(
+            params, ids, cache, positions[:, None], positions, mask=mask
         )
         return logits[:, 0], kv
 
     def _step_paged_fn(self, params, ids, cache, positions, table):
         """Paged decode step: pools + page table instead of a dense cache."""
-        scales = (
-            {"kv_k_scale": cache[2], "kv_v_scale": cache[3]}
-            if len(cache) == 4
-            else {}
-        )
-        logits, kv = forward_serve(
-            params,
-            self.cfg,
-            self.policy,
-            ids,
-            positions=positions[:, None],
-            kv_k=cache[0],
-            kv_v=cache[1],
-            cache_pos=positions,
-            page_table=table,
-            **scales,
+        logits, kv = self._forward(
+            params, ids, cache, positions[:, None], positions, table=table
         )
         return logits[:, 0], kv
 
@@ -184,30 +220,112 @@ class BatchScheduler:
                 dt = self.pool.pool_k.dtype if self.paged else self.kv_k.dtype
                 kv_k = jnp.zeros(shape1, dt)
                 kv_v = jnp.zeros(shape1, dt)
-                scales = (
-                    {
-                        "kv_k_scale": jnp.zeros(shape1[:-1], jnp.float32),
-                        "kv_v_scale": jnp.zeros(shape1[:-1], jnp.float32),
-                    }
-                    if self.quantized
-                    else {}
-                )
-                logits, kv = forward_serve(
-                    params,
-                    self.cfg,
-                    self.policy,
-                    ids,
-                    kv_k=kv_k,
-                    kv_v=kv_v,
-                    cache_pos=jnp.int32(0),
+                cache = (kv_k, kv_v)
+                if self.quantized:
+                    cache += (
+                        jnp.zeros(shape1[:-1], jnp.float32),
+                        jnp.zeros(shape1[:-1], jnp.float32),
+                    )
+                logits, kv = self._forward(
+                    params, ids, cache, None, jnp.int32(0),
                     mask=prefill_mask(ids.shape[1], bucket),
-                    **scales,
                 )
                 return logits[:, -1], kv
 
             self._prefill_cache[key] = jax.jit(fn)
         ids = jnp.asarray(np.asarray(prompt, np.int32))[None]
         return self._prefill_cache[key](self.params, ids)
+
+    # ---- chunked-prefill admission --------------------------------------
+    def _new_scratch(self, bucket: int) -> Tuple:
+        """Fresh B=1 scratch cache tuple sized to the prompt bucket."""
+        shape1 = (
+            self.cfg.num_layers, 1, self.cfg.num_kv_heads, bucket, self.cfg.head_dim,
+        )
+        dt = self.pool.pool_k.dtype if self.paged else self.kv_k.dtype
+        kv = (jnp.zeros(shape1, dt), jnp.zeros(shape1, dt))
+        if self.mesh is not None:
+            sh = _cache_spec(self.cfg, self.mesh)
+            kv = tuple(jax.device_put(x, sh) for x in kv)
+        if self.quantized:
+            kv += (
+                jnp.zeros(shape1[:-1], jnp.float32),
+                jnp.zeros(shape1[:-1], jnp.float32),
+            )
+        return kv
+
+    def _chunk_fn(self, bucket: int):
+        """Jitted one-chunk prefill over a bucket-sized scratch cache.
+        One compile per bucket (≤ max_seq_len / chunk buckets total) instead
+        of one per prompt length."""
+        key = ("chunk", bucket)
+        if key not in self._prefill_cache:
+
+            def fn(params, ids, cache, start):
+                b, c = ids.shape
+                positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
+                qi = start + jnp.arange(c)[:, None]
+                ki = jnp.arange(bucket)[None, :]
+                mask = jnp.where(
+                    ki <= qi, 0.0, jnp.finfo(jnp.float32).min
+                )[None, None]
+                logits, kv = self._forward(
+                    params, ids, cache, positions, start, mask=mask
+                )
+                return logits, kv
+
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._prefill_cache[key]
+
+    def _advance_prefill(self, i: int):
+        """Run ONE chunk of slot i's prompt; on completion, insert the
+        scratch into the main cache and emit the first token."""
+        slot = self.slots[i]
+        chunk = self.prefill_chunk
+        start = slot.prefill_pos
+        plen = len(slot.prompt)
+        padded = slot.prompt + [0] * (slot.bucket - plen)
+        ids = jnp.asarray(
+            np.asarray(padded[start : start + chunk], np.int32)
+        )[None]
+        logits, slot.scratch = self._chunk_fn(slot.bucket)(
+            self.params, ids, slot.scratch, jnp.int32(start)
+        )
+        slot.prefill_pos = start + chunk
+        if slot.prefill_pos >= plen:
+            # padding queries (positions >= plen) produced garbage logits and
+            # garbage KV past plen; neither is consumed — only [:plen] is
+            # inserted and the last real token's row is sampled.
+            self._insert_scratch(i, slot.scratch, plen)
+            slot.scratch = None
+            slot.phase = "decode"
+            slot.pos = plen
+            tok = self._sample_one(logits[0, (plen - 1) - start], slot)
+            self._record(i, slot, tok)
+
+    def _insert_scratch(self, i: int, kv1: Tuple, plen: int):
+        """Copy a B=1 scratch cache's first plen positions into slot i."""
+        if self.paged:
+            pages = self.pool.alloc(self.pool.pages_for(plen))
+            self.pool.insert_prefill(
+                pages, kv1[0], kv1[1], plen,
+                *(kv1[2:] if self.quantized else ()),
+            )
+            self.ptable.assign(i, pages)
+            return
+        self.kv_k = jax.lax.dynamic_update_slice(
+            self.kv_k, kv1[0][:, :, :, :plen], (0, i, 0, 0, 0)
+        )
+        self.kv_v = jax.lax.dynamic_update_slice(
+            self.kv_v, kv1[1][:, :, :, :plen], (0, i, 0, 0, 0)
+        )
+        if self.quantized:
+            self.kv_ks = jax.lax.dynamic_update_slice(
+                self.kv_ks, kv1[2][:, :, :, :plen], (0, i, 0, 0)
+            )
+            self.kv_vs = jax.lax.dynamic_update_slice(
+                self.kv_vs, kv1[3][:, :, :, :plen], (0, i, 0, 0)
+            )
 
     # ---- public API ----------------------------------------------------
     def add_request(
@@ -238,35 +356,27 @@ class BatchScheduler:
             ):
                 self.pending.appendleft(req)  # not enough pages yet; retry later
                 break
-            logits, kv1 = self._prefill_one(req.prompt)
             plen = len(req.prompt)
-            if self.paged:
-                pages = self.pool.alloc(self.pool.pages_for(plen))
-                self.pool.insert_prefill(pages, kv1[0], kv1[1], plen,
-                                         *(kv1[2:] if self.quantized else ()))
-                self.ptable.assign(i, pages)
-            else:
-                # insert the prefilled KV region into slot i
-                self.kv_k = jax.lax.dynamic_update_slice(
-                    self.kv_k, kv1[0][:, :, :, :plen], (0, i, 0, 0, 0)
-                )
-                self.kv_v = jax.lax.dynamic_update_slice(
-                    self.kv_v, kv1[1][:, :, :, :plen], (0, i, 0, 0, 0)
-                )
-                if self.quantized:
-                    self.kv_ks = jax.lax.dynamic_update_slice(
-                        self.kv_ks, kv1[2][:, :, :, :plen], (0, i, 0, 0)
-                    )
-                    self.kv_vs = jax.lax.dynamic_update_slice(
-                        self.kv_vs, kv1[3][:, :, :, :plen], (0, i, 0, 0)
-                    )
             slot.req_id = req.req_id
-            slot.pos = plen
             slot.generated = []
             slot.sampling = req.sampling
             slot.eos_id = req.eos_id
             slot.max_new = req.max_new
             slot.prompt = req.prompt
+            if self.prefill_chunk and plen > self.prefill_chunk:
+                # chunked admission: defer the compute to step() ticks.
+                # Scratch must be page-aligned in paged mode (insert_prefill
+                # reshapes it into whole pages).
+                c = self.prefill_chunk
+                slot.phase = "prefill"
+                slot.prefill_pos = 0
+                unit = self.pool.page_size if self.paged else c
+                slot.bucket = -(-(-(-plen // c) * c) // unit) * unit
+                slot.scratch = self._new_scratch(slot.bucket)
+                continue
+            logits, kv1 = self._prefill_one(req.prompt)
+            self._insert_scratch(i, kv1, plen)
+            slot.pos = plen
             # sample the first token from the prefill logits
             tok = self._sample_one(logits[0], slot)
             self._record(i, slot, tok)
@@ -295,12 +405,29 @@ class BatchScheduler:
             self.slots[i] = _Slot()
 
     def step(self) -> Dict[int, List[int]]:
-        """Admit pending requests, run one decode tick, return finished."""
+        """Admit pending requests, run one decode tick, return finished.
+
+        With chunked admission, at most ONE prompt chunk runs per tick (FIFO
+        over prefilling slots), bounding the latency hit decoding slots take
+        from a long-prompt admission to one chunk's compute."""
         self._admit()
-        active = [i for i, s in enumerate(self.slots) if s.req_id is not None]
+        prefilling = [
+            i for i, s in enumerate(self.slots)
+            if s.req_id is not None and s.phase == "prefill"
+        ]
+        if prefilling:
+            self._advance_prefill(min(prefilling, key=lambda i: self.slots[i].req_id))
+        active = [
+            i for i, s in enumerate(self.slots)
+            if s.req_id is not None and s.phase == "decode"
+        ]
         if active:
             positions = jnp.asarray(
-                [s.pos if s.req_id is not None else 0 for s in self.slots], jnp.int32
+                [
+                    s.pos if s.req_id is not None and s.phase == "decode" else 0
+                    for s in self.slots
+                ],
+                jnp.int32,
             )
             if self.paged:
                 ps = self.pool.page_size

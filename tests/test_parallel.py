@@ -272,3 +272,27 @@ def test_tp_paged_decode_matches_dense(quantized):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
+
+
+def test_scheduler_tp_dense_and_paged(quantized):
+    """Continuous batching over a 2-way TP mesh == single-device scheduler,
+    dense and paged caches (multi-device paged serving)."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams = quantized
+    plain = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32)
+    r1 = plain.add_request([3, 14, 15, 9], max_new_tokens=5, eos_id=-1)
+    r2 = plain.add_request([7, 7], max_new_tokens=4, eos_id=-1)
+    want = plain.run()
+
+    mesh = make_mesh(tp=2, dp=1)
+    for paged in (False, True):
+        tp_sched = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                                  max_seq_len=256, kv_dtype=jnp.float32,
+                                  paged=paged, mesh=mesh)
+        t1 = tp_sched.add_request([3, 14, 15, 9], max_new_tokens=5, eos_id=-1)
+        t2 = tp_sched.add_request([7, 7], max_new_tokens=4, eos_id=-1)
+        got = tp_sched.run()
+        assert got[t1] == want[r1], (paged, got, want)
+        assert got[t2] == want[r2], (paged, got, want)

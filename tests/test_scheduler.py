@@ -137,3 +137,68 @@ def test_int8_scheduler_dense_and_paged(setup):
     got = paged.run()
     assert got[p1] == want[r1], (got, want)
     assert paged.pool.free_pages == paged.pool.num_pages - 1
+
+
+def test_chunked_prefill_admission_matches_unchunked(setup):
+    """prefill_chunk splits admission into per-tick chunks; outputs match."""
+    cfg, policy, qparams = setup
+    plain = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32)
+    prompt = [3, 14, 15, 9, 2, 6, 5, 35, 8, 97]
+    r = plain.add_request(prompt, max_new_tokens=5, eos_id=-1)
+    want = plain.run()[r]
+
+    chunked = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                             kv_dtype=jnp.float32, prefill_chunk=4)
+    c = chunked.add_request(prompt, max_new_tokens=5, eos_id=-1)
+    # bucket = 12 -> 3 chunk ticks before any token appears
+    for _ in range(3):
+        assert not chunked.step()
+        assert chunked.slots[0].phase == "prefill" or chunked.slots[0].generated
+    got = chunked.run()[c]
+    assert got == want
+
+
+def test_chunked_admission_does_not_stall_decoding_slot(setup):
+    """A decoding slot keeps emitting tokens while a long prompt admits."""
+    cfg, policy, qparams = setup
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32, prefill_chunk=4)
+    r1 = sched.add_request([7, 7], max_new_tokens=8, eos_id=-1)
+    done = {}
+    done.update(sched.step())  # r1 admitted (short, one-shot) + 1 decode tick
+    n_before = len(sched.slots[0].generated)
+    long_prompt = list(range(2, 14))  # 12 tokens, 3 chunks
+    r2 = sched.add_request(long_prompt, max_new_tokens=4, eos_id=-1)
+    sched.step()  # chunk 1 + decode tick for r1
+    assert sched.slots[1].phase == "prefill"
+    assert len(sched.slots[0].generated) == n_before + 1  # r1 advanced
+    while sched.has_work:
+        done.update(sched.step())
+
+    plain = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32)
+    p1 = plain.add_request([7, 7], max_new_tokens=8, eos_id=-1)
+    p2 = plain.add_request(long_prompt, max_new_tokens=4, eos_id=-1)
+    want = plain.run()
+    assert done[r1] == want[p1]
+    assert done[r2] == want[p2]
+
+
+def test_chunked_prefill_paged_and_int8(setup):
+    """Chunked admission under the paged pool and the int8 cache."""
+    cfg, policy, qparams = setup
+    prompt = list(range(3, 12))
+    for kv_dtype, paged in ((jnp.float32, True), (jnp.int8, False)):
+        plain = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                               max_seq_len=256, kv_dtype=kv_dtype, paged=paged)
+        r = plain.add_request(prompt, max_new_tokens=4, eos_id=-1)
+        want = plain.run()[r]
+        chunked = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                                 max_seq_len=256, kv_dtype=kv_dtype,
+                                 paged=paged, prefill_chunk=4)
+        c = chunked.add_request(prompt, max_new_tokens=4, eos_id=-1)
+        got = chunked.run()[c]
+        assert got == want, (kv_dtype, paged, got, want)
+        if paged:
+            assert chunked.pool.free_pages == chunked.pool.num_pages - 1
