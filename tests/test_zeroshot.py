@@ -248,3 +248,116 @@ def test_third_batch_task_adapters():
     assert g.answers == ["a", "b"]
     n = GEN_TASK_ADAPTERS["naturalqs"]({"question": "Q?", "answer": ["x"]})
     assert n.answers == ["x"]
+
+
+def test_long_tail_adapters():
+    from flexq_tpu.eval.zeroshot import (
+        GEN_TASK_ADAPTERS,
+        GREEDY_PAIR_ADAPTERS,
+        TASK_ADAPTERS,
+    )
+
+    rows = {
+        "cola": {"sentence": "Cats sleeps.", "label": 0},
+        "sst": {"sentence": "great movie !", "label": 1},
+        "mnli": {"premise": "P.", "hypothesis": "H", "label": 2},
+        "qnli": {"question": "Q?", "sentence": "S.", "label": 1},
+        "wnli": {"sentence1": "A.", "sentence2": "B", "label": 0},
+        "glue_rte": {"sentence1": "A.", "sentence2": "B", "label": 1},
+        "mrpc": {"sentence1": "A .", "sentence2": "B .", "label": 1},
+        "qqp": {"question1": "Q1?", "question2": "Q2?", "label": 0},
+        "headqa": {
+            "qtext": "Q?", "ra": 2,
+            "answers": [{"atext": "a"}, {"atext": "b"}, {"atext": "c"}],
+        },
+        "prost": {"context": "C.", "ex_question": "Q?", "A": "w", "B": "x",
+                  "C": "y", "D": "z", "label": 3},
+        "qa4mre": {
+            "document_str": "Doc.", "question_str": "Q?",
+            "answer_options": {"answer_str": ["a", "b", "c"]},
+            "correct_answer_id": 3,
+        },
+        "sat_analogies": {
+            "stem": "hot cold other", "solution": "b",
+            "choices": ["wet dry x", "up down y", "a b z", "c d w", "e f v"],
+        },
+        "toxigen": {"text": "T.", "toxicity_ai": 3.0, "toxicity_human": 3.0},
+        "ethics_cm": {"input": "I took the bread.", "label": 1},
+        "ethics_justice": {"scenario": "S.", "excuse": "E.", "label": 0},
+        "mc_taco": {"sentence": "S.", "question": "Q?", "answer": "2 hours",
+                    "label": 1},
+        "mutual": {"article": "m : hi . f : hello .",
+                   "options": ["a .", "b .", "c .", "d ."], "answers": "C"},
+        "crows_pairs": {"sent_more": "More.", "sent_less": "Less."},
+        "blimp": {"sentence_good": "Good.", "sentence_bad": "Bad."},
+        "cbt": {"sentences": ["A b .", "C d ."], "question": "E XXXXX f .",
+                "options": ["x", "y"], "answer": "y"},
+    }
+    for name, row in rows.items():
+        item = TASK_ADAPTERS[name](row)
+        assert 0 <= item.gold < len(item.choices), name
+    # cbt substitutes the blank into full-passage choices
+    cbt = TASK_ADAPTERS["cbt"](rows["cbt"])
+    assert cbt.gold == 1 and "XXXXX" not in cbt.choices[0]
+    assert "y" in cbt.choices[1]
+    # toxigen label thresholding
+    assert TASK_ADAPTERS["toxigen"](
+        {"text": "T.", "toxicity_ai": 3.0, "toxicity_human": 3.0}
+    ).gold == 1
+
+    g = GEN_TASK_ADAPTERS["drop"](
+        {"passage": "P.", "question": "Q?", "answers_spans": {"spans": ["7"]}}
+    )
+    assert g.answers == ["7"]
+    u = GEN_TASK_ADAPTERS["anagrams1"]({"context": "tca =", "completion": " cat"})
+    assert u.answers == ["cat"]
+    c = GEN_TASK_ADAPTERS["coqa"]({
+        "story": "S.",
+        "questions": {"input_text": ["Q1?", "Q2?"]},
+        "answers": {"input_text": ["A1", "A2"]},
+    })
+    assert c.answers == ["A2"] and "A1" in c.context and c.context.endswith("A:")
+    a_ctx, a_cont = GREEDY_PAIR_ADAPTERS["arithmetic"](
+        {"context": "Q: 1+1?\nA:", "completion": " 2"}
+    )
+    assert a_cont == " 2"
+    s_ctx, s_cont = GREEDY_PAIR_ADAPTERS["asdiv"](
+        {"body": "B.", "question": "Q?", "answer": "4 (apples)"}
+    )
+    assert s_cont == " 4" and s_ctx.endswith("Answer:")
+
+
+def test_greedy_completion_and_cloze():
+    import jax.numpy as jnp
+    import numpy as np
+    from flexq_tpu.eval.zeroshot import (
+        evaluate_greedy_completion,
+        lambada_cloze_pairs,
+    )
+
+    class Tok:
+        bos_token_id = 0
+
+        def __call__(self, s, return_tensors=None):
+            ids = np.asarray([[ord(c) % 97 + 1 for c in s]], np.int32)
+            class R: input_ids = ids
+            return R()
+
+    vocab = 128
+
+    def echo_forward(ids):
+        # predicts the NEXT token of the actual sequence perfectly
+        ids_np = np.asarray(ids)
+        b, l = ids_np.shape
+        logits = np.full((b, l, vocab), -10.0, np.float32)
+        for r in range(b):
+            for t in range(l - 1):
+                logits[r, t, ids_np[r, t + 1]] = 10.0
+        return jnp.asarray(logits)
+
+    pairs = [("ab", "cd"), ("xy", "zw")]
+    out = evaluate_greedy_completion(echo_forward, Tok(), pairs)
+    assert out["acc"] == 1.0 and out["ppl"] < 1.01
+
+    cloze = lambada_cloze_pairs(["the cat sat mat"])
+    assert cloze == [("the cat sat ____. ->", " mat")]
