@@ -554,6 +554,35 @@ def _blimp(row) -> MCItem:  # blimp.py:87-100 (good-vs-bad minimal pair)
     )
 
 
+def _multirc(row) -> MCItem:  # superglue.py MultiRC (yes/no per answer)
+    ans = row["answer"]
+    return MCItem(
+        context=f"{row['paragraph']}\nQuestion: {row['question']}\nAnswer:",
+        choices=[
+            f" {ans}\nIs the answer correct? yes",
+            f" {ans}\nIs the answer correct? no",
+        ],
+        gold=0 if int(row["label"]) else 1,
+    )
+
+
+def _record(row) -> MCItem:  # superglue.py ReCoRD (entity cloze)
+    initial, *highlights = row["passage"].strip().split("\n@highlight\n")
+    text = initial + "\n\n"
+    for h in highlights:
+        text += f"  - {h}.\n"
+    entities = list(dict.fromkeys(row["entities"]))  # dedup, keep order
+    answers = set(row["answers"])
+    gold = next((i for i, e in enumerate(entities) if e in answers), 0)
+    return MCItem(
+        context=text,
+        choices=[
+            f"  - {row['query']}".replace("@placeholder", e) for e in entities
+        ],
+        gold=gold,
+    )
+
+
 def _cbt(row) -> MCItem:  # cbt.py:73-110 (full-passage scoring per option)
     passage = " ".join(row["sentences"])
     text = _detok("Passage: " + passage + "\nQuestion: " + row["question"])
@@ -608,6 +637,8 @@ TASK_ADAPTERS = {
     "crows_pairs": _crows_pairs,
     "blimp": _blimp,
     "cbt": _cbt,
+    "multirc": _multirc,
+    "record": _record,
 }
 
 
@@ -842,6 +873,142 @@ def _arithmetic_pair(row) -> Tuple[str, str]:
     return row["context"], row["completion"]
 
 
+def _last_boxed(s: str) -> Optional[str]:
+    """Extract the contents of the last \\boxed{...} (hendrycks_math.py
+    last_boxed_only_string + remove_boxed semantics)."""
+    idx = s.rfind("\\boxed{")
+    if idx < 0:
+        fidx = s.rfind("\\fbox{")
+        if fidx < 0:
+            return None
+        idx = fidx + len("\\fbox{")
+    else:
+        idx = idx + len("\\boxed{")
+    depth = 1
+    for j in range(idx, len(s)):
+        if s[j] == "{":
+            depth += 1
+        elif s[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return s[idx:j]
+    return None
+
+
+def _hendrycks_math(row) -> GenItem:  # hendrycks_math.py:50,76
+    gold = _last_boxed(row["solution"]) or row["solution"].strip()
+    return GenItem(
+        context="Problem: " + row["problem"] + "\nAnswer:",
+        answers=[gold],
+    )
+
+
+def _quac(row) -> GenItem:  # quac.py doc_to_text
+    title = row["title"]
+    if row.get("section_title"):
+        title = f"{title} - {row['section_title']}"
+    ans = row.get("answers") or row.get("answer") or [""]
+    if isinstance(ans, dict):
+        ans = ans.get("texts") or ans.get("text") or [""]
+    return GenItem(
+        context=(
+            f"TITLE: {title}\nPARAGRAPH: {row['paragraph']}\n\n"
+            f"Q: {row['question']}\n\nA: "
+        ),
+        answers=[a for a in ans if a] or [""],
+    )
+
+
+def _qasper(row) -> GenItem:  # qasper.py doc_to_text (free-form subset)
+    ans = row.get("answers") or [row.get("answer", "")]
+    if isinstance(ans, dict):
+        ans = ans.get("text") or [""]
+    return GenItem(
+        context=(
+            f"TITLE: {row['title']}\nABSTRACT: {row['abstract']}\n\n"
+            f"Q: {row['question']}\n\nA:"
+        ),
+        answers=[str(a) for a in ans if a] or [""],
+    )
+
+
+def translation_item(row, src_lang: str, tar_lang: str) -> GenItem:
+    """translation.py doc_to_text: '<Src> phrase: ...\\n<Tar> phrase:'."""
+    refs = row["ref"] if isinstance(row["ref"], list) else [row["ref"]]
+    return GenItem(
+        context=f"{src_lang} phrase: " + row["src"] + f"\n{tar_lang} phrase:",
+        answers=[" " + r for r in refs],
+    )
+
+
+def corpus_bleu(
+    hypotheses: Sequence[str], references: Sequence[Sequence[str]],
+    max_n: int = 4,
+) -> float:
+    """Corpus-level BLEU-4 (uniform weights, brevity penalty) — the
+    translation-task metric (translation.py uses sacrebleu; this is the
+    standard Papineni BLEU on whitespace tokens, no external deps)."""
+    from collections import Counter
+
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    hyp_len = 0
+    ref_len = 0
+    for hyp, refs in zip(hypotheses, references):
+        h = hyp.split()
+        rs = [r.split() for r in refs]
+        hyp_len += len(h)
+        ref_len += min((abs(len(r) - len(h)), len(r)) for r in rs)[1]
+        for n in range(1, max_n + 1):
+            h_ngrams = Counter(
+                tuple(h[i : i + n]) for i in range(len(h) - n + 1)
+            )
+            max_ref = Counter()
+            for r in rs:
+                r_ngrams = Counter(
+                    tuple(r[i : i + n]) for i in range(len(r) - n + 1)
+                )
+                for g, c in r_ngrams.items():
+                    max_ref[g] = max(max_ref[g], c)
+            clipped[n - 1] += sum(min(c, max_ref[g]) for g, c in h_ngrams.items())
+            totals[n - 1] += max(sum(h_ngrams.values()), 0)
+    if not hyp_len:
+        return 0.0
+    # smoothing: orders with no hypothesis n-grams at all (corpus shorter
+    # than n) are skipped; zero clipped counts take eps=0.1 (Lin&Och m.1)
+    logs = []
+    for c, t in zip(clipped, totals):
+        if t == 0:
+            continue
+        logs.append(math.log(max(c, 0.1) / t))
+    if not logs:
+        return 0.0
+    log_p = sum(logs) / len(logs)
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    return float(100.0 * bp * math.exp(log_p))
+
+
+def evaluate_translation(
+    generate_fn: Callable[[List[int], int], List[int]],
+    tokenizer,
+    items: Sequence[GenItem],
+    max_new_tokens: int = 128,
+    stop_strings: Sequence[str] = ("\n",),
+) -> Dict[str, float]:
+    """Greedy translation + corpus BLEU (translation.py task flow)."""
+    hyps, refs = [], []
+    for item in items:
+        ids = tokenizer(item.context, return_tensors="np").input_ids[0].tolist()
+        out_ids = generate_fn(ids, max_new_tokens)
+        text = tokenizer.decode(out_ids)
+        for stop in stop_strings:
+            if stop in text:
+                text = text[: text.index(stop)]
+        hyps.append(text.strip())
+        refs.append([a.strip() for a in item.answers])
+    return {"bleu": corpus_bleu(hyps, refs), "n": len(items)}
+
+
 def _coqa(row) -> GenItem:  # coqa.py doc_to_text; final turn of the dialog
     from itertools import zip_longest
 
@@ -866,6 +1033,9 @@ GEN_TASK_ADAPTERS = {
     "random_insertion": _unscramble,
     "reversed_words": _unscramble,
     "coqa": _coqa,
+    "hendrycks_math": _hendrycks_math,
+    "quac": _quac,
+    "qasper_freeform": _qasper,
 }
 
 # is_greedy request-type tasks: row -> (context, completion) pairs for

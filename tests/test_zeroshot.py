@@ -361,3 +361,57 @@ def test_greedy_completion_and_cloze():
 
     cloze = lambada_cloze_pairs(["the cat sat mat"])
     assert cloze == [("the cat sat ____. ->", " mat")]
+
+
+def test_final_tail_adapters_and_bleu():
+    from flexq_tpu.eval.zeroshot import (
+        GEN_TASK_ADAPTERS,
+        TASK_ADAPTERS,
+        corpus_bleu,
+        translation_item,
+    )
+
+    m = TASK_ADAPTERS["multirc"](
+        {"paragraph": "P.", "question": "Q?", "answer": "A", "label": 1}
+    )
+    assert m.gold == 0 and "yes" in m.choices[0] and "no" in m.choices[1]
+
+    r = TASK_ADAPTERS["record"]({
+        "passage": "Intro.\n@highlight\nh one\n@highlight\nh two",
+        "query": "X @placeholder Y",
+        "entities": ["cat", "dog", "cat"],
+        "answers": ["dog"],
+    })
+    assert r.gold == 1 and r.choices[1] == "  - X dog Y"
+    assert "  - h one." in r.context
+
+    g = GEN_TASK_ADAPTERS["hendrycks_math"](
+        {"problem": "1+1?", "solution": "thus \\boxed{2} done"}
+    )
+    assert g.answers == ["2"]
+    nested = GEN_TASK_ADAPTERS["hendrycks_math"](
+        {"problem": "p", "solution": "\\boxed{\\frac{1}{2}}"}
+    )
+    assert nested.answers == ["\\frac{1}{2}"]
+
+    q = GEN_TASK_ADAPTERS["quac"]({
+        "title": "T", "section_title": "S", "paragraph": "P.",
+        "question": "Q?", "answers": {"texts": ["a1", "a2"]},
+    })
+    assert q.answers == ["a1", "a2"] and "T - S" in q.context
+
+    qa = GEN_TASK_ADAPTERS["qasper_freeform"]({
+        "title": "T", "abstract": "Ab.", "question": "Q?", "answers": ["x"],
+    })
+    assert qa.answers == ["x"]
+
+    t = translation_item({"src": "chat", "ref": "cat"}, "French", "English")
+    assert t.context.endswith("English phrase:") and t.answers == [" cat"]
+
+    # BLEU sanity: perfect match = 100, disjoint = 0
+    assert corpus_bleu(["the cat sat on the mat mat"],
+                       [["the cat sat on the mat mat"]]) == 100.0
+    assert corpus_bleu(["a b c d e"], [["v w x y z"]]) < 5.0  # smoothed floor
+    assert corpus_bleu(["cat"], [["cat"]]) == 100.0  # short-output smoothing
+    partial = corpus_bleu(["the cat sat on a mat"], [["the cat sat on the mat"]])
+    assert 0.0 < partial < 100.0
