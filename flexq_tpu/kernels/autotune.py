@@ -104,16 +104,24 @@ DEFAULT_SHAPES: List[Tuple[int, int]] = [
 
 
 def candidate_configs(m: int, k: int, n: int) -> List[Tuple[int, int, int]]:
+    """Candidate set ALWAYS includes the heuristic's own pick, so a measured
+    table can only tie or beat the heuristic (modulo timing noise). The first
+    sweep shipped without this and a noisy table regressed e2e decode."""
     from flexq_tpu.kernels.common import largest_divisor_tile, round_up
+    from flexq_tpu.kernels.w6_matmul import _pick_blocks
 
-    bks = [bk for bk in (256, 128) if k % bk == 0]
+    bks = [bk for bk in (512, 256, 128) if k % bk == 0]
     bns = []
-    for cap in (4096, 2048, 1024, 512):
+    for cap in (8192, 4096, 2048):
         bn = largest_divisor_tile(n, cap=cap)
         if bn not in bns:
             bns.append(bn)
     bm = round_up(m, 8)
-    return [(bm, bn, bk) for bn in bns for bk in bks]
+    configs = [(bm, bn, bk) for bn in bns for bk in bks]
+    heur = _pick_blocks(m, n, k)
+    if heur not in configs:
+        configs.insert(0, heur)
+    return configs
 
 
 def sweep(
