@@ -415,3 +415,119 @@ def test_final_tail_adapters_and_bleu():
     assert corpus_bleu(["cat"], [["cat"]]) == 100.0  # short-output smoothing
     partial = corpus_bleu(["the cat sat on a mat"], [["the cat sat on the mat"]])
     assert 0.0 < partial < 100.0
+
+
+def test_rolling_token_windows_reference_example():
+    """The exact worked example in reference lm_eval base.py:58-75."""
+    from flexq_tpu.eval.zeroshot import rolling_token_windows
+
+    windows = rolling_token_windows(list(range(10)), prefix_token=-1, max_seq_len=4)
+    assert windows == [
+        ([-1], [0, 1, 2, 3]),
+        ([3], [4, 5, 6, 7]),
+        ([5, 6, 7], [8, 9]),
+    ]
+    # every token predicted exactly once
+    preds = [t for _, p in windows for t in p]
+    assert preds == list(range(10))
+    # short doc: one window
+    assert rolling_token_windows([7, 8], prefix_token=0, max_seq_len=4) == [
+        ([0], [7, 8])
+    ]
+    assert rolling_token_windows([], 0, 4) == []
+
+
+def test_perplexity_task_uniform_model():
+    """Uniform logits => per-token logprob = -log V exactly; check the
+    word/byte perplexity and bits_per_byte formulas (metrics.py:98-108)."""
+    import math
+
+    from flexq_tpu.eval.zeroshot import evaluate_perplexity_docs
+
+    V = 97
+
+    class Tok:
+        eos_token_id = 0
+
+        def __call__(self, text, return_tensors=None):
+            ids = np.asarray([[ord(c) % V for c in text]], np.int64)
+
+            class R:
+                input_ids = ids
+
+            return R()
+
+    def fwd(ids):
+        return jnp.zeros(ids.shape + (V,), jnp.float32)
+
+    docs = ["ab cd", "efg hi jk"]  # 2+3 = 5 words, 5+9 = 14 bytes, 14 tokens
+    res = evaluate_perplexity_docs(fwd, Tok(), docs, max_len=4, batch_size=3)
+    total_ll = -14 * math.log(V)
+    np.testing.assert_allclose(res["word_perplexity"], math.exp(-total_ll / 5), rtol=1e-6)
+    np.testing.assert_allclose(res["byte_perplexity"], math.exp(-total_ll / 14), rtol=1e-6)
+    np.testing.assert_allclose(res["bits_per_byte"], -total_ll / (14 * math.log(2)), rtol=1e-6)
+
+
+def test_truthfulqa_mc2_uniform_model():
+    """Uniform model + single-token choices => mc2 = n_true / n_choices."""
+    from flexq_tpu.eval.zeroshot import evaluate_truthfulqa_mc2
+
+    V = 97
+
+    class Tok:
+        def __call__(self, text, return_tensors=None):
+            ids = np.asarray([[ord(c) % V for c in text]], np.int64)
+
+            class R:
+                input_ids = ids
+
+            return R()
+
+    def fwd(ids):
+        return jnp.zeros(ids.shape + (V,), jnp.float32)
+
+    rows = [
+        {"question": "Q?", "mc2_targets": {"choices": ["a", "b", "c", "d"],
+                                           "labels": [1, 1, 0, 0]}},
+        {"question": "R?", "mc2_targets": {"choices": ["x", "y"],
+                                           "labels": [1, 0]}},
+    ]
+    res = evaluate_truthfulqa_mc2(fwd, Tok(), rows, max_len=512)
+    np.testing.assert_allclose(res["mc2"], (0.5 + 0.5) / 2, rtol=1e-5)
+    assert res["n"] == 2
+
+
+def test_final_batch_task_adapters():
+    from flexq_tpu.eval.zeroshot import (
+        LAMBADA_MULTILINGUAL_LANGS,
+        PILE_SUBSETS,
+        TASK_ADAPTERS,
+        TRUTHFULQA_QA_PROMPT,
+    )
+
+    rows = {
+        "ethics_deontology": {"scenario": "S.", "excuse": "E.", "label": 1},
+        "ethics_utilitarianism": {"activity": "Good walk.", "baseline": "Bad walk.",
+                                  "label": 1},
+        "ethics_virtue": {"scenario": "S.", "trait": "honesty", "label": 0},
+        "sg_wsc": {"text": "Mark told Pete many lies. He is bad.",
+                   "span1_index": 0, "span1_text": "Mark",
+                   "span2_index": 5, "span2_text": "He", "label": 0},
+    }
+    for name, row in rows.items():
+        item = TASK_ADAPTERS[name](row)
+        assert 0 <= item.gold < len(item.choices), name
+        assert all(c.startswith(" ") for c in item.choices), name
+    # ethics_utilitarianism shuffle is deterministic in the activity text
+    a = TASK_ADAPTERS["ethics_utilitarianism"](rows["ethics_utilitarianism"])
+    b = TASK_ADAPTERS["ethics_utilitarianism"](rows["ethics_utilitarianism"])
+    assert (a.context, a.gold) == (b.context, b.gold)
+    # sg_wsc marks the pronoun in the passage
+    wsc = TASK_ADAPTERS["sg_wsc"](rows["sg_wsc"])
+    assert "*He*" in wsc.context and wsc.choices == [" no", " yes"]
+    # truthfulqa mc1 carries the fixed QA preamble (truthfulqa.py:90-91)
+    mc1 = TASK_ADAPTERS["truthfulqa_mc1"](
+        {"question": "Why?", "mc1_targets": {"choices": ["x", "y"], "labels": [1, 0]}}
+    )
+    assert mc1.context.startswith(TRUTHFULQA_QA_PROMPT)
+    assert len(PILE_SUBSETS) == 22 and len(LAMBADA_MULTILINGUAL_LANGS) == 5
