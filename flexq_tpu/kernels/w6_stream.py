@@ -141,8 +141,8 @@ def w6_matmul_stream(
         in_specs=[
             pl.BlockSpec((bm, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, bm, 1), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((ng, 1, bn), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j), memory_space=pltpu.VMEM),

@@ -75,6 +75,7 @@ class Engine:
             static_argnames=("sampling", "eos_id", "stop_ids", "max_new"),
             donate_argnums=(2,),
         )
+        self._spec_jit = jax.jit(self._spec_verify, donate_argnums=(2,))
 
     def _kv_shape(self, batch: int) -> Tuple[int, ...]:
         c = self.cfg
@@ -157,6 +158,32 @@ class Engine:
             )
             start += c
         return logits, cache
+
+    def _spec_verify(self, params, ids, cache, start):
+        """Speculative-decoding verify forward: same window semantics as
+        `_prefill_chunk` (writes K/V at start..start+c-1, causal attention
+        over the cache) but returns the logits of EVERY window position so
+        the host can greedily verify the drafted tokens
+        (serve/speculative.py)."""
+        b, c = ids.shape
+        positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
+        qi = start + jnp.arange(c)[:, None]
+        ki = jnp.arange(self.max_seq_len)[None, :]
+        mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
+        logits, kv = forward_serve(
+            params,
+            self.cfg,
+            self.policy,
+            ids,
+            positions=positions,
+            kv_k=cache[0],
+            kv_v=cache[1],
+            cache_pos=start,
+            mask=mask,
+            **scales,
+        )
+        return logits.astype(jnp.float32), kv
 
     def _decode_step(self, params, ids, cache, pos):
         b = ids.shape[0]
@@ -244,6 +271,21 @@ class Engine:
         length (padding attends causally but sits before position 0 content —
         we instead require equal lengths for v1 and pad with bos repeats).
         """
+        if mode == "spec":
+            # greedy-only draft-and-verify (serve/speculative.py); sampling
+            # params other than greedy would need the rejection-sampling
+            # acceptance rule, not implemented
+            from flexq_tpu.serve.speculative import generate_speculative
+
+            return generate_speculative(
+                self,
+                prompt_ids,
+                max_new_tokens=max_new_tokens,
+                eos_id=eos_id,
+                stop_ids=stop_ids,
+                return_stats=return_stats,
+            )
+
         prompts = [list(p) for p in prompt_ids]
         lens = {len(p) for p in prompts}
         assert len(lens) == 1, "v1 engine requires equal-length prompts; use scheduler for ragged batches"

@@ -1,0 +1,159 @@
+"""Speculative decoding with prompt-lookup (n-gram) drafting.
+
+Exceeds the reference (which decodes strictly one token per step,
+e2e models/llama/Llama.cc:970-1240): single-chip decode here is ~95%
+weight-streaming-bound (scripts/bench_decode_parts.py), so a forward over
+1+k tokens costs nearly the same as over 1 — the quantized-weight planes are
+read once either way. Verifying k drafted tokens per step therefore turns
+memory-bound decode bandwidth into extra tokens at almost no marginal cost.
+
+Drafting is prompt-lookup decoding (PLD): propose the k tokens that followed
+the most recent earlier occurrence of the current n-gram suffix. No draft
+model, no extra weights — ideal for the summarization/extraction/code
+workloads where serving engines spend most of their time.
+
+Verification reuses the chunked-prefill window semantics (engine.py
+`_prefill_chunk`): the [B, 1+k] window forward writes K/V at positions
+pos..pos+k and attends causally, and because each step's window starts
+exactly where the previous accepted prefix ended, stale cache entries from
+rejected drafts are always overwritten before any later query can attend to
+them.
+
+Greedy-exactness invariant (tested): the emitted token sequence equals the
+plain greedy decode chain token-for-token, for any draft quality — drafts
+only change how many steps it takes, never what is generated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class SpecStats:
+    """Per-generation speculative-decoding accounting."""
+
+    steps: int = 0  # verify forwards run
+    drafted: int = 0  # draft tokens proposed (steps * k)
+    accepted: int = 0  # draft tokens accepted
+    generated: int = 0  # tokens emitted (accepted + 1 bonus per step)
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / max(self.drafted, 1)
+
+    @property
+    def tokens_per_step(self) -> float:
+        return self.generated / max(self.steps, 1)
+
+
+def ngram_draft(
+    history: np.ndarray, k: int, max_ngram: int = 3, min_ngram: int = 1
+) -> np.ndarray:
+    """Propose k tokens by prompt lookup: find the most recent earlier
+    occurrence of the longest matching suffix n-gram (n = max_ngram..min_
+    ngram) and return the k tokens that followed it. Falls back to repeating
+    the last token (a draft is only a guess — verification keeps exactness).
+    """
+    h = np.asarray(history, np.int32)
+    n_h = len(h)
+    for n in range(min(max_ngram, n_h - 1), min_ngram - 1, -1):
+        pat = h[-n:]
+        windows = np.lib.stride_tricks.sliding_window_view(h[:-1], n)
+        matches = np.nonzero((windows == pat).all(axis=1))[0]
+        if len(matches):
+            i = int(matches[-1])
+            cont = h[i + n : i + n + k]
+            if len(cont) < k:
+                cont = np.concatenate([cont, np.full(k - len(cont), h[-1], np.int32)])
+            return cont.astype(np.int32)
+    return np.full(k, h[-1], np.int32)
+
+
+def generate_speculative(
+    engine,
+    prompt_ids: Sequence[Sequence[int]],
+    max_new_tokens: int = 32,
+    k: int = 4,
+    eos_id: int = 2,
+    stop_ids: Sequence[int] = (),
+    max_ngram: int = 3,
+    return_stats: bool = False,
+) -> List[List[int]] | Tuple[List[List[int]], SpecStats]:
+    """Greedy generation via draft-and-verify; exact greedy semantics.
+
+    One verify step: feed [last_token, d_1..d_k] at positions pos..pos+k;
+    greedy targets t_0..t_k; accept the longest prefix with d_j == t_{j-1};
+    emit t_0..t_n_acc (the model's own next token after the accept point is
+    the free "bonus"). Between 1 and k+1 tokens per forward.
+
+    B=1 only (the latency-critical case): per-row acceptance lengths diverge
+    under batching, which needs per-slot cache positions — that lives in the
+    continuous-batching scheduler, not the fixed-batch engine.
+    """
+    import time
+
+    prompts = [list(p) for p in prompt_ids]
+    assert len(prompts) == 1, "speculative decoding: B=1 (use scheduler for batches)"
+    l = len(prompts[0])
+    assert l + max_new_tokens + k <= engine.max_seq_len, (
+        "speculative window may overshoot: need prompt + max_new + k <= max_seq_len"
+    )
+
+    stats = SpecStats()
+    t0 = time.perf_counter()
+    ids = jnp.asarray(np.asarray(prompts, np.int32))
+    cache = engine.new_cache(1)
+    if engine.prefill_chunk and l > engine.prefill_chunk:
+        logits, cache = engine.prefill_chunked(ids, cache, engine.prefill_chunk)
+    else:
+        logits, cache = engine._prefill_jit(engine.params, ids, cache, prompt_len=l)
+
+    history = list(prompts[0])
+    first = int(np.argmax(np.asarray(logits[0])))
+    stats.prefill_s = time.perf_counter() - t0
+
+    stop_set = set(stop_ids) | {eos_id}
+    out: List[int] = [first]
+    history.append(first)
+    pos = l
+    t1 = time.perf_counter()
+    while len(out) < max_new_tokens and out[-1] not in stop_set:
+        draft = ngram_draft(np.asarray(history, np.int32), k, max_ngram=max_ngram)
+        step_ids = np.concatenate([[history[-1]], draft]).astype(np.int32)
+        logits, cache = engine._spec_jit(
+            engine.params, jnp.asarray(step_ids[None]), cache, jnp.int32(pos)
+        )
+        targets = np.asarray(np.argmax(np.asarray(logits[0]), axis=-1), np.int32)
+        n_acc = 0
+        while (
+            n_acc < k
+            and draft[n_acc] == targets[n_acc]
+            and targets[n_acc] not in stop_set
+        ):
+            n_acc += 1
+        emitted = [int(t) for t in targets[: n_acc + 1]]
+        stats.steps += 1
+        stats.drafted += k
+        stats.accepted += n_acc
+        for t in emitted:
+            out.append(t)
+            history.append(t)
+            if t in stop_set:
+                break
+        pos += n_acc + 1
+
+    out = out[:max_new_tokens]
+    if out and out[-1] in stop_set:
+        pass  # stop token included, matching the stepwise loop's semantics
+    stats.generated = len(out)
+    stats.decode_s = time.perf_counter() - t1
+    if return_stats:
+        return [out], stats
+    return [out]
