@@ -76,6 +76,11 @@ class Engine:
             donate_argnums=(2,),
         )
         self._spec_jit = jax.jit(self._spec_verify, donate_argnums=(2,))
+        self._spec_loop_jit = jax.jit(
+            self._spec_decode_loop,
+            static_argnames=("k", "max_new", "stop_ids", "max_ngram"),
+            donate_argnums=(2,),
+        )
 
     def _kv_shape(self, batch: int) -> Tuple[int, ...]:
         c = self.cfg
@@ -162,9 +167,11 @@ class Engine:
     def _spec_verify(self, params, ids, cache, start):
         """Speculative-decoding verify forward: same window semantics as
         `_prefill_chunk` (writes K/V at start..start+c-1, causal attention
-        over the cache) but returns the logits of EVERY window position so
-        the host can greedily verify the drafted tokens
-        (serve/speculative.py)."""
+        over the cache) but returns the greedy argmax target of EVERY window
+        position so the host can verify the drafted tokens
+        (serve/speculative.py). Argmax stays on device: fetching [c, vocab]
+        logits through the axon tunnel costs ~30ms/step, the [B, c] int32
+        targets are ~free."""
         b, c = ids.shape
         positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
         qi = start + jnp.arange(c)[:, None]
@@ -183,7 +190,7 @@ class Engine:
             mask=mask,
             **scales,
         )
-        return logits.astype(jnp.float32), kv
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
 
     def _decode_step(self, params, ids, cache, pos):
         b = ids.shape[0]
@@ -255,6 +262,60 @@ class Engine:
         )
         _, _, cache, _, _, _, _, _, tokens = jax.lax.while_loop(cond, body, state)
         return tokens, cache
+
+    def _spec_decode_loop(
+        self, params, logits0, cache, buf, prompt_len,
+        k: int, max_new: int, stop_ids, max_ngram: int,
+    ):
+        """Whole speculative decode fused on device (the spec analogue of
+        `_decode_loop`): per step, an on-device n-gram draft
+        (speculative.ngram_draft_device), one [1, 1+k] verify forward, greedy
+        acceptance, stop check and buffer writes all run on-chip — zero host
+        round-trips per step (the host spec loop pays a ~30-40ms tunnel fetch
+        per step; this loop fetches once at the end).
+
+        buf is the token history (prompt at [0, prompt_len)); generated
+        tokens land at buf[prompt_len:length]. Greedy-only, B=1 (per-row
+        acceptance lengths diverge under batching).
+        """
+        from flexq_tpu.serve.speculative import ngram_draft_device
+
+        stop_arr = jnp.asarray(sorted(set(stop_ids)), jnp.int32)
+        first = jnp.argmax(logits0[0]).astype(jnp.int32)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, first, prompt_len, 0)
+        length0 = prompt_len + 1
+        finished0 = jnp.isin(first, stop_arr)
+        steps0 = jnp.int32(0)
+        acc0 = jnp.int32(0)
+
+        def cond(state):
+            cache, buf, length, finished, steps, acc = state
+            return ~finished & (length - prompt_len < max_new)
+
+        def body(state):
+            cache, buf, length, finished, steps, acc = state
+            draft = ngram_draft_device(buf, length, k, max_ngram)
+            last = jax.lax.dynamic_index_in_dim(buf, length - 1, keepdims=False)
+            ids = jnp.concatenate([last[None], draft])[None]  # [1, 1+k]
+            targets, cache = self._spec_verify(params, ids, cache, length - 1)
+            t = targets[0]  # [1+k]
+            accept = jnp.cumprod((draft == t[:k]).astype(jnp.int32))
+            n_acc = jnp.sum(accept)
+            lim = n_acc + 1  # accepted drafts + the bonus token
+            j = jnp.arange(k + 1, dtype=jnp.int32)
+            is_stop = jnp.isin(t, stop_arr) & (j < lim)
+            stop_idx = jnp.min(jnp.where(is_stop, j, k + 1))
+            m = jnp.minimum(lim, stop_idx + 1)
+            m = jnp.minimum(m, max_new - (length - prompt_len))
+            finished = (stop_idx < lim) | (length - prompt_len + m >= max_new)
+            # write all k+1 targets: slots beyond m are overwritten by the
+            # next step's window (same invariant as the KV-cache writes)
+            buf = jax.lax.dynamic_update_slice(buf, t, (length,))
+            return (cache, buf, length + m, finished, steps + 1, acc + n_acc)
+
+        state = (cache, buf, length0, finished0, steps0, acc0)
+        cache, buf, length, _, steps, acc = jax.lax.while_loop(cond, body, state)
+        return buf, length, steps, acc, cache
 
     def generate(
         self,

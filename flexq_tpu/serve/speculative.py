@@ -76,6 +76,41 @@ def ngram_draft(
     return np.full(k, h[-1], np.int32)
 
 
+def ngram_draft_device(
+    buf: "jax.Array", length: "jax.Array", k: int, max_ngram: int = 3
+) -> "jax.Array":
+    """On-device prompt lookup over the token buffer (the fused-loop analogue
+    of :func:`ngram_draft`): for n = max_ngram..1, vectorized compare of every
+    window buf[j:j+n] against the current suffix, take the most recent match
+    of the longest matching n, return the k following tokens. Fixed shapes,
+    pure VPU work (~buffer-length comparisons per n) — negligible next to the
+    verify forward."""
+    import jax
+    import jax.numpy as jnp
+
+    lb = buf.shape[0]
+    idx = jnp.arange(lb, dtype=jnp.int32)
+    last = jax.lax.dynamic_index_in_dim(buf, length - 1, keepdims=False)
+    best = jnp.int32(-1)
+    for n in range(max_ngram, 0, -1):
+        suffix = jax.lax.dynamic_slice(buf, (length - n,), (n,))
+        m = jnp.ones((lb,), bool)
+        for t in range(n):
+            # roll wraps, but wrapped rows sit at j > lb-n >= length-n and
+            # are masked below
+            m = m & (jnp.roll(buf, -t) == suffix[t])
+        m = m & (idx < length - n)  # window + its continuation inside history
+        pos_n = jnp.max(jnp.where(m, idx, -1))
+        ok = (pos_n >= 0) & (length > n)
+        best = jnp.where((best < 0) & ok, pos_n + n, best)
+    start = jnp.where(best >= 0, best, length - 1)
+    bufp = jnp.concatenate([buf, jnp.full((k,), last, buf.dtype)])
+    d = jax.lax.dynamic_slice(bufp, (start,), (k,))
+    tpos = start + jnp.arange(k, dtype=jnp.int32)
+    # continuation may run past history (self-extension is fine below length)
+    return jnp.where(tpos < length, d, last)
+
+
 def generate_speculative(
     engine,
     prompt_ids: Sequence[Sequence[int]],
@@ -85,6 +120,7 @@ def generate_speculative(
     stop_ids: Sequence[int] = (),
     max_ngram: int = 3,
     return_stats: bool = False,
+    fused: bool = True,
 ) -> List[List[int]] | Tuple[List[List[int]], SpecStats]:
     """Greedy generation via draft-and-verify; exact greedy semantics.
 
@@ -116,10 +152,37 @@ def generate_speculative(
         logits, cache = engine._prefill_jit(engine.params, ids, cache, prompt_len=l)
 
     history = list(prompts[0])
-    first = int(np.argmax(np.asarray(logits[0])))
+    # device argmax + scalar fetch: syncs prefill for an honest TTFT without
+    # pulling the [V] logits row through the tunnel
+    first = int(jnp.argmax(logits[0]))
     stats.prefill_s = time.perf_counter() - t0
 
     stop_set = set(stop_ids) | {eos_id}
+
+    if fused:
+        # whole draft/verify/accept loop on device (engine._spec_decode_loop):
+        # one host dispatch + one buffer fetch for the entire generation
+        t1 = time.perf_counter()
+        lb = l + max_new_tokens + k + 1
+        buf = jnp.zeros((lb,), jnp.int32).at[:l].set(
+            jnp.asarray(prompts[0], jnp.int32)
+        )
+        buf, length, steps, acc, cache = engine._spec_loop_jit(
+            engine.params, logits, cache, buf, jnp.int32(l),
+            k=k, max_new=max_new_tokens, stop_ids=tuple(sorted(stop_set)),
+            max_ngram=max_ngram,
+        )
+        length = int(length)
+        out = [int(t) for t in np.asarray(buf)[l:length]]
+        stats.steps = int(steps)
+        stats.drafted = stats.steps * k
+        stats.accepted = int(acc)
+        stats.generated = len(out)
+        stats.decode_s = time.perf_counter() - t1
+        if return_stats:
+            return [out], stats
+        return [out]
+
     out: List[int] = [first]
     history.append(first)
     pos = l
@@ -127,10 +190,10 @@ def generate_speculative(
     while len(out) < max_new_tokens and out[-1] not in stop_set:
         draft = ngram_draft(np.asarray(history, np.int32), k, max_ngram=max_ngram)
         step_ids = np.concatenate([[history[-1]], draft]).astype(np.int32)
-        logits, cache = engine._spec_jit(
+        tgt_dev, cache = engine._spec_jit(
             engine.params, jnp.asarray(step_ids[None]), cache, jnp.int32(pos)
         )
-        targets = np.asarray(np.argmax(np.asarray(logits[0]), axis=-1), np.int32)
+        targets = np.asarray(tgt_dev[0], np.int32)
         n_acc = 0
         while (
             n_acc < k

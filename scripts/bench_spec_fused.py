@@ -1,0 +1,87 @@
+"""7B fused speculative decoding vs fused plain loop (the real serving race).
+
+Both loops run entirely on device; per-generation host cost is one dispatch +
+one fetch. The plain fused loop was measured at 7.8 ms/step B1 (CLAUDE.md);
+spec multiplies each step by tokens_per_step at ~4% extra window cost.
+
+Run:  nohup python scripts/bench_spec_fused.py > /tmp/spec_fused.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from flexq_tpu.config import QuantPolicy
+from flexq_tpu.serve.engine import Engine
+from flexq_tpu.serve.speculative import generate_speculative
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_e2e7b import synth_llama7b_quantized  # noqa: E402
+
+
+def main():
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    policy = QuantPolicy.llama_flex()
+    cfg, qparams = synth_llama7b_quantized(policy)
+    eng = Engine(qparams, cfg, policy, max_seq_len=2048, kv_dtype=jnp.bfloat16)
+    results = {}
+
+    rng = np.random.default_rng(0)
+    phrase = rng.integers(100, 32000, 16).tolist()
+    prompts = {
+        "repetitive": phrase * 8,
+        "random": rng.integers(100, 32000, 128).tolist(),
+    }
+    n_new = 256
+    for name, prompt in prompts.items():
+        # fused PLAIN loop baseline (greedy sampling defaults)
+        print(f"compile plain fused ({name}) ...", flush=True)
+        out_p, st = eng.generate(
+            [prompt], max_new_tokens=n_new, eos_id=-1, return_stats=True
+        )
+        out_p, st = eng.generate(
+            [prompt], max_new_tokens=n_new, eos_id=-1, return_stats=True
+        )
+        plain_tok_s = len(out_p[0]) / st.decode_s
+        results[f"plain_fused_{name}"] = {
+            "tok_s": plain_tok_s,
+            "ms_per_tok": st.decode_s / len(out_p[0]) * 1e3,
+        }
+        print(f"plain fused {name}: {results[f'plain_fused_{name}']}", flush=True)
+
+        for k in (3, 7):
+            print(f"compile spec fused k={k} ({name}) ...", flush=True)
+            out_s, stats = generate_speculative(
+                eng, [prompt], max_new_tokens=n_new, k=k, eos_id=-1,
+                return_stats=True, fused=True,
+            )
+            assert out_s[0] == out_p[0][: len(out_s[0])], "greedy mismatch!"
+            out_s, stats = generate_speculative(
+                eng, [prompt], max_new_tokens=n_new, k=k, eos_id=-1,
+                return_stats=True, fused=True,
+            )
+            key = f"spec_fused_{name}_k{k}"
+            results[key] = {
+                "tok_s": stats.generated / stats.decode_s,
+                "ms_per_tok": stats.decode_s / stats.generated * 1e3,
+                "speedup_vs_plain": (stats.generated / stats.decode_s) / plain_tok_s,
+                "tok_per_step": round(stats.tokens_per_step, 2),
+                "accept_rate": round(stats.acceptance_rate, 2),
+            }
+            print(f"{key}: {results[key]}", flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

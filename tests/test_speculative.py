@@ -56,15 +56,16 @@ def test_spec_matches_plain_greedy():
     for prompt in ([1, 5, 9, 12], [3, 3, 3, 3, 3, 3], [7, 1, 7, 1, 7, 1]):
         plain = eng.generate([prompt], max_new_tokens=12, eos_id=-1, mode="step")
         for k in (1, 3, 5):
-            spec, stats = generate_speculative(
-                eng, [prompt], max_new_tokens=12, k=k, eos_id=-1,
-                return_stats=True,
-            )
-            assert spec[0] == plain[0], (prompt, k)
-            assert stats.generated == len(spec[0])
-            # bonus token guarantees >= 1 token per verify forward
-            assert stats.tokens_per_step >= 1.0
-            assert stats.steps + 1 <= len(spec[0]) * 1 + 1  # sanity
+            for fused in (False, True):
+                spec, stats = generate_speculative(
+                    eng, [prompt], max_new_tokens=12, k=k, eos_id=-1,
+                    return_stats=True, fused=fused,
+                )
+                assert spec[0] == plain[0], (prompt, k, fused)
+                assert stats.generated == len(spec[0])
+                # bonus token guarantees >= 1 token per verify forward
+                assert stats.tokens_per_step >= 1.0
+                assert 0 <= stats.accepted <= stats.drafted
 
 
 def test_spec_via_generate_mode():
@@ -84,6 +85,29 @@ def test_spec_stops_on_eos():
     spec = eng.generate([prompt], max_new_tokens=10, eos_id=eos, mode="spec")
     assert spec[0] == plain[0]
     assert spec[0][-1] == eos and len(spec[0]) <= 10
+    hostloop = generate_speculative(
+        eng, [prompt], max_new_tokens=10, eos_id=eos, fused=False
+    )
+    assert hostloop[0] == plain[0]
+
+
+def test_ngram_draft_device_matches_host():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from flexq_tpu.serve.speculative import ngram_draft_device
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n_h = int(rng.integers(2, 40))
+        h = rng.integers(0, 5, n_h).astype(np.int32)  # small vocab => matches
+        k = int(rng.integers(1, 6))
+        want = ngram_draft(h, k)
+        buf = jnp.zeros(64, jnp.int32).at[:n_h].set(jnp.asarray(h))
+        got = np.asarray(ngram_draft_device(buf, jnp.int32(n_h), k))
+        np.testing.assert_array_equal(got, want, err_msg=f"{h.tolist()} k={k}")
 
 
 def test_spec_acceptance_on_repetitive_text():
