@@ -167,6 +167,31 @@ class QuantPolicy:
             act_bits={n: abits for n in names},
         )
 
+    @property
+    def no_act_quant(self) -> bool:
+        """True when no linear quantizes its activations (W*A16 or fp16).
+        The serve path must then skip the fused act-quant producers and run
+        the bf16 layer path (int8 containers cannot hold 16-bit values)."""
+        return all(b >= 16 for b in self.act_bits.values())
+
+    @property
+    def is_weight_only(self) -> bool:
+        """True for W*A16 policies (quantized weights, full-precision
+        activations) — the reference's int8_mode=1/4 CUTLASS fpA_intB
+        baselines. The serve path then skips activation quantization and
+        runs the in-kernel-dequant bf16 GEMMs everywhere."""
+        return self.no_act_quant and any(b < 16 for b in self.weight_bits.values())
+
+    @staticmethod
+    def weight_only(arch: str = "llama", wbits: int = 4) -> "QuantPolicy":
+        """W4A16 (or W6/W8A16) weight-only policy — parity with the
+        reference's int8_mode=4 weight-only baseline path."""
+        names = LLAMA_LINEARS if arch == "llama" else OPT_LINEARS
+        return QuantPolicy(
+            weight_bits={n: wbits for n in names},
+            act_bits={n: 16 for n in names},
+        )
+
     @staticmethod
     def fp16(arch: str = "llama") -> "QuantPolicy":
         names = LLAMA_LINEARS if arch == "llama" else OPT_LINEARS

@@ -27,7 +27,7 @@ from typing import Any, Dict
 import numpy as np
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
-from flexq_tpu.export.native import quant_pack6
+from flexq_tpu.export.native import group_quant_np, quant_pack6
 from flexq_tpu.models.hf_loader import config_from_hf
 
 FORMAT_VERSION = 2  # biased nibble+crumb planes (packing/pack6.py)
@@ -64,6 +64,8 @@ def export_checkpoint(
         policy = QuantPolicy.opt_flex(wbits=wbits, abits=abits)
     elif policy_name == "uniform":
         policy = QuantPolicy.uniform(cfg.arch, wbits=wbits, abits=abits)
+    elif policy_name == "weight_only":
+        policy = QuantPolicy.weight_only(cfg.arch, wbits=wbits)
     else:
         raise ValueError(policy_name)
 
@@ -106,17 +108,33 @@ def export_checkpoint(
         for name, hf in hf_names.items():
             w = t(prefix + hf + ".weight", transpose=True)  # [K, N]
             spec_bits = policy.weight_bits.get(name, 16)
-            if spec_bits == 6:
+            if spec_bits < 16:
                 if name == "down_proj" and w.shape[0] != ffn_pad:
                     w = np.pad(w, ((0, ffn_pad - w.shape[0]), (0, 0)))
                 n = w.shape[1]
                 n_to = n + ((-n) % (1024 if n >= 2048 else 128))
-                hi, lo, scale = quant_pack6(_pad_cols(w, n_to))
+                w = _pad_cols(w, n_to)
+            if spec_bits == 6:
+                hi, lo, scale = quant_pack6(w)
                 out[f"{name}.hi"] = hi
                 out[f"{name}.lo"] = lo
                 out[f"{name}.scale"] = scale
+            elif spec_bits == 8:
+                # W8A8 baseline checkpoint (reference int8_mode=2 parity)
+                q, scale = group_quant_np(w, 8)
+                out[f"{name}.q8"] = q
+                out[f"{name}.scale"] = scale
+            elif spec_bits == 4:
+                # W4 weight-only checkpoint (reference int8_mode=4 parity)
+                from flexq_tpu.packing.pack4 import pack4_np
+
+                q, scale = group_quant_np(w, 4)
+                out[f"{name}.q4"] = pack4_np(q)
+                out[f"{name}.scale"] = scale
             else:
                 out[f"{name}.w"] = _np_bf16(w)
+        # safetensors writes raw buffers stride-blind: force C-contiguous
+        out = {k2: np.ascontiguousarray(v2) for k2, v2 in out.items()}
         save_file(out, os.path.join(out_dir, f"layer_{i}.safetensors"))
         print(f"layer {i + 1}/{cfg.num_layers} exported", flush=True)
 

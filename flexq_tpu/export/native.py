@@ -92,7 +92,12 @@ def quant_pack6(
 
 
 def group_quant_np(w: np.ndarray, bits: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-group(128)-along-K symmetric quant of [K, N] (NumPy)."""
+    """Per-group(128)-along-K symmetric quant of [K, N] (NumPy).
+
+    Input is forced C-contiguous first: callers pass transposed HF views,
+    and numpy ufuncs otherwise propagate F-order into q (order='K'), which
+    safetensors save_file then serializes raw-buffer-wise (stride-blind)."""
+    w = np.ascontiguousarray(w)
     k, n = w.shape
     qmax = 2 ** (bits - 1) - 1
     wg = w.reshape(k // 128, 128, n)
@@ -100,4 +105,4 @@ def group_quant_np(w: np.ndarray, bits: int) -> Tuple[np.ndarray, np.ndarray]:
     scale = np.clip(amax / qmax, 1e-5, 1e4)  # [K/128, N]
     q = np.rint(wg / scale[:, None, :])
     q = np.clip(q, -(qmax + 1), qmax).astype(np.int8)
-    return q.reshape(k, n), scale.astype(np.float32)
+    return q.reshape(k, n), np.ascontiguousarray(scale.astype(np.float32))

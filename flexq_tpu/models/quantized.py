@@ -31,7 +31,7 @@ from flexq_tpu.kernels import (
     w6_matmul_bf16,
 )
 from flexq_tpu.models.llama import apply_rope, attention_core, causal_mask, rmsnorm, rope_cos_sin
-from flexq_tpu.packing import pack6
+from flexq_tpu.packing import pack4, pack6
 from flexq_tpu.quant.quantizer import QuantSpec, quantize
 
 
@@ -65,6 +65,10 @@ def quantize_linear(
         # W8A8 baseline path (reference's SmoothQuant comparison,
         # int8_mode=2): dense int8 weights, no sub-byte packing
         return {"q8": q, "scale": jnp.asarray(s, jnp.float32)}
+    if spec.bits == 4:
+        # W4 weight-only baseline path (reference's int8_mode=4 CUTLASS
+        # fpA_intB): nibble plane, 4 bits/value
+        return {"q4": pack4(q), "scale": jnp.asarray(s, jnp.float32)}
     hi, lo = pack6(q)
     return {"hi": hi, "lo": lo, "scale": jnp.asarray(s, jnp.float32)}
 
@@ -302,6 +306,17 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
     return attention_core_quant(q, ck[li], cks[li], cv[li], cvs[li], mask, num_kv_groups)
 
 
+def _ffn_width(wq: Dict[str, Any], cfg: ModelConfig) -> int:
+    """Padded FFN width implied by a packed down/fc2 weight's K dimension."""
+    if "hi" in wq:
+        return wq["hi"].shape[0] * 2
+    if "q4" in wq:
+        return wq["q4"].shape[0] * 2
+    if "q8" in wq:
+        return wq["q8"].shape[0]
+    return cfg.intermediate_size
+
+
 def _qlinear(
     wq: Dict[str, Any],
     xq: jax.Array,
@@ -311,6 +326,10 @@ def _qlinear(
 ) -> jax.Array:
     if "hi" in wq:
         y = w6_matmul(xq, xs, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    elif "q4" in wq:
+        from flexq_tpu.kernels.w4_matmul import w4_matmul
+
+        y = w4_matmul(xq, xs, wq["q4"], wq["scale"], out_dtype=out_dtype)
     elif "q8" in wq:
         from flexq_tpu.kernels.w8_matmul import w8_matmul
 
@@ -333,6 +352,10 @@ def _qlinear(
 def _qlinear_bf16(wq, x, out_dtype, n_out=None):
     if "hi" in wq:
         y = w6_matmul_bf16(x, wq["hi"], wq["lo"], wq["scale"], out_dtype=out_dtype)
+    elif "q4" in wq:
+        from flexq_tpu.kernels.w4_matmul import w4_matmul_bf16
+
+        y = w4_matmul_bf16(x, wq["q4"], wq["scale"], out_dtype=out_dtype)
     elif "q8" in wq:
         # W8A16 prefill for the baseline path: dequantize per group and run
         # a dense matmul (XLA fuses the dequant into the dot's producer)
@@ -395,11 +418,7 @@ def llama_layer_serve_prefill(
     x2 = x2 + o
 
     h = rmsnorm(x2, lp["post_norm"], cfg.norm_eps)
-    dp = lp["down_proj"]
-    ffn_pad = (
-        dp["hi"].shape[0] * 2 if "hi" in dp
-        else (dp["q8"].shape[0] if "q8" in dp else cfg.intermediate_size)
-    )
+    ffn_pad = _ffn_width(lp["down_proj"], cfg)
     gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
     up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(dtype)
@@ -477,11 +496,7 @@ def llama_layer_serve(
         o, lp["post_norm"], bits=a_ffn, residual=x2, eps=cfg.norm_eps
     )
     # gate/up stay at the PADDED ffn width so they feed down_proj's padded K
-    dp = lp["down_proj"]
-    ffn_pad = (
-        dp["hi"].shape[0] * 2 if "hi" in dp
-        else (dp["q8"].shape[0] if "q8" in dp else cfg.intermediate_size)
-    )
+    ffn_pad = _ffn_width(lp["down_proj"], cfg)
     if "gate_up" in lp:
         gu = _qlinear(lp["gate_up"], fq, fs, dtype)
         gate, up = gu[:, :ffn_pad], gu[:, ffn_pad : 2 * ffn_pad]
@@ -544,10 +559,7 @@ def opt_layer_serve(
     fq, fs = layernorm_quant(
         x2, lp["post_norm"]["g"], lp["post_norm"]["b"], bits=a_fc1, eps=cfg.norm_eps
     )
-    ffn_pad = (
-        lp["fc2"]["hi"].shape[0] * 2 if "hi" in lp["fc2"]
-        else (lp["fc2"]["q8"].shape[0] if "q8" in lp["fc2"] else cfg.intermediate_size)
-    )
+    ffn_pad = _ffn_width(lp["fc2"], cfg)
     h = _qlinear(lp["fc1"], fq, fs, dtype, ffn_pad)
     hq, hs = relu_quant(h, bits=policy.act_bits.get("fc2", 6))
     wq_fc2 = {k_: v_ for k_, v_ in lp["fc2"].items() if k_ != "b"}
@@ -588,6 +600,13 @@ def forward_serve(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
     is_opt = cfg.arch == "opt"
+    if policy.no_act_quant and not is_opt:
+        # W*A16 weight-only (reference int8_mode=1/4) or all-fp16 policy:
+        # activations stay bf16 at decode too — every linear runs the
+        # in-kernel-dequant bf16 GEMM / dense matmul (the llama bf16 layer
+        # path). The quantized layer path would wrap 16-bit act values into
+        # an int8 container and corrupt them.
+        prefill_bf16 = True
     if is_opt:
         from flexq_tpu.models.opt import POS_OFFSET
 

@@ -100,6 +100,8 @@ def packed_nbytes(k: int, n: int) -> int:
 
 
 # NumPy twins for the offline exporter (no device round-trip for 70B ckpts).
+# Outputs forced C-contiguous: ufuncs propagate a transposed input's F-order
+# (order='K') and safetensors save_file writes raw buffers ignoring strides.
 def pack6_np(w_int: np.ndarray, kt: int = PACK_KT) -> Tuple[np.ndarray, np.ndarray]:
     k, n = w_int.shape
     _check_shape(k, kt)
@@ -115,8 +117,8 @@ def pack6_np(w_int: np.ndarray, kt: int = PACK_KT) -> Tuple[np.ndarray, np.ndarr
         | (lo_t[:, 3 * q :] << 6)
     )
     return (
-        hi_packed.reshape(k // 2, n).astype(np.int8),
-        lo_packed.reshape(k // 4, n).astype(np.int8),
+        np.ascontiguousarray(hi_packed.reshape(k // 2, n).astype(np.int8)),
+        np.ascontiguousarray(lo_packed.reshape(k // 4, n).astype(np.int8)),
     )
 
 

@@ -53,10 +53,15 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             if name in COL_LINEARS and isinstance(val, dict):
                 out[name] = {k: P(None, "model") for k in val}
             elif name in ROW_LINEARS and isinstance(val, dict):
-                # hi [K/2,N], lo [K/4,N], scale [K/G,N] all shard K (dim 0);
-                # biases are added post-psum so they stay replicated
+                # hi [K/2,N], lo [K/4,N], q4 [K/2,N], q8 [K,N], scale [K/G,N]
+                # all shard K (dim 0); biases are added post-psum so they
+                # stay replicated
                 out[name] = {
-                    k: (P("model", None) if k in ("hi", "lo", "scale", "w") else P())
+                    k: (
+                        P("model", None)
+                        if k in ("hi", "lo", "q4", "q8", "scale", "w")
+                        else P()
+                    )
                     for k in val
                 }
             else:

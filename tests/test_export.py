@@ -89,3 +89,47 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.05, atol=0.05
     )
+
+
+def test_export_roundtrip_weight_only_w4(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from flexq_tpu.config import QuantPolicy
+    from flexq_tpu.export import export_checkpoint, load_packed
+    from flexq_tpu.models import config_from_hf, from_hf_llama
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+
+    torch.manual_seed(1)
+    cfg_hf = LlamaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg_hf).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    out_dir = tmp_path / "packed4"
+    export_checkpoint(str(hf_dir), str(out_dir), policy_name="weight_only", wbits=4)
+    cfg, policy, params = load_packed(str(out_dir))
+    assert policy.is_weight_only
+    assert "q4" in params["layers"][0]["q_proj"]
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 6)))
+    got, _ = forward_serve(params, cfg, policy, ids)
+
+    mem_params = quantize_params(
+        from_hf_llama(model, dtype=jnp.float32),
+        config_from_hf(model.config),
+        QuantPolicy.weight_only("llama", wbits=4),
+        dtype=jnp.bfloat16,
+    )
+    want, _ = forward_serve(mem_params, config_from_hf(model.config), policy, ids)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.05, atol=0.05
+    )
