@@ -27,7 +27,7 @@ from typing import Any, Dict
 import numpy as np
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
-from flexq_tpu.export.native import group_quant_np, quant_pack6
+from flexq_tpu.export.native import group_quant_np, quant_pack4, quant_pack6
 from flexq_tpu.models.hf_loader import config_from_hf
 
 FORMAT_VERSION = 2  # biased nibble+crumb planes (packing/pack6.py)
@@ -126,10 +126,8 @@ def export_checkpoint(
                 out[f"{name}.scale"] = scale
             elif spec_bits == 4:
                 # W4 weight-only checkpoint (reference int8_mode=4 parity)
-                from flexq_tpu.packing.pack4 import pack4_np
-
-                q, scale = group_quant_np(w, 4)
-                out[f"{name}.q4"] = pack4_np(q)
+                plane, scale = quant_pack4(w)
+                out[f"{name}.q4"] = plane
                 out[f"{name}.scale"] = scale
             else:
                 out[f"{name}.w"] = _np_bf16(w)

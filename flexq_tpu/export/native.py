@@ -50,6 +50,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.flexq_pack6.argtypes = [i8p, i8p, i8p, i64, i64]
             lib.flexq_group_quant.argtypes = [f32p, i8p, f32p, i64, i64, ctypes.c_int]
             lib.flexq_quant_pack6.argtypes = [f32p, i8p, i8p, f32p, i8p, i64, i64]
+            lib.flexq_pack4.argtypes = [i8p, i8p, i64, i64]
+            lib.flexq_quant_pack4.argtypes = [f32p, i8p, f32p, i8p, i64, i64]
             lib.flexq_num_threads.restype = ctypes.c_int
             _lib = lib
     return _lib
@@ -89,6 +91,25 @@ def quant_pack6(
     q, scale = group_quant_np(w, bits)
     hi, lo = pack6_np(q)
     return hi, lo, scale
+
+
+def quant_pack4(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """f32/f16 [K, N] -> (plane [K/2,N] int8, scale [K/128,N] f32) for the
+    W4 weight-only path. Native library when available; NumPy otherwise."""
+    from flexq_tpu.packing.pack4 import pack4_np
+
+    w = np.ascontiguousarray(w, np.float32)
+    k, n = w.shape
+    assert k % 128 == 0
+    lib = get_lib()
+    if lib is not None:
+        plane = np.empty((k // 2, n), np.int8)
+        scale = np.empty((k // 128, n), np.float32)
+        scratch = np.empty((k, n), np.int8)
+        lib.flexq_quant_pack4(_f32p(w), _i8p(plane), _f32p(scale), _i8p(scratch), k, n)
+        return plane, scale
+    q, scale = group_quant_np(w, 4)
+    return pack4_np(q), scale
 
 
 def group_quant_np(w: np.ndarray, bits: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -525,7 +525,16 @@ def opt_layer_serve(
     """Quantized OPT decoder layer (reference ParallelGptDecoder.cc:382-524
     int8_mode=5 wiring): fused LayerNorm+quant producers, biased linears
     (bias added post-psum for row-parallel), ReLU+quant fc1→fc2 producer.
+
+    Under a no-act-quant policy (W*A16 weight-only or fp16) the layer runs
+    the bf16 path instead: plain layernorm producers + in-kernel-dequant
+    bf16 GEMMs (int8 act containers cannot hold 16-bit values).
     """
+    if policy.no_act_quant:
+        return _opt_layer_serve_bf16(
+            lp, cfg, x, mask, kv=kv, cache_pos=cache_pos, tp_axis=tp_axis,
+            lengths=lengths,
+        )
     b, l, hidden = x.shape
     dtype = x.dtype
     x2 = x.reshape(b * l, hidden)
@@ -564,6 +573,60 @@ def opt_layer_serve(
     hq, hs = relu_quant(h, bits=policy.act_bits.get("fc2", 6))
     wq_fc2 = {k_: v_ for k_, v_ in lp["fc2"].items() if k_ != "b"}
     down = _qlinear(wq_fc2, hq, hs, dtype, hidden)
+    if tp_axis is not None:
+        down = jax.lax.psum(down, tp_axis)
+    if "b" in lp["fc2"]:
+        down = down + lp["fc2"]["b"].astype(down.dtype)
+    x2 = x2 + down
+    return x2.reshape(b, l, hidden), new_kv
+
+
+def _opt_layer_serve_bf16(
+    lp: Dict[str, Any],
+    cfg: ModelConfig,
+    x: jax.Array,  # [B, L, H]
+    mask: Optional[jax.Array],
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_pos: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
+    lengths: Optional[jax.Array] = None,
+):
+    """OPT layer, activations unquantized (weight-only / fp16 policies):
+    plain LayerNorm producers, bf16 in-kernel-dequant GEMMs, biases added
+    post-psum for the row-parallel o_proj/fc2."""
+    from flexq_tpu.models.opt import layernorm
+
+    b, l, hidden = x.shape
+    dtype = x.dtype
+    x2 = x.reshape(b * l, hidden)
+
+    h = layernorm(x2, lp["input_norm"]["g"], lp["input_norm"]["b"], cfg.norm_eps)
+    nq = cfg.num_heads * cfg.head_dim
+    q = _qlinear_bf16(lp["q_proj"], h, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+    k = _qlinear_bf16(lp["k_proj"], h, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+    v = _qlinear_bf16(lp["v_proj"], h, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
+
+    new_kv = None
+    if kv is not None:
+        new_kv, kv_view = _kv_write_read(kv, k, v, cache_pos, dtype)
+    else:
+        kv_view = ("dense", k, v)
+
+    attn = _attend(q, kv_view, mask, 1, lengths)
+    wq_o = {k_: v_ for k_, v_ in lp["o_proj"].items() if k_ != "b"}
+    o = _qlinear_bf16(wq_o, attn.reshape(b * l, nq), dtype, hidden)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    if "b" in lp["o_proj"]:
+        o = o + lp["o_proj"]["b"].astype(o.dtype)
+    x2 = x2 + o
+
+    h = layernorm(x2, lp["post_norm"]["g"], lp["post_norm"]["b"], cfg.norm_eps)
+    ffn_pad = _ffn_width(lp["fc2"], cfg)
+    h = _qlinear_bf16(lp["fc1"], h, dtype, ffn_pad)
+    h = jax.nn.relu(h.astype(jnp.float32)).astype(dtype)
+    wq_fc2 = {k_: v_ for k_, v_ in lp["fc2"].items() if k_ != "b"}
+    down = _qlinear_bf16(wq_fc2, h, dtype, hidden)
     if tp_axis is not None:
         down = jax.lax.psum(down, tp_axis)
     if "b" in lp["fc2"]:

@@ -106,6 +106,35 @@ void flexq_quant_pack6(const float* w, int8_t* hi, int8_t* lo, float* scale,
   flexq_pack6(q_scratch, hi, lo, k, n);
 }
 
+// Pack a signed int4 matrix w[k][n] (int8 container, values in [-8,7]) into
+// the biased nibble plane p[k/2][n] (format of flexq_tpu/packing/pack4.py:
+// byte r of K-tile t holds u=w+8 of rows r | r+64 in low | high nibble).
+void flexq_pack4(const int8_t* w, int8_t* p, int64_t k, int64_t n) {
+  const int64_t tiles = k / kTile;
+#pragma omp parallel for schedule(static)
+  for (int64_t t = 0; t < tiles; ++t) {
+    const int8_t* wt = w + t * kTile * n;
+    int8_t* pt = p + t * (kTile / 2) * n;
+    for (int64_t r = 0; r < kTile / 2; ++r) {
+      const int8_t* row_a = wt + r * n;
+      const int8_t* row_b = wt + (r + kTile / 2) * n;
+      int8_t* out = pt + r * n;
+      for (int64_t c = 0; c < n; ++c) {
+        const uint8_t ua = static_cast<uint8_t>(row_a[c] + 8) & 0xF;
+        const uint8_t ub = static_cast<uint8_t>(row_b[c] + 8) & 0xF;
+        out[c] = static_cast<int8_t>(ua | (ub << 4));
+      }
+    }
+  }
+}
+
+// Fused quantize + pack for the W4 weight-only path.
+void flexq_quant_pack4(const float* w, int8_t* p, float* scale,
+                       int8_t* q_scratch, int64_t k, int64_t n) {
+  flexq_group_quant(w, q_scratch, scale, k, n, /*bits=*/4);
+  flexq_pack4(q_scratch, p, k, n);
+}
+
 int flexq_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

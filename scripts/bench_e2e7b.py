@@ -154,12 +154,22 @@ def main():
         n = autotune.load_table(sys.argv[1])
         print(f"loaded tuned table {sys.argv[1]} ({n} entries)", flush=True)
     print("devices:", jax.devices(), flush=True)
-    if os.environ.get("FLEXQ_BENCH_WBITS") == "8":
+    wbits = os.environ.get("FLEXQ_BENCH_WBITS")
+    if wbits == "8":
         # the reference's central e2e comparison: FlexQ W6Ax vs SmoothQuant
         # W8A8 (README.md:193: 1.25-1.33x) — run with WBITS=8 for the
         # baseline side
         policy = QuantPolicy.uniform("llama", wbits=8, abits=8)
         print("policy: uniform W8A8 (SmoothQuant-baseline path)", flush=True)
+    elif wbits == "4":
+        # exceeds-parity W4A8: 4-bit planes are 1.5x smaller than W6, so
+        # weight-stream-bound decode should gain proportionally
+        policy = QuantPolicy.uniform("llama", wbits=4, abits=8)
+        print("policy: uniform W4A8 (exact-int path)", flush=True)
+    elif wbits == "4a16":
+        # the reference's int8_mode=4 weight-only baseline
+        policy = QuantPolicy.weight_only("llama", wbits=4)
+        print("policy: W4A16 weight-only (fpA_intB-baseline path)", flush=True)
     else:
         policy = QuantPolicy.llama_flex()
     print("generating + quantizing layer-by-layer...", flush=True)

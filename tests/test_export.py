@@ -133,3 +133,21 @@ def test_export_roundtrip_weight_only_w4(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.05, atol=0.05
     )
+
+
+def test_native_pack4_matches_python():
+    from flexq_tpu.export.native import quant_pack4
+    from flexq_tpu.packing import pack4_np
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no g++ toolchain")
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((512, 384)).astype(np.float32) * 0.1
+    plane_n, s_n = quant_pack4(w)
+    q_py, s_py = group_quant_np(w, 4)
+    np.testing.assert_allclose(s_n, s_py, rtol=1e-6)
+    np.testing.assert_array_equal(plane_n, pack4_np(q_py))
+    # transposed (F-ordered) input must give identical planes
+    plane_t, s_t = quant_pack4(np.asfortranarray(w))
+    np.testing.assert_array_equal(plane_t, plane_n)

@@ -77,3 +77,37 @@ def test_opt_serve_tracks_oracle():
     denom = np.abs(oracle).max()
     assert np.abs(got - oracle).max() / denom < 0.08
     assert (got.argmax(-1) == oracle.argmax(-1)).mean() >= 0.75
+
+
+@pytest.mark.parametrize("policy_fn", [
+    lambda: QuantPolicy.fp16("opt"),
+    lambda: QuantPolicy.weight_only("opt", wbits=4),
+])
+def test_opt_serve_no_act_quant_policies(policy_fn):
+    """fp16 / W4A16 weight-only policies route OPT through the bf16 layer
+    path (the quantized path would corrupt 16-bit act values in int8
+    containers)."""
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+    from flexq_tpu.models import from_hf_opt
+
+    cfg_hf = OPTConfig(
+        vocab_size=128, hidden_size=128, ffn_dim=256, num_hidden_layers=2,
+        num_attention_heads=2, max_position_embeddings=64,
+        do_layer_norm_before=True, tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    model = OPTForCausalLM(cfg_hf).eval()
+    cfg = config_from_hf(model.config)
+    params = from_hf_opt(model, dtype=jnp.float32)
+    policy = policy_fn()
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (1, 8)))
+
+    oracle = np.asarray(
+        forward(fake_quant_weights(params, policy), cfg, ids, policy=policy)
+    )
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    got, _ = forward_serve(qparams, cfg, policy, ids)
+    got = np.asarray(got)
+    denom = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / denom < 0.08
+    assert (got.argmax(-1) == oracle.argmax(-1)).mean() >= 0.75
