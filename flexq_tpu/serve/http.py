@@ -111,6 +111,11 @@ class SchedulerService:
             if getattr(self.scheduler, "paged", False):
                 m["pages_free"] = self.scheduler.pool.free_pages
                 m["pages_total"] = self.scheduler.pool.num_pages
+            reg = getattr(self.scheduler, "registry", None)
+            if reg is not None:
+                m["prefix_pages_hit"] = reg.hits
+                m["prefix_pages_missed"] = reg.misses
+                m["prefix_pages_retained"] = reg.reclaimable
             return m
 
     def shutdown(self):
@@ -196,6 +201,13 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=2048)
     ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument("--paged", action="store_true", help="paged KV pool")
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--prefill-chunk", type=int, default=None)
+    ap.add_argument(
+        "--prefix-cache", action="store_true",
+        help="reuse identical prompt-prefix pages across requests (paged only)",
+    )
     args = ap.parse_args()
 
     cfg, policy, params = load_packed(args.checkpoint)
@@ -206,6 +218,10 @@ def main():
         num_slots=args.slots,
         max_seq_len=args.max_seq_len,
         kv_dtype=jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16,
+        paged=args.paged or args.prefix_cache,
+        page_size=args.page_size,
+        prefill_chunk=args.prefill_chunk,
+        prefix_cache=args.prefix_cache,
     )
     server, service, port = serve_background(sched, args.host, args.port)
     print(f"serving on {args.host}:{port} ({args.slots} slots)", flush=True)

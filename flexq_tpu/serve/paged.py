@@ -15,7 +15,8 @@ passed into the jitted step.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,43 @@ class PagePool:
             self.scale_k = ins(self.scale_k, region(ks1), idx)
             self.scale_v = ins(self.scale_v, region(vs1), idx)
 
+    def gather_prefix(self, pages: List[int], scratch: Tuple) -> Tuple:
+        """Fill a B=1 scratch cache's leading region from pool pages.
+
+        scratch = (k, v[, ks, vs]) with k/v [L, 1, KVH, S, D]; page i of
+        ``pages`` lands at tokens [i*PS, (i+1)*PS). One jitted donated
+        scatter (same rationale as insert_prefill). Used by prefix caching:
+        reused prompt pages seed the scratch so suffix prefill attends over
+        them without recomputing their K/V.
+        """
+        import functools
+
+        m = len(pages)
+        key = ("gather", m, self.quantized)
+        if not hasattr(self, "_gather_jit"):
+            self._gather_jit = {}
+        if key not in self._gather_jit:
+            ps = self.page_size
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def gat(pool, scratch_arr, idx):
+                r = pool[:, idx]  # [L, m, KVH, PS, ...]
+                r = jnp.moveaxis(r, 1, 2)  # [L, KVH, m, PS, ...]
+                r = r.reshape(r.shape[:2] + (m * ps,) + r.shape[4:])
+                return jax.lax.dynamic_update_slice(
+                    scratch_arr,
+                    r[:, None].astype(scratch_arr.dtype),
+                    (0,) * scratch_arr.ndim,
+                )
+
+            self._gather_jit[key] = gat
+        gat = self._gather_jit[key]
+        idx = jnp.asarray(pages, jnp.int32)
+        out = (gat(self.pool_k, scratch[0], idx), gat(self.pool_v, scratch[1], idx))
+        if self.quantized:
+            out += (gat(self.scale_k, scratch[2], idx), gat(self.scale_v, scratch[3], idx))
+        return out
+
     def state(self) -> Tuple:
         if self.quantized:
             return (self.pool_k, self.pool_v, self.scale_k, self.scale_v)
@@ -117,6 +155,95 @@ class PagePool:
             self.pool_k, self.pool_v, self.scale_k, self.scale_v = state
         else:
             self.pool_k, self.pool_v = state
+
+
+class PrefixRegistry:
+    """Content-addressed prompt-page cache (vLLM-style automatic prefix
+    caching — exceeds the reference, which has no KV reuse of any kind).
+
+    A FULL prompt page is identified by the hash chain of every token from
+    position 0 through its last token, so equal hashes imply identical
+    K/V contents (RoPE is applied at absolute positions and shared prefixes
+    start at 0). Pages in use by a slot carry a refcount; pages whose last
+    user finished are RETAINED in an LRU instead of freed, and evicted back
+    to the pool only under allocation pressure.
+    """
+
+    def __init__(self):
+        self.by_hash: Dict[int, int] = {}  # chain hash -> page id
+        self.page_hash: Dict[int, int] = {}  # page id -> chain hash
+        self.rc: Dict[int, int] = {}  # page id -> active references
+        self.retained: "OrderedDict[int, None]" = OrderedDict()  # rc==0 LRU
+        self.hits = 0  # full-page reuse events (observability)
+        self.misses = 0
+
+    @staticmethod
+    def hash_chain(tokens: Sequence[int], page_size: int) -> List[int]:
+        """Chain hash per FULL page of the token sequence."""
+        out: List[int] = []
+        h = 0
+        for i in range(len(tokens) // page_size):
+            h = hash((h, tuple(tokens[i * page_size : (i + 1) * page_size])))
+            out.append(h)
+        return out
+
+    def match(self, hashes: Sequence[int]) -> List[int]:
+        """Longest run of already-cached pages for this hash chain."""
+        pages: List[int] = []
+        for h in hashes:
+            p = self.by_hash.get(h)
+            if p is None:
+                break
+            pages.append(p)
+        self.hits += len(pages)
+        self.misses += len(hashes) - len(pages)
+        return pages
+
+    def acquire(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            self.rc[p] = self.rc.get(p, 0) + 1
+            self.retained.pop(p, None)
+
+    def register(self, h: int, page: int) -> bool:
+        """Publish a freshly-written full prompt page. Returns False when a
+        concurrent slot already published this hash (the duplicate page then
+        stays private to its slot and is freed normally)."""
+        if h in self.by_hash:
+            return False
+        self.by_hash[h] = page
+        self.page_hash[page] = h
+        self.rc[page] = self.rc.get(page, 0) + 1
+        return True
+
+    def release(self, pages: Sequence[int]) -> List[int]:
+        """Drop one reference per page; returns the subset that is NOT
+        registered (caller frees those to the pool). Registered pages whose
+        refcount hits 0 move to the retained LRU."""
+        free_now: List[int] = []
+        for p in pages:
+            if p not in self.page_hash:
+                free_now.append(p)
+                continue
+            self.rc[p] -= 1
+            if self.rc[p] == 0:
+                self.retained[p] = None
+                self.retained.move_to_end(p)
+        return free_now
+
+    @property
+    def reclaimable(self) -> int:
+        return len(self.retained)
+
+    def evict(self, n: int) -> List[int]:
+        """Unregister up to n LRU retained pages; caller frees them."""
+        out: List[int] = []
+        while self.retained and len(out) < n:
+            p, _ = self.retained.popitem(last=False)
+            h = self.page_hash.pop(p)
+            del self.by_hash[h]
+            del self.rc[p]
+            out.append(p)
+        return out
 
 
 class PageTable:

@@ -53,6 +53,12 @@ class _Slot:
     prefill_pos: int = 0
     bucket: int = 0
     scratch: Optional[Tuple] = None
+    # prefix-cache state (paged mode): pages reused from the registry, the
+    # token length they cover (chunk-aligned), and the prompt's full-page
+    # hash chain for registering freshly written pages
+    shared_pages: List[int] = dataclasses.field(default_factory=list)
+    prefix_len: int = 0
+    page_hashes: List[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -81,6 +87,7 @@ class BatchScheduler:
         num_pages: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
         mesh=None,
+        prefix_cache: bool = False,
     ):
         # mesh => multi-device serving: params TP-sharded (column/row split),
         # KV cache / page pool sharded on the kv-head axis, every scheduler
@@ -106,6 +113,21 @@ class BatchScheduler:
         # admitted (the reference stalls its whole static batch on one
         # O(L²) context pass, LlamaContextDecoder.cc).
         self.prefill_chunk = prefill_chunk
+        # automatic prefix caching (vLLM-style; paged mode only): full prompt
+        # pages are content-addressed and reused across requests; suffix
+        # prefill attends over reused pages gathered into its scratch.
+        # Reuse granularity = prefill_chunk so chunk starts stay aligned.
+        self.registry = None
+        if prefix_cache:
+            assert paged, "prefix_cache requires paged=True"
+            if self.prefill_chunk is None:
+                self.prefill_chunk = page_size
+            assert self.prefill_chunk % page_size == 0, (
+                "prefix_cache needs prefill_chunk to be a page multiple"
+            )
+            from flexq_tpu.serve.paged import PrefixRegistry
+
+            self.registry = PrefixRegistry()
         if paged:
             # paged pool: memory scales with live tokens, not slots*max_len
             # (exceeds the reference's dense per-GPU cache, Llama.cc:112-115)
@@ -296,22 +318,43 @@ class BatchScheduler:
             # padding queries (positions >= plen) produced garbage logits and
             # garbage KV past plen; neither is consumed — only [:plen] is
             # inserted and the last real token's row is sampled.
-            self._insert_scratch(i, slot.scratch, plen)
+            self._insert_scratch(i, slot.scratch, plen, slot=slot)
             slot.scratch = None
             slot.phase = "decode"
             slot.pos = plen
             tok = self._sample_one(logits[0, (plen - 1) - start], slot)
             self._record(i, slot, tok)
 
-    def _insert_scratch(self, i: int, kv1: Tuple, plen: int):
-        """Copy a B=1 scratch cache's first plen positions into slot i."""
+    def _alloc(self, n: int) -> List[int]:
+        """Pool alloc that reclaims LRU retained prefix pages under pressure."""
+        if self.registry is not None and self.pool.free_pages < n:
+            self.pool.free(self.registry.evict(n - self.pool.free_pages))
+        return self.pool.alloc(n)
+
+    def _insert_scratch(self, i: int, kv1: Tuple, plen: int,
+                        slot: Optional[_Slot] = None):
+        """Copy a B=1 scratch cache's positions [prefix_len, plen) into slot
+        i's pages; prefix pages (if any) are table-mapped without a copy."""
         if self.paged:
-            pages = self.pool.alloc(self.pool.pages_for(plen))
-            self.pool.insert_prefill(
-                pages, kv1[0], kv1[1], plen,
-                *(kv1[2:] if self.quantized else ()),
+            shared = slot.shared_pages if slot is not None else []
+            pfx = slot.prefix_len if slot is not None else 0
+            ps = self.pool.page_size
+            new_pages = self._alloc(self.pool.pages_for(plen) - len(shared))
+            region = tuple(
+                x[:, :, :, pfx:] for x in (kv1 if self.quantized else kv1[:2])
             )
-            self.ptable.assign(i, pages)
+            self.pool.insert_prefill(
+                new_pages, region[0], region[1], plen - pfx, *region[2:]
+            )
+            self.ptable.assign(i, shared + new_pages)
+            if self.registry is not None and slot is not None:
+                # publish freshly written FULL prompt pages for future reuse;
+                # losing a register race keeps the page private to this slot
+                full = plen // ps
+                for j, page in enumerate(new_pages):
+                    blk = len(shared) + j
+                    if blk < full:
+                        self.registry.register(slot.page_hashes[blk], page)
             return
         self.kv_k = jax.lax.dynamic_update_slice(
             self.kv_k, kv1[0][:, :, :, :plen], (0, i, 0, 0, 0)
@@ -351,11 +394,13 @@ class BatchScheduler:
             if slot.req_id is not None or not self.pending:
                 continue
             req = self.pending.popleft()
-            if self.paged and self.pool.free_pages < self.pool.pages_for(
-                len(req.prompt) + req.max_new
-            ):
-                self.pending.appendleft(req)  # not enough pages yet; retry later
-                break
+            if self.paged:
+                avail = self.pool.free_pages + (
+                    self.registry.reclaimable if self.registry is not None else 0
+                )
+                if avail < self.pool.pages_for(len(req.prompt) + req.max_new):
+                    self.pending.appendleft(req)  # not enough pages; retry later
+                    break
             plen = len(req.prompt)
             slot.req_id = req.req_id
             slot.generated = []
@@ -363,19 +408,43 @@ class BatchScheduler:
             slot.eos_id = req.eos_id
             slot.max_new = req.max_new
             slot.prompt = req.prompt
-            if self.prefill_chunk and plen > self.prefill_chunk:
+            slot.shared_pages = []
+            slot.prefix_len = 0
+            if self.registry is not None:
+                ps = self.pool.page_size
+                c = self.prefill_chunk
+                slot.page_hashes = self.registry.hash_chain(req.prompt, ps)
+                matched = self.registry.match(slot.page_hashes)
+                # reuse must be chunk-aligned (chunk starts stay uniform) and
+                # leave >=1 token to compute (its logits seed sampling)
+                m_tok = min(
+                    len(matched) * ps // c * c, (plen - 1) // c * c
+                )
+                if m_tok > 0:
+                    slot.shared_pages = matched[: m_tok // ps]
+                    slot.prefix_len = m_tok
+                    self.registry.acquire(slot.shared_pages)
+            if self.prefill_chunk and plen - slot.prefix_len > 0 and (
+                plen > self.prefill_chunk or slot.prefix_len
+            ):
                 # chunked admission: defer the compute to step() ticks.
                 # Scratch must be page-aligned in paged mode (insert_prefill
-                # reshapes it into whole pages).
+                # reshapes it into whole pages). With a prefix hit, the
+                # scratch's leading region is gathered from the reused pages
+                # and chunks start at prefix_len.
                 c = self.prefill_chunk
                 slot.phase = "prefill"
-                slot.prefill_pos = 0
+                slot.prefill_pos = slot.prefix_len
                 unit = self.pool.page_size if self.paged else c
                 slot.bucket = -(-(-(-plen // c) * c) // unit) * unit
                 slot.scratch = self._new_scratch(slot.bucket)
+                if slot.shared_pages:
+                    slot.scratch = self.pool.gather_prefix(
+                        slot.shared_pages, slot.scratch
+                    )
                 continue
             logits, kv1 = self._prefill_one(req.prompt)
-            self._insert_scratch(i, kv1, plen)
+            self._insert_scratch(i, kv1, plen, slot=slot)
             slot.pos = plen
             # sample the first token from the prefill logits
             tok = self._sample_one(logits[0], slot)
@@ -401,7 +470,12 @@ class BatchScheduler:
         if tok == slot.eos_id or len(slot.generated) >= slot.max_new:
             self.done[slot.req_id] = slot.generated
             if self.paged:
-                self.pool.free(p for p in self.ptable.release(i) if p != 0)
+                pages = [p for p in self.ptable.release(i) if p != 0]
+                if self.registry is not None:
+                    # registered pages drop a ref (rc==0 -> retained LRU,
+                    # evicted only under pool pressure); private pages free
+                    pages = self.registry.release(pages)
+                self.pool.free(pages)
             self.slots[i] = _Slot()
 
     def step(self) -> Dict[int, List[int]]:
@@ -435,7 +509,7 @@ class BatchScheduler:
                     # the write at pos may open a new logical block
                     needed = self.slots[i].pos // ps + 1
                     while self.ptable.num_blocks[i] < needed:
-                        self.ptable.append(i, self.pool.alloc(1)[0])
+                        self.ptable.append(i, self._alloc(1)[0])
                 logits, state = self._step_jit(
                     self.params, self.last_tokens, self.pool.state(), positions,
                     self.ptable.device_table(),
