@@ -53,6 +53,7 @@ class _Slot:
     prefill_pos: int = 0
     bucket: int = 0
     scratch: Optional[Tuple] = None
+    prior: List[int] = dataclasses.field(default_factory=list)
     # prefix-cache state (paged mode): pages reused from the registry, the
     # token length they cover (chunk-aligned), and the prompt's full-page
     # hash chain for registering freshly written pages
@@ -68,6 +69,9 @@ class _Pending:
     sampling: SamplingParams
     max_new: int
     eos_id: int
+    # tokens already generated before a preemption: the request re-prefills
+    # with prompt+prior and they are prepended to the final output
+    prior: List[int] = dataclasses.field(default_factory=list)
 
 
 class BatchScheduler:
@@ -331,6 +335,38 @@ class BatchScheduler:
             self.pool.free(self.registry.evict(n - self.pool.free_pages))
         return self.pool.alloc(n)
 
+    def _release_slot_pages(self, i: int) -> None:
+        s = self.slots[i]
+        pages = [p for p in self.ptable.release(i) if p != 0]
+        if s.phase == "prefill" and s.shared_pages:
+            pages += s.shared_pages  # acquired but not yet table-mapped
+        if self.registry is not None:
+            pages = self.registry.release(pages)
+        self.pool.free(pages)
+
+    def _preempt(self, exclude: Optional[int] = None) -> bool:
+        """Evict the youngest other request back to the pending queue
+        (recompute-style preemption, what vLLM does when the pool runs dry;
+        the reference's static batch simply cannot run out mid-flight).
+        Its pages free immediately; on re-admission it prefills
+        prompt+generated-so-far and the final output is stitched together
+        from `prior` + the new generation."""
+        cands = [
+            i for i, s in enumerate(self.slots)
+            if i != exclude and s.req_id is not None
+        ]
+        if not cands:
+            return False
+        i = max(cands, key=lambda j: self.slots[j].req_id)
+        s = self.slots[i]
+        self._release_slot_pages(i)
+        self.pending.appendleft(_Pending(
+            s.req_id, s.prompt + s.generated, s.sampling, s.max_new,
+            s.eos_id, prior=s.prior + s.generated,
+        ))
+        self.slots[i] = _Slot()
+        return True
+
     def _insert_scratch(self, i: int, kv1: Tuple, plen: int,
                         slot: Optional[_Slot] = None):
         """Copy a B=1 scratch cache's positions [prefix_len, plen) into slot
@@ -339,7 +375,13 @@ class BatchScheduler:
             shared = slot.shared_pages if slot is not None else []
             pfx = slot.prefix_len if slot is not None else 0
             ps = self.pool.page_size
-            new_pages = self._alloc(self.pool.pages_for(plen) - len(shared))
+            while True:
+                try:
+                    new_pages = self._alloc(self.pool.pages_for(plen) - len(shared))
+                    break
+                except MemoryError:
+                    if not self._preempt(exclude=i):
+                        raise
             region = tuple(
                 x[:, :, :, pfx:] for x in (kv1 if self.quantized else kv1[:2])
             )
@@ -408,6 +450,7 @@ class BatchScheduler:
             slot.eos_id = req.eos_id
             slot.max_new = req.max_new
             slot.prompt = req.prompt
+            slot.prior = req.prior
             slot.shared_pages = []
             slot.prefix_len = 0
             if self.registry is not None:
@@ -454,11 +497,14 @@ class BatchScheduler:
         counts = np.zeros((1, self.cfg.vocab_size), np.int32)
         for t in slot.prompt + slot.generated:
             counts[0, t] += 1
+        # after a preemption, prior generated tokens live inside slot.prompt;
+        # cur_length must still count them as generated (min-length/eos gates)
+        cur = len(slot.prior) + len(slot.generated)
         proc = process_logits(
             logits_row[None],
             slot.sampling,
             token_counts=jnp.asarray(counts),
-            cur_length=jnp.asarray([len(slot.generated)], jnp.int32),
+            cur_length=jnp.asarray([cur], jnp.int32),
             eos_id=slot.eos_id,
         )
         self._key, sub = jax.random.split(self._key)
@@ -467,15 +513,12 @@ class BatchScheduler:
     def _record(self, i: int, slot: _Slot, tok: int):
         slot.generated.append(tok)
         self.last_tokens = self.last_tokens.at[i, 0].set(tok)
-        if tok == slot.eos_id or len(slot.generated) >= slot.max_new:
-            self.done[slot.req_id] = slot.generated
+        if tok == slot.eos_id or len(slot.prior) + len(slot.generated) >= slot.max_new:
+            self.done[slot.req_id] = slot.prior + slot.generated
             if self.paged:
-                pages = [p for p in self.ptable.release(i) if p != 0]
-                if self.registry is not None:
-                    # registered pages drop a ref (rc==0 -> retained LRU,
-                    # evicted only under pool pressure); private pages free
-                    pages = self.registry.release(pages)
-                self.pool.free(pages)
+                # registered pages drop a ref (rc==0 -> retained LRU, evicted
+                # only under pool pressure); private pages free immediately
+                self._release_slot_pages(i)
             self.slots[i] = _Slot()
 
     def step(self) -> Dict[int, List[int]]:
@@ -496,6 +539,34 @@ class BatchScheduler:
             if s.req_id is not None and s.phase == "decode"
         ]
         if active:
+            if self.paged:
+                ps = self.pool.page_size
+                for i in active:
+                    if self.slots[i].req_id is None:
+                        continue  # preempted by an earlier slot's allocation
+                    # the write at pos may open a new logical block
+                    needed = self.slots[i].pos // ps + 1
+                    while self.ptable.num_blocks[i] < needed:
+                        try:
+                            page = self._alloc(1)[0]
+                        except MemoryError:
+                            # youngest request overall yields — possibly
+                            # this very slot (then it skips the step)
+                            if not self._preempt():
+                                raise
+                            if self.slots[i].req_id is None:
+                                break
+                            continue
+                        self.ptable.append(i, page)
+                # preemption may have vacated slots mid-loop
+                active = [
+                    i for i in active
+                    if self.slots[i].req_id is not None
+                    and self.slots[i].phase == "decode"
+                ]
+                if not active:
+                    finished, self.done = self.done, {}
+                    return finished
             positions = jnp.asarray(
                 [
                     s.pos if s.req_id is not None and s.phase == "decode" else 0
@@ -504,12 +575,6 @@ class BatchScheduler:
                 jnp.int32,
             )
             if self.paged:
-                ps = self.pool.page_size
-                for i in active:
-                    # the write at pos may open a new logical block
-                    needed = self.slots[i].pos // ps + 1
-                    while self.ptable.num_blocks[i] < needed:
-                        self.ptable.append(i, self._alloc(1)[0])
                 logits, state = self._step_jit(
                     self.params, self.last_tokens, self.pool.state(), positions,
                     self.ptable.device_table(),

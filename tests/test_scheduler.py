@@ -202,3 +202,31 @@ def test_chunked_prefill_paged_and_int8(setup):
         assert got == want, (kv_dtype, paged, got, want)
         if paged:
             assert chunked.pool.free_pages == chunked.pool.num_pages - 1
+
+
+def test_preemption_under_pool_exhaustion(setup):
+    """When the page pool runs dry mid-decode, the youngest request is
+    preempted (pages freed, recompute-requeued) instead of crashing, and
+    every request still produces exactly the tokens of an uncontended run."""
+    cfg, policy, qparams = setup
+    rng = np.random.default_rng(3)
+    p1 = rng.integers(0, 256, 120).tolist()
+    p2 = rng.integers(0, 256, 120).tolist()
+
+    big = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                         kv_dtype=jnp.float32, paged=True, page_size=128)
+    r1 = big.add_request(p1, max_new_tokens=20, eos_id=-1)
+    r2 = big.add_request(p2, max_new_tokens=20, eos_id=-1)
+    want = big.run()
+
+    # 3 usable pages (+1 garbage): both admit with 1 page each, but both
+    # crossing position 128 needs 4 — one of them must be preempted
+    small = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32, paged=True, page_size=128,
+                           num_pages=4)
+    s1 = small.add_request(p1, max_new_tokens=20, eos_id=-1)
+    s2 = small.add_request(p2, max_new_tokens=20, eos_id=-1)
+    got = small.run()
+    assert got[s1] == want[r1]
+    assert got[s2] == want[r2]
+    assert len(got[s2]) == 20
