@@ -30,7 +30,12 @@ def main():
     import jax
 
     print("devices:", jax.devices(), flush=True)
-    policy = QuantPolicy.llama_flex()
+    wbits = os.environ.get("FLEXQ_BENCH_WBITS")
+    if wbits == "4":
+        policy = QuantPolicy.uniform("llama", wbits=4, abits=8)
+        print("policy: uniform W4A8", flush=True)
+    else:
+        policy = QuantPolicy.llama_flex()
     cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
     for kv_dtype, tag in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
