@@ -228,16 +228,16 @@ def flash_decode(
 
     in_specs = [
         pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = [qg, k]
     if quant:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(k_scale.astype(jnp.float32))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(v)
     if quant:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(v_scale.astype(jnp.float32))
 
     kernel = functools.partial(
@@ -366,16 +366,16 @@ def flash_decode_paged(
 
     in_specs = [
         pl.BlockSpec((1, hb, g, d), qo_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = [qg, pool_k]
     if quant:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(k_scale.astype(jnp.float32))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(pool_v)
     if quant:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(v_scale.astype(jnp.float32))
 
     kernel = functools.partial(

@@ -183,39 +183,43 @@ def attention_core_quant(
 def _attention_blockwise(q, k, v, mask, chunk: int, kv_layout: str = "bkhd") -> jax.Array:
     """Online-softmax attention scanned over key chunks (flash-style).
 
-    Numerically identical to full softmax (f32 running max/sum); memory is
+    Softmax statistics (running max/sum, accumulator) are f32 regardless of
+    input dtype; the QK^T and PV dots run in the INPUT dtype with f32
+    accumulation — bf16 MXU rate on the serve path (the old version upcast
+    everything to f32, which quarters MXU throughput and doubles K/V
+    traffic), exact f32 on the eval path. Chunks are dynamic-sliced inside
+    the scan so no transposed K/V/mask copies materialize; memory is
     O(Lq·chunk) per step instead of O(Lq·Lk).
     """
     b, lq, h, d = q.shape
-    qf = q.astype(jnp.float32)
-    if kv_layout == "bkhd":
-        lk = k.shape[1]
-        nc = lk // chunk
-        kc = k.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
-        vc = v.astype(jnp.float32).reshape(b, nc, chunk, h, d).transpose(1, 0, 2, 3, 4)
-        step_kv = "bkhd"
-    else:  # cache layout [B, H, Lk, D]
-        lk = k.shape[2]
-        nc = lk // chunk
-        kc = k.astype(jnp.float32).reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
-        vc = v.astype(jnp.float32).reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
-        step_kv = "bhkd"
-    if mask is not None:
-        mask = jnp.broadcast_to(mask, (b, 1, lq, lk)).astype(jnp.float32)
-        mc = mask.reshape(b, 1, lq, nc, chunk).transpose(3, 0, 1, 2, 4)
-    else:
-        mc = jnp.zeros((nc, 1, 1, 1, 1), jnp.float32)
+    cdt = q.dtype  # compute dtype for the dots: never up- or down-cast
+    seq_ax = 1 if kv_layout == "bkhd" else 2
+    lk = k.shape[seq_ax]
+    nc = lk // chunk
+    kq = k.astype(cdt)
+    vq = v.astype(cdt)
     scale = 1.0 / math.sqrt(d)
 
-    def step(carry, inputs):
+    def step(carry, ci):
         m, l, acc = carry  # [B,H,Lq,1], [B,H,Lq,1], [B,H,Lq,D]
-        kb, vb, mb = inputs
-        s = jnp.einsum(f"bqhd,{step_kv}->bhqk", qf, kb) * scale + mb
+        start = ci * chunk
+        kb = jax.lax.dynamic_slice_in_dim(kq, start, chunk, seq_ax)
+        vb = jax.lax.dynamic_slice_in_dim(vq, start, chunk, seq_ax)
+        s = jnp.einsum(
+            f"bqhd,{kv_layout}->bhqk", q, kb, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            s = s + jax.lax.dynamic_slice_in_dim(mask, start, chunk, 3).astype(
+                jnp.float32
+            )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         corr = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + jnp.einsum(f"bhqk,{step_kv}->bhqd", p, vb)
+        acc = acc * corr + jnp.einsum(
+            f"bhqk,{kv_layout}->bhqd", p.astype(cdt), vb,
+            preferred_element_type=jnp.float32,
+        )
         return (m_new, l, acc), None
 
     init = (
@@ -224,7 +228,7 @@ def _attention_blockwise(q, k, v, mask, chunk: int, kv_layout: str = "bkhd") -> 
         jnp.zeros((b, h, lq, 1), jnp.float32),
         jnp.zeros((b, h, lq, d), jnp.float32),
     )
-    (m, l, acc), _ = jax.lax.scan(step, init, (kc, vc, mc))
+    (m, l, acc), _ = jax.lax.scan(step, init, jnp.arange(nc))
     out = (acc / l).astype(q.dtype)  # [B,H,Lq,D]
     return out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)
 

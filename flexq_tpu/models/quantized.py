@@ -301,6 +301,18 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
         return attention_core(q, kv_view[1], kv_view[2], mask, num_kv_groups)
     if kind == "cache":
         _, ck, cv, li = kv_view
+        if q.shape[1] > 1 and lengths is not None and ck.shape[3] % 128 == 0:
+            # prefill / chunked-prefill / spec-verify over the cache: the
+            # flash kernel keeps score tiles in VMEM (the jnp path writes
+            # ~0.9 GB/layer of score traffic at 7B L=2048) and reads only
+            # key blocks at/below each query block's causal diagonal
+            from flexq_tpu.kernels.flash_prefill import flash_prefill
+
+            b, l, h, d = q.shape
+            out = flash_prefill(
+                q, ck, cv, lengths, layer_idx=li, out_dtype=q.dtype
+            )
+            return out
         return attention_core(q, ck[li], cv[li], mask, num_kv_groups, kv_layout="bhkd")
     _, ck, cks, cv, cvs, li = kv_view
     return attention_core_quant(q, ck[li], cks[li], cv[li], cvs[li], mask, num_kv_groups)

@@ -1,0 +1,73 @@
+"""flash_prefill kernel vs jnp golden model (causal attention over cache)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from flexq_tpu.kernels.flash_prefill import flash_prefill, flash_prefill_ref
+
+
+def make_case(rng, b, lq, h, kvh, s, d, start):
+    q = jnp.asarray(rng.standard_normal((b, lq, h, d)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kvh, s, d)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kvh, s, d)) * 0.3, jnp.float32)
+    lengths = jnp.full((b,), start + lq, jnp.int32)
+    return q, k, v, lengths
+
+
+@pytest.mark.parametrize(
+    "b,lq,h,kvh,s,start",
+    [
+        (1, 128, 4, 4, 256, 0),     # plain prefill from position 0
+        (2, 128, 4, 2, 256, 0),     # GQA
+        (1, 128, 4, 4, 512, 128),   # chunked prefill: window at offset
+        (1, 64, 2, 2, 256, 100),    # ragged Lq (pads to 128) + odd offset
+        (1, 256, 2, 1, 256, 0),     # multiple q blocks at block_q=128
+    ],
+)
+def test_matches_golden(b, lq, h, kvh, s, start):
+    rng = np.random.default_rng(b * 100 + lq + s + start)
+    q, k, v, lengths = make_case(rng, b, lq, h, kvh, s, 64, start)
+    got = np.asarray(
+        flash_prefill(q, k, v, lengths, out_dtype=jnp.float32, block_q=128,
+                      block_s=128)
+    )
+    want = np.asarray(flash_prefill_ref(q, k, v, lengths))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_five_dim_cache_layer_select():
+    rng = np.random.default_rng(9)
+    b, lq, h, kvh, s, d = 1, 128, 2, 2, 256, 64
+    q, k1, v1, lengths = make_case(rng, b, lq, h, kvh, s, d, 0)
+    k = jnp.stack([jnp.zeros_like(k1), k1])  # layer 1 holds the real cache
+    v = jnp.stack([jnp.zeros_like(v1), v1])
+    got = np.asarray(
+        flash_prefill(q, k, v, lengths, layer_idx=jnp.int32(1),
+                      out_dtype=jnp.float32, block_q=128, block_s=128)
+    )
+    want = np.asarray(flash_prefill_ref(q, k1, v1, lengths))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_matches_jnp_attention_core_over_cache():
+    """Same numbers as the attention_core('bhkd') path the serve graph used
+    before: garbage cache beyond the prompt must not leak in."""
+    from flexq_tpu.models.llama import attention_core
+
+    rng = np.random.default_rng(3)
+    b, lq, h, kvh, s, d = 2, 128, 4, 2, 256, 64
+    q, k, v, lengths = make_case(rng, b, lq, h, kvh, s, d, 0)
+    # poison the unwritten cache tail
+    k = k.at[:, :, lq:].set(1e4)
+    v = v.at[:, :, lq:].set(1e4)
+    got = np.asarray(
+        flash_prefill(q, k, v, lengths, out_dtype=jnp.float32, block_q=128,
+                      block_s=128)
+    )
+    qi = jnp.arange(lq)[:, None]
+    ki = jnp.arange(s)[None, :]
+    mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    want = np.asarray(attention_core(q, k, v, mask, h // kvh, kv_layout="bhkd"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
