@@ -44,17 +44,22 @@ def _flash_prefill_kernel(
     #       the second-minor dim)
     k_hbm,  # ANY [L, B, KVH, S, D] FULL cache (see flash_decode: a per-layer
     #       slice operand would materialize a copy every call)
+    ks_hbm,  # ANY [L, B, KVH, S] f32 (int8 cache only) | None
     v_hbm,  # ANY like k_hbm
+    vs_hbm,  # ANY like ks_hbm | None
     o_ref,  # VMEM [1, 1, bq, D]
     k_buf,  # VMEM scratch [2, bs, D] (cache dtype)
     v_buf,  # VMEM scratch [2, bs, D]
-    sem,  # DMA semaphores [2, 2]
+    ks_buf,  # VMEM scratch [2, KVH, bs] f32 (int8 cache only) | None
+    vs_buf,
+    sem,  # DMA semaphores [2, 4]
     *,
     bs: int,
     bq: int,
     inv_sqrt_d: float,
     g: int,
     s_total: int,
+    quant: bool,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -70,7 +75,7 @@ def _flash_prefill_kernel(
 
     def dmas(slot, i):
         ds = pl.ds
-        return [
+        out = [
             pltpu.make_async_copy(
                 k_hbm.at[li, bi, kv, ds(i * bs, bs), :], k_buf.at[slot],
                 sem.at[slot, 0],
@@ -80,11 +85,28 @@ def _flash_prefill_kernel(
                 sem.at[slot, 1],
             ),
         ]
+        if quant:
+            # ALL kv heads' scales per block: slicing one head at a dynamic
+            # offset on the (8,128)-tiled (KVH, S) pair doesn't legalize;
+            # scales are tiny so the over-read is noise, and the kernel
+            # picks its head with a dynamic SUBLANE slice (allowed in VMEM)
+            out.append(pltpu.make_async_copy(
+                ks_hbm.at[li, bi, :, ds(i * bs, bs)], ks_buf.at[slot],
+                sem.at[slot, 2],
+            ))
+            out.append(pltpu.make_async_copy(
+                vs_hbm.at[li, bi, :, ds(i * bs, bs)], vs_buf.at[slot],
+                sem.at[slot, 3],
+            ))
+        return out
 
     for dma in dmas(0, 0):
         dma.start()
 
-    qb = q_ref[0, 0].astype(k_buf.dtype)  # [bq, D]
+    # compute dtype: the cache dtype (bf16 serve / f32 tests), or bf16 dots
+    # over the int8 cache (int8 values upcast after the HBM read)
+    cdt = jnp.bfloat16 if quant else k_buf.dtype
+    qb = q_ref[0, 0].astype(cdt)  # [bq, D]
     d = qb.shape[1]
     pos_q = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
 
@@ -101,9 +123,12 @@ def _flash_prefill_kernel(
             dma.wait()
 
         sco = jax.lax.dot_general(
-            qb, k_buf[slot], (((1,), (1,)), ((), ())),
+            qb, k_buf[slot].astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * inv_sqrt_d  # [bq, bs]
+        if quant:
+            # K dequant folded in after the dot: (q·K8)·ks == q·(K8·ks)
+            sco = sco * ks_buf[slot, pl.ds(kv, 1), :]
         pos_k = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         sco = jnp.where(pos_k <= pos_q, sco, _NEG)
 
@@ -111,8 +136,11 @@ def _flash_prefill_kernel(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(sco - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quant:
+            # V dequant folded into p: (p·vs)·V8 == p·(vs·V8)
+            p = p * vs_buf[slot, pl.ds(kv, 1), :]
         pv = jax.lax.dot_general(
-            p.astype(k_buf.dtype), v_buf[slot], (((1,), (0,)), ((), ())),
+            p.astype(cdt), v_buf[slot].astype(cdt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, D]
         return m_new, l_new, acc * alpha + pv
@@ -140,9 +168,11 @@ def _pick_bs(s: int, cap: int = 512) -> int:
 )
 def flash_prefill(
     q: jax.Array,  # [B, Lq, H, D] query block (bf16/f32)
-    k: jax.Array,  # [L?, B, KVH, S, D] FULL cache keys (bf16/f32)
+    k: jax.Array,  # [L?, B, KVH, S, D] FULL cache keys (bf16/f32/int8)
     v: jax.Array,  # like k
     lengths: jax.Array,  # int32 [B]: query-end positions (cache_pos + Lq)
+    k_scale: Optional[jax.Array] = None,  # f32 [L?, B, KVH, S] (int8 cache)
+    v_scale: Optional[jax.Array] = None,
     *,
     layer_idx=None,  # int32 scalar for a 5-D cache
     block_q: Optional[int] = None,
@@ -152,16 +182,22 @@ def flash_prefill(
 ) -> jax.Array:
     """Causal attention of Lq queries over the cache: query i of batch b is
     at position lengths[b]-Lq+i and attends cache keys at positions <= its
-    own. Returns [B, Lq, H*D]."""
+    own. Passing scale arrays selects the int8 quantized cache (scales
+    folded into the math as in flash_decode / attention_core_quant).
+    Returns [B, Lq, H*D]."""
     if k.ndim == 4:
         k = k[None]
         v = v[None]
+        if k_scale is not None:
+            k_scale = k_scale[None]
+            v_scale = v_scale[None]
         layer_idx = 0
     assert layer_idx is not None, "5-D cache requires layer_idx"
     b, lq, h, d = q.shape
     _, _, kvh, s, _ = k.shape
     assert h % kvh == 0, (h, kvh)
     g = h // kvh
+    quant = k_scale is not None
     if interpret is None:
         interpret = use_interpret()
     bq = block_q or min(512, round_up(lq, 128))
@@ -171,7 +207,8 @@ def flash_prefill(
     bs = block_s or _pick_bs(s)
     assert s % bs == 0
 
-    q = q.astype(k.dtype).transpose(0, 2, 1, 3)  # [B, H, Lqp, D]
+    qdt = jnp.bfloat16 if quant else k.dtype
+    q = q.astype(qdt).transpose(0, 2, 1, 3)  # [B, H, Lqp, D]
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
     meta = jnp.stack(
         [jnp.asarray(layer_idx, jnp.int32).reshape(()), jnp.int32(lq)]
@@ -187,25 +224,57 @@ def flash_prefill(
         inv_sqrt_d=1.0 / math.sqrt(d),
         g=g,
         s_total=s,
+        quant=quant,
     )
+    in_specs = [pl.BlockSpec((1, 1, bq, d), qo_map, memory_space=pltpu.VMEM)]
+    args = [q, k]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(k_scale.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(v)
+    if quant:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(v_scale.astype(jnp.float32))
+
+    scratch = [
+        pltpu.VMEM((2, bs, d), k.dtype),
+        pltpu.VMEM((2, bs, d), v.dtype),
+    ]
+    if quant:
+        scratch += [
+            pltpu.VMEM((2, kvh, bs), jnp.float32),
+            pltpu.VMEM((2, kvh, bs), jnp.float32),
+        ]
+
+        def kfull(meta_ref, lens_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm,
+                  o_ref, k_buf, v_buf, ks_buf, vs_buf, sem):
+            return kernel(
+                meta_ref, lens_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm,
+                o_ref, k_buf, v_buf, ks_buf, vs_buf, sem,
+            )
+    else:
+
+        def kfull(meta_ref, lens_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf,
+                  v_buf, sem):
+            return kernel(
+                meta_ref, lens_ref, q_ref, k_hbm, None, v_hbm, None, o_ref,
+                k_buf, v_buf, None, None, sem,
+            )
+
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h, lqp // bq),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), qo_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d), qo_map, memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, bs, d), k.dtype),
-            pltpu.VMEM((2, bs, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     # causal: each q block reads ~half the diagonal's worth of K/V blocks
     out = pl.pallas_call(
-        kernel,
+        kfull,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, lqp, d), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -217,20 +286,25 @@ def flash_prefill(
             transcendentals=b * h * lq * s,
         ),
         interpret=interpret,
-    )(meta, lengths, q, k, v)
+    )(meta, lengths, *args)
     out = out.transpose(0, 2, 1, 3)  # [B, Lqp, H, D]
     if lqp != lq:
         out = out[:, :lq]
     return out.reshape(b, lq, h * d)
 
 
-def flash_prefill_ref(q, k, v, lengths):
+def flash_prefill_ref(q, k, v, lengths, k_scale=None, v_scale=None):
     """jnp golden model: f32 full-softmax causal attention over the cache."""
     b, lq, h, d = q.shape
     kvh, s = k.shape[1], k.shape[2]
     g = h // kvh
-    kf = jnp.repeat(k.astype(jnp.float32), g, axis=1)  # [B, H, S, D]
-    vf = jnp.repeat(v.astype(jnp.float32), g, axis=1)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale[..., None].astype(jnp.float32)
+        vf = vf * v_scale[..., None].astype(jnp.float32)
+    kf = jnp.repeat(kf, g, axis=1)  # [B, H, S, D]
+    vf = jnp.repeat(vf, g, axis=1)
     qf = q.astype(jnp.float32)
     sco = jnp.einsum("bqhd,bhsd->bhqs", qf, kf) / math.sqrt(d)
     pos_q = (lengths[:, None] - lq + jnp.arange(lq)[None])[:, None, :, None]

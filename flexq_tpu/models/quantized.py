@@ -315,6 +315,12 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
             return out
         return attention_core(q, ck[li], cv[li], mask, num_kv_groups, kv_layout="bhkd")
     _, ck, cks, cv, cvs, li = kv_view
+    if q.shape[1] > 1 and lengths is not None and ck.shape[3] % 128 == 0:
+        from flexq_tpu.kernels.flash_prefill import flash_prefill
+
+        return flash_prefill(
+            q, ck, cv, lengths, cks, cvs, layer_idx=li, out_dtype=q.dtype
+        )
     return attention_core_quant(q, ck[li], cks[li], cv[li], cvs[li], mask, num_kv_groups)
 
 

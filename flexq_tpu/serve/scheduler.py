@@ -478,7 +478,11 @@ class BatchScheduler:
                 c = self.prefill_chunk
                 slot.phase = "prefill"
                 slot.prefill_pos = slot.prefix_len
-                unit = self.pool.page_size if self.paged else c
+                # 128-align the scratch so chunked windows take the same
+                # flash-prefill kernel as monolithic admission (a smaller
+                # bucket falls back to the jnp path and its different
+                # rounding makes chunked != unchunked token streams)
+                unit = self.pool.page_size if self.paged else 128
                 slot.bucket = -(-(-(-plen // c) * c) // unit) * unit
                 slot.scratch = self._new_scratch(slot.bucket)
                 if slot.shared_pages:

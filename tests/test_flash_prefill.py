@@ -71,3 +71,44 @@ def test_matches_jnp_attention_core_over_cache():
     mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
     want = np.asarray(attention_core(q, k, v, mask, h // kvh, kv_layout="bhkd"))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("start", [0, 128])
+def test_quant_cache_matches_golden(start):
+    rng = np.random.default_rng(start + 11)
+    b, lq, h, kvh, s, d = 2, 128, 4, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, lq, h, d)) * 0.3, jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (b, kvh, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (b, kvh, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (b, kvh, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (b, kvh, s)), jnp.float32)
+    lengths = jnp.full((b,), start + lq, jnp.int32)
+    got = np.asarray(
+        flash_prefill(q, k8, v8, lengths, ks, vs, out_dtype=jnp.float32,
+                      block_q=128, block_s=128)
+    )
+    want = np.asarray(flash_prefill_ref(q, k8, v8, lengths, ks, vs))
+    # bf16 dots over the int8 cache
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_quant_matches_attention_core_quant():
+    from flexq_tpu.models.llama import attention_core_quant
+
+    rng = np.random.default_rng(12)
+    b, lq, h, kvh, s, d = 1, 128, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, lq, h, d)) * 0.3, jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (b, kvh, s, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (b, kvh, s, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (b, kvh, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (b, kvh, s)), jnp.float32)
+    lengths = jnp.full((b,), lq, jnp.int32)
+    got = np.asarray(
+        flash_prefill(q, k8, v8, lengths, ks, vs, out_dtype=jnp.float32,
+                      block_q=128, block_s=128)
+    )
+    qi = jnp.arange(lq)[:, None]
+    ki = jnp.arange(s)[None, :]
+    mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    want = np.asarray(attention_core_quant(q, k8, ks, v8, vs, mask, h // kvh))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
