@@ -160,11 +160,20 @@ def _pick_bs(s: int, cap: int = 512) -> int:
 
 
 def _pick_hb(kvh: int, bs: int, d: int, itemsize: int, budget: int = 2 << 20) -> int:
-    """Largest divisor of kvh whose per-slot K buffer fits the VMEM budget."""
+    """Largest divisor of kvh whose per-slot K buffer fits the VMEM budget.
+
+    Head-block starts land at multiples of hb, and the scale arrays carry
+    (KVH, S) as their tiled (8, 128) pair — so hb must be a multiple of 8
+    (or the full extent, offset always 0) for the HBM slice to legalize.
+    13B's kvh=40 picked hb=20 under the old rule and failed to compile
+    (offset 20 is not sublane-aligned); kvh=32's hb=16 was legal by luck.
+    """
     for hb in range(kvh, 0, -1):
-        if kvh % hb == 0 and hb * bs * d * itemsize <= budget:
+        if kvh % hb or (hb % 8 and hb != kvh):
+            continue
+        if hb * bs * d * itemsize <= budget:
             return hb
-    return 1
+    return 8 if kvh % 8 == 0 else kvh
 
 
 @functools.partial(

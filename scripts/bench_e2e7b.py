@@ -31,19 +31,28 @@ from flexq_tpu.models.quantized import forward_serve
 MAX_LEN = 2048
 
 
+_MODEL_DIMS = {
+    # hidden, intermediate, layers, heads, kv_heads (LLaMA family shapes)
+    "7b": (4096, 11008, 32, 32, 32),
+    "13b": (5120, 13824, 40, 40, 40),  # BASELINE config 3 scale
+    "8b": (4096, 14336, 32, 32, 8),  # LLaMA-3-8B (GQA) — config 4 scale
+}
+
+
 def synth_llama7b_quantized(policy, seed: int = 0):
-    """Generate synthetic 7B weights on device and quantize LAYER BY LAYER
-    (a whole dense bf16 tree is ~13.5 GB and cannot coexist with the packed
-    tree on a 16 GB chip)."""
+    """Generate synthetic weights on device and quantize LAYER BY LAYER
+    (a whole dense bf16 tree is ~13.5 GB at 7B and cannot coexist with the
+    packed tree on a 16 GB chip). FLEXQ_BENCH_MODEL picks 7b/13b/8b."""
     from flexq_tpu.models.quantized import quantize_linear
 
+    h, f, nl, nh, nkv = _MODEL_DIMS[os.environ.get("FLEXQ_BENCH_MODEL", "7b")]
     cfg = ModelConfig.llama(
         vocab_size=32000,
-        hidden_size=4096,
-        intermediate_size=11008,
-        num_layers=32,
-        num_heads=32,
-        num_kv_heads=32,
+        hidden_size=h,
+        intermediate_size=f,
+        num_layers=nl,
+        num_heads=nh,
+        num_kv_heads=nkv,
         max_seq_len=MAX_LEN,
     )
     key = jax.random.PRNGKey(seed)
@@ -175,7 +184,11 @@ def main():
     print("generating + quantizing layer-by-layer...", flush=True)
     cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
-    for cache_dtype, tag in ((jnp.bfloat16, "kv_bf16"), (jnp.int8, "kv_int8")):
+    kv_kinds = ((jnp.bfloat16, "kv_bf16"), (jnp.int8, "kv_int8"))
+    if os.environ.get("FLEXQ_BENCH_KV") == "int8":
+        # 13B + bf16 B=4 cache exceeds 16 GB; int8 KV is the fitting config
+        kv_kinds = ((jnp.int8, "kv_int8"),)
+    for cache_dtype, tag in kv_kinds:
         fn = decode_step_fn(cfg, policy, cache_dtype == jnp.int8)
         step = _Step(fn, cfg, cache_dtype)
         for b in (1, 4):
