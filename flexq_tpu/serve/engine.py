@@ -230,15 +230,16 @@ class Engine:
         stop_arr = jnp.asarray(sorted(set(stop_ids) | {eos_id}), jnp.int32)
         rows = jnp.arange(b)
         tokens = jnp.full((b, max_new), -1, jnp.int32)
+        lps0 = jnp.zeros((b, max_new), jnp.float32)
         finished0 = jnp.zeros((b,), bool)
         gen_len0 = jnp.zeros((b,), jnp.int32)
 
         def cond(state):
-            i, _, _, _, _, _, _, finished, _ = state
+            i, _, _, _, _, _, _, finished, _, _ = state
             return (i < max_new) & ~jnp.all(finished)
 
         def body(state):
-            i, logits, cache, pos, key, counts, gen_len, finished, tokens = state
+            i, logits, cache, pos, key, counts, gen_len, finished, tokens, lps = state
             proc = process_logits(
                 logits, sampling, token_counts=counts, cur_length=gen_len,
                 eos_id=eos_id,
@@ -247,6 +248,10 @@ class Engine:
             nxt = sample(proc, sampling, sub)
             record = ~finished
             tokens = tokens.at[:, i].set(jnp.where(record, nxt, -1))
+            # log prob of the sampled token under the PROCESSED distribution
+            # (FT's output_log_probs semantics, Llama.cc output tensors)
+            lp = jax.nn.log_softmax(proc, axis=-1)[rows, nxt]
+            lps = lps.at[:, i].set(jnp.where(record, lp, 0.0))
             finished = finished | (record & jnp.isin(nxt, stop_arr))
             counts = counts.at[rows, nxt].add(1)
             gen_len = gen_len + 1
@@ -254,14 +259,17 @@ class Engine:
             # f32 carry regardless of model dtype (bf16 logits otherwise
             # mismatch the f32-seeded while_loop carry)
             logits = logits.astype(jnp.float32)
-            return (i + 1, logits, cache, pos + 1, key, counts, gen_len, finished, tokens)
+            return (
+                i + 1, logits, cache, pos + 1, key, counts, gen_len, finished,
+                tokens, lps,
+            )
 
         state = (
             jnp.int32(0), logits0.astype(jnp.float32), cache, jnp.int32(pos0),
-            key, token_counts, gen_len0, finished0, tokens,
+            key, token_counts, gen_len0, finished0, tokens, lps0,
         )
-        _, _, cache, _, _, _, _, _, tokens = jax.lax.while_loop(cond, body, state)
-        return tokens, cache
+        _, _, cache, _, _, _, _, _, tokens, lps = jax.lax.while_loop(cond, body, state)
+        return tokens, lps, cache
 
     def _spec_decode_loop(
         self, params, logits0, cache, buf, prompt_len,
@@ -326,16 +334,24 @@ class Engine:
         stop_ids: Sequence[int] = (),
         seed: int = 0,
         return_stats: bool = False,
+        return_logprobs: bool = False,
         mode: str = "fused",
     ):
         """Batched generation. Ragged prompts are left-padded to a common
         length (padding attends causally but sits before position 0 content —
         we instead require equal lengths for v1 and pad with bos repeats).
+
+        ``return_logprobs`` additionally returns, per sequence, the log
+        probability of each generated token under the processed sampling
+        distribution (parity with FT's output_log_probs output tensor;
+        not supported in mode="spec"). Return value order:
+        out [, logprobs] [, stats].
         """
         if mode == "spec":
             # greedy-only draft-and-verify (serve/speculative.py); sampling
             # params other than greedy would need the rejection-sampling
             # acceptance rule, not implemented
+            assert not return_logprobs, "logprobs unsupported in spec mode"
             from flexq_tpu.serve.speculative import generate_speculative
 
             return generate_speculative(
@@ -379,7 +395,7 @@ class Engine:
                 # async dispatch measures ~nothing); costs one value fetch
                 float(jnp.max(logits))
             stats.ttft_s = timer.lap()  # prefill time (first token is on-device)
-            tokens, _ = self._loop_jit(
+            tokens, lps, _ = self._loop_jit(
                 self.params,
                 logits,
                 cache,
@@ -395,11 +411,19 @@ class Engine:
             stats.decode_s = timer.lap()
             out = [[int(t) for t in row if t >= 0] for row in tok_np]
             stats.generated_tokens = sum(len(r) for r in out)
+            ret = [out]
+            if return_logprobs:
+                lps_np = np.asarray(lps)
+                ret.append([
+                    [float(lps_np[r, i]) for i in range(len(out[r]))]
+                    for r in range(b)
+                ])
             if return_stats:
-                return out, stats
-            return out
+                ret.append(stats)
+            return ret[0] if len(ret) == 1 else tuple(ret)
 
         out: List[List[int]] = [[] for _ in range(b)]
+        out_lps: List[List[float]] = [[] for _ in range(b)]
         finished = np.zeros(b, bool)
         gen_len = jnp.zeros((b,), jnp.int32)
         pos = l
@@ -414,6 +438,10 @@ class Engine:
             key, sub = jax.random.split(key)
             next_ids = sample(proc, sampling, sub)
             ids_np = np.asarray(next_ids)
+            if return_logprobs:
+                lp_np = np.asarray(
+                    jax.nn.log_softmax(proc, axis=-1)[jnp.arange(b), next_ids]
+                )
             if step == 0:
                 stats.ttft_s = timer.lap()
             else:
@@ -422,6 +450,8 @@ class Engine:
             for row in range(b):
                 if not finished[row]:
                     out[row].append(int(ids_np[row]))
+                    if return_logprobs:
+                        out_lps[row].append(float(lp_np[row]))
                     if int(ids_np[row]) in stop_set:
                         finished[row] = True
             if finished.all() or step == max_new_tokens - 1:
@@ -433,6 +463,9 @@ class Engine:
             )
             pos += 1
         stats.decode_s = sum(stats.step_times_s) or stats.ttft_s
+        ret = [out]
+        if return_logprobs:
+            ret.append(out_lps)
         if return_stats:
-            return out, stats
-        return out
+            ret.append(stats)
+        return ret[0] if len(ret) == 1 else tuple(ret)

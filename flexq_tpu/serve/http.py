@@ -14,8 +14,11 @@ API:
                                  "max_new_tokens": int = 64,
                                  "temperature"/"top_k"/"top_p"/
                                  "repetition_penalty": sampling overrides,
-                                 "eos_id": int = 2}
-                          -> {"request_id": int, "tokens": [int...]}
+                                 "eos_id": int = 2,
+                                 "logprobs": bool = false}
+                          -> {"request_id": int, "tokens": [int...],
+                              "logprobs": [float...], "cum_logprob": float
+                              (when requested — FT output_log_probs parity)}
 
 Run:  python -m flexq_tpu.serve.http --port 8000 ... (see main()); tests
 drive it in-process via serve_background().
@@ -57,8 +60,9 @@ class SchedulerService:
                 if had_work:
                     finished = self.scheduler.step()
                     self._steps += 1
+                    lps = getattr(self.scheduler, "done_logprobs", {})
                     for rid, toks in finished.items():
-                        self._results[rid] = toks
+                        self._results[rid] = (toks, lps.pop(rid, None))
                         self._requests_done += 1
                         self._tokens_out += len(toks)
                         ev = self._events.get(rid)
@@ -67,15 +71,22 @@ class SchedulerService:
             if not had_work:
                 time.sleep(self._poll_idle_s)
 
-    def submit(self, prompt, sampling: SamplingParams, max_new: int, eos_id: int) -> int:
+    def submit(self, prompt, sampling: SamplingParams, max_new: int, eos_id: int,
+               logprobs: bool = False) -> int:
         with self._lock:
             rid = self.scheduler.add_request(
-                prompt, sampling=sampling, max_new_tokens=max_new, eos_id=eos_id
+                prompt, sampling=sampling, max_new_tokens=max_new, eos_id=eos_id,
+                logprobs=logprobs,
             )
             self._events[rid] = threading.Event()
         return rid
 
     def wait(self, rid: int, timeout: Optional[float] = None) -> List[int]:
+        toks, _ = self.wait_full(rid, timeout)
+        return toks
+
+    def wait_full(self, rid: int, timeout: Optional[float] = None):
+        """Returns (tokens, logprobs-or-None)."""
         ev = self._events[rid]
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} not finished")
@@ -159,14 +170,22 @@ def _make_handler(service: SchedulerService):
                     repetition_penalty=float(req.get("repetition_penalty", 1.0)),
                     greedy=bool(req.get("greedy", True)),
                 )
+                want_lp = bool(req.get("logprobs", False))
                 rid = service.submit(
                     prompt,
                     sampling,
                     int(req.get("max_new_tokens", 64)),
                     int(req.get("eos_id", 2)),
+                    logprobs=want_lp,
                 )
-                tokens = service.wait(rid, timeout=float(req.get("timeout", 600)))
-                self._send(200, {"request_id": rid, "tokens": tokens})
+                tokens, lps = service.wait_full(
+                    rid, timeout=float(req.get("timeout", 600))
+                )
+                resp = {"request_id": rid, "tokens": tokens}
+                if lps is not None:
+                    resp["logprobs"] = lps
+                    resp["cum_logprob"] = sum(lps)
+                self._send(200, resp)
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": str(e)})
             except TimeoutError as e:

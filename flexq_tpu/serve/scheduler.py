@@ -54,6 +54,10 @@ class _Slot:
     bucket: int = 0
     scratch: Optional[Tuple] = None
     prior: List[int] = dataclasses.field(default_factory=list)
+    # per-token log probs (requested via add_request(logprobs=True))
+    want_logprobs: bool = False
+    lps: List[float] = dataclasses.field(default_factory=list)
+    prior_lps: List[float] = dataclasses.field(default_factory=list)
     # prefix-cache state (paged mode): pages reused from the registry, the
     # token length they cover (chunk-aligned), and the prompt's full-page
     # hash chain for registering freshly written pages
@@ -72,6 +76,8 @@ class _Pending:
     # tokens already generated before a preemption: the request re-prefills
     # with prompt+prior and they are prepended to the final output
     prior: List[int] = dataclasses.field(default_factory=list)
+    want_logprobs: bool = False
+    prior_lps: List[float] = dataclasses.field(default_factory=list)
 
 
 class BatchScheduler:
@@ -168,6 +174,7 @@ class BatchScheduler:
         self.slots = [_Slot() for _ in range(num_slots)]
         self.pending: Deque[_Pending] = deque()
         self.done: Dict[int, List[int]] = {}
+        self.done_logprobs: Dict[int, List[float]] = {}
         self.last_tokens = jnp.zeros((num_slots, 1), jnp.int32)
         self._req_counter = itertools.count()
         self._key = jax.random.PRNGKey(seed)
@@ -363,6 +370,7 @@ class BatchScheduler:
         self.pending.appendleft(_Pending(
             s.req_id, s.prompt + s.generated, s.sampling, s.max_new,
             s.eos_id, prior=s.prior + s.generated,
+            want_logprobs=s.want_logprobs, prior_lps=s.prior_lps + s.lps,
         ))
         self.slots[i] = _Slot()
         return True
@@ -419,11 +427,13 @@ class BatchScheduler:
         sampling: SamplingParams = SamplingParams(),
         max_new_tokens: int = 64,
         eos_id: int = 2,
+        logprobs: bool = False,
     ) -> int:
         req_id = next(self._req_counter)
         assert len(prompt) + max_new_tokens <= self.max_seq_len
         self.pending.append(
-            _Pending(req_id, list(prompt), sampling, max_new_tokens, eos_id)
+            _Pending(req_id, list(prompt), sampling, max_new_tokens, eos_id,
+                     want_logprobs=logprobs)
         )
         return req_id
 
@@ -451,6 +461,9 @@ class BatchScheduler:
             slot.max_new = req.max_new
             slot.prompt = req.prompt
             slot.prior = req.prior
+            slot.want_logprobs = req.want_logprobs
+            slot.lps = []
+            slot.prior_lps = req.prior_lps
             slot.shared_pages = []
             slot.prefix_len = 0
             if self.registry is not None:
@@ -512,13 +525,23 @@ class BatchScheduler:
             eos_id=slot.eos_id,
         )
         self._key, sub = jax.random.split(self._key)
-        return int(sample(proc, slot.sampling, sub)[0])
+        tok = sample(proc, slot.sampling, sub)[0]
+        if slot.want_logprobs:
+            # one combined fetch: a second device->host read per token would
+            # double the ~1ms tunnel round-trip this host loop already pays
+            lp = jax.nn.log_softmax(proc, axis=-1)[0, tok]
+            both = np.asarray(jnp.stack([tok.astype(jnp.float32), lp]))
+            slot.lps.append(float(both[1]))
+            return int(both[0])
+        return int(tok)
 
     def _record(self, i: int, slot: _Slot, tok: int):
         slot.generated.append(tok)
         self.last_tokens = self.last_tokens.at[i, 0].set(tok)
         if tok == slot.eos_id or len(slot.prior) + len(slot.generated) >= slot.max_new:
             self.done[slot.req_id] = slot.prior + slot.generated
+            if slot.want_logprobs:
+                self.done_logprobs[slot.req_id] = slot.prior_lps + slot.lps
             if self.paged:
                 # registered pages drop a ref (rc==0 -> retained LRU, evicted
                 # only under pool pressure); private pages free immediately
