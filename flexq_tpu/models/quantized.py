@@ -305,7 +305,12 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
             # prefill / chunked-prefill / spec-verify over the cache: the
             # flash kernel keeps score tiles in VMEM (the jnp path writes
             # ~0.9 GB/layer of score traffic at 7B L=2048) and reads only
-            # key blocks at/below each query block's causal diagonal
+            # key blocks at/below each query block's causal diagonal.
+            # CONTRACT: this path derives pure position-causal masking from
+            # `lengths` and IGNORES `mask` — every internal caller builds
+            # exactly that mask; a caller needing a stricter mask (e.g.
+            # left-padded ragged prompts) must pass lengths=None to force
+            # the jnp fallback.
             from flexq_tpu.kernels.flash_prefill import flash_prefill
 
             b, l, h, d = q.shape

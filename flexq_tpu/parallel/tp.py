@@ -161,19 +161,30 @@ def forward_serve_tp(
                 kv = ("paged", kv_k, kv_v, table, i)
             else:
                 kv = (kv_k, kv_v, i)
-            x, new_kv = llama_layer_serve(
-                lp,
-                lcfg,
-                policy,
-                x,
-                cos,
-                sin,
-                m,
-                kv=kv,
-                cache_pos=cache_pos,
-                tp_axis="model",
-                lengths=lengths,
-            )
+            if policy.no_act_quant:
+                # weight-only / fp16 policy: the quantized layer path would
+                # wrap 16-bit activations into int8 containers (same gate
+                # as forward_serve, models/quantized.py)
+                from flexq_tpu.models.quantized import llama_layer_serve_prefill
+
+                x, new_kv = llama_layer_serve_prefill(
+                    lp, lcfg, x, cos, sin, m, kv=kv, cache_pos=cache_pos,
+                    tp_axis="model", lengths=lengths,
+                )
+            else:
+                x, new_kv = llama_layer_serve(
+                    lp,
+                    lcfg,
+                    policy,
+                    x,
+                    cos,
+                    sin,
+                    m,
+                    kv=kv,
+                    cache_pos=cache_pos,
+                    tp_axis="model",
+                    lengths=lengths,
+                )
             if new_kv is not None:
                 kv_k, kv_v = new_kv
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)

@@ -72,7 +72,7 @@ class Engine:
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk, donate_argnums=(2,))
         self._loop_jit = jax.jit(
             self._decode_loop,
-            static_argnames=("sampling", "eos_id", "stop_ids", "max_new"),
+            static_argnames=("sampling", "eos_id", "stop_ids", "max_new", "logprobs"),
             donate_argnums=(2,),
         )
         self._spec_jit = jax.jit(self._spec_verify, donate_argnums=(2,))
@@ -214,6 +214,7 @@ class Engine:
     def _decode_loop(
         self, params, logits0, cache, pos0, key, token_counts,
         sampling: SamplingParams, eos_id: int, stop_ids, max_new: int,
+        logprobs: bool = False,
     ):
         """Whole decode loop fused on device (lax.while_loop): per-step
         penalty/sampling math, stop check, and early exit all run on-chip —
@@ -248,10 +249,13 @@ class Engine:
             nxt = sample(proc, sampling, sub)
             record = ~finished
             tokens = tokens.at[:, i].set(jnp.where(record, nxt, -1))
-            # log prob of the sampled token under the PROCESSED distribution
-            # (FT's output_log_probs semantics, Llama.cc output tensors)
-            lp = jax.nn.log_softmax(proc, axis=-1)[rows, nxt]
-            lps = lps.at[:, i].set(jnp.where(record, lp, 0.0))
+            if logprobs:
+                # log prob of the sampled token under the PROCESSED
+                # distribution (FT's output_log_probs semantics); static
+                # flag so the common no-logprobs path pays no per-token
+                # [B, vocab] log-softmax
+                lp = jax.nn.log_softmax(proc, axis=-1)[rows, nxt]
+                lps = lps.at[:, i].set(jnp.where(record, lp, 0.0))
             finished = finished | (record & jnp.isin(nxt, stop_arr))
             counts = counts.at[rows, nxt].add(1)
             gen_len = gen_len + 1
@@ -406,6 +410,7 @@ class Engine:
                 eos_id=eos_id,
                 stop_ids=tuple(stop_ids),
                 max_new=max_new_tokens,
+                logprobs=return_logprobs,
             )
             tok_np = np.asarray(tokens)
             stats.decode_s = timer.lap()

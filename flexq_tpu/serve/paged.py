@@ -188,21 +188,26 @@ class PrefixRegistry:
         return out
 
     def match(self, hashes: Sequence[int]) -> List[int]:
-        """Longest run of already-cached pages for this hash chain."""
+        """Longest run of already-cached pages for this hash chain.
+        Hit/miss accounting happens in `acquire`/`account_miss` — the
+        scheduler may clamp the match to chunk alignment, and counting here
+        would overstate actual reuse on /metrics."""
         pages: List[int] = []
         for h in hashes:
             p = self.by_hash.get(h)
             if p is None:
                 break
             pages.append(p)
-        self.hits += len(pages)
-        self.misses += len(hashes) - len(pages)
         return pages
 
     def acquire(self, pages: Sequence[int]) -> None:
+        self.hits += len(pages)
         for p in pages:
             self.rc[p] = self.rc.get(p, 0) + 1
             self.retained.pop(p, None)
+
+    def account_miss(self, n: int) -> None:
+        self.misses += max(n, 0)
 
     def register(self, h: int, page: int) -> bool:
         """Publish a freshly-written full prompt page. Returns False when a

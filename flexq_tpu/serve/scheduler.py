@@ -450,7 +450,12 @@ class BatchScheduler:
                 avail = self.pool.free_pages + (
                     self.registry.reclaimable if self.registry is not None else 0
                 )
-                if avail < self.pool.pages_for(len(req.prompt) + req.max_new):
+                # charge only the REMAINING generation budget: a preempted
+                # request re-queues with prompt+generated and unchanged
+                # max_new, so charging the full max_new again could demand
+                # more pages than the pool has and starve it forever
+                need = len(req.prompt) + req.max_new - len(req.prior)
+                if avail < self.pool.pages_for(need):
                     self.pending.appendleft(req)  # not enough pages; retry later
                     break
             plen = len(req.prompt)
@@ -480,6 +485,9 @@ class BatchScheduler:
                     slot.shared_pages = matched[: m_tok // ps]
                     slot.prefix_len = m_tok
                     self.registry.acquire(slot.shared_pages)
+                self.registry.account_miss(
+                    len(slot.page_hashes) - len(slot.shared_pages)
+                )
             if self.prefill_chunk and plen - slot.prefix_len > 0 and (
                 plen > self.prefill_chunk or slot.prefix_len
             ):

@@ -296,3 +296,26 @@ def test_scheduler_tp_dense_and_paged(quantized):
         got = tp_sched.run()
         assert got[t1] == want[r1], (paged, got, want)
         assert got[t2] == want[r2], (paged, got, want)
+
+
+def test_tp_weight_only_policy_matches_single_device():
+    """forward_serve_tp must route no-act-quant policies through the bf16
+    layer path (the quantized path corrupts 16-bit activations)."""
+    import numpy as np
+    from flexq_tpu.config import QuantPolicy
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+    from flexq_tpu.parallel.tp import forward_serve_tp, make_mesh, shard_params
+
+    cfg, params = tiny_model()
+    policy = QuantPolicy.weight_only("llama", wbits=4)
+    qp = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (1, 8)))
+    want, _ = forward_serve(qp, cfg, policy, ids)
+
+    mesh = make_mesh(tp=2)
+    sharded = shard_params(qp, mesh)
+    got, _ = forward_serve_tp(sharded, cfg, policy, ids, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-3, atol=2e-3,
+    )

@@ -230,3 +230,29 @@ def test_preemption_under_pool_exhaustion(setup):
     assert got[s1] == want[r1]
     assert got[s2] == want[r2]
     assert len(got[s2]) == 20
+
+
+def test_preempted_request_not_starved(setup):
+    """A preempted request whose prompt grew by its generated tokens must
+    still fit the admission check (charge only the REMAINING budget) —
+    the old check demanded pages for prompt+generated+max_new and could
+    stall the scheduler forever."""
+    cfg, policy, qparams = setup
+    rng = np.random.default_rng(5)
+    # 7 usable pages = 896 tokens; A:(250 prompt + 500 new) needs 6 pages,
+    # B small; B admitted second, pool runs dry mid-decode, someone is
+    # preempted with a grown prompt — must still re-admit and finish
+    pa = rng.integers(0, 256, 250).tolist()
+    pb = rng.integers(0, 256, 8).tolist()
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=1024,
+                           kv_dtype=jnp.float32, paged=True, page_size=128,
+                           num_pages=8)
+    ra = sched.add_request(pa, max_new_tokens=500, eos_id=-1)
+    rb = sched.add_request(pb, max_new_tokens=500, eos_id=-1)
+    out = {}
+    for _ in range(3000):
+        out.update(sched.step())
+        if ra in out and rb in out:
+            break
+    assert ra in out and rb in out, "scheduler stalled (starved request)"
+    assert len(out[ra]) == 500 and len(out[rb]) == 500
