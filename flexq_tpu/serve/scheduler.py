@@ -551,6 +551,20 @@ class BatchScheduler:
             if slot.want_logprobs:
                 self.done_logprobs[slot.req_id] = slot.prior_lps + slot.lps
             if self.paged:
+                if self.registry is not None:
+                    # multi-turn reuse: pages filled during DECODE become
+                    # full once the conversation's next prompt includes this
+                    # turn's response — publish every full page over
+                    # prompt+generated (cache position p holds the K/V of
+                    # token p, so the hash chain stays content-addressed)
+                    ps = self.pool.page_size
+                    history = slot.prompt + slot.generated
+                    hashes = self.registry.hash_chain(history, ps)
+                    nb = int(self.ptable.num_blocks[i])
+                    for blk, h in enumerate(hashes[:nb]):
+                        page = int(self.ptable.table[i, blk])
+                        if page and page not in self.registry.page_hash:
+                            self.registry.register(h, page)
                 # registered pages drop a ref (rc==0 -> retained LRU, evicted
                 # only under pool pressure); private pages free immediately
                 self._release_slot_pages(i)

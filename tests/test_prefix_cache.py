@@ -152,3 +152,39 @@ def test_prefix_cache_int8_pool(setup):
     got = pc.run()
     assert got[q1] == want[r1] and got[q2] == want[r2]
     assert pc.registry.hits >= 2
+
+
+def test_multi_turn_response_pages_reused(setup):
+    """Turn 2's prompt includes turn 1's response: pages filled during
+    DECODE must be published at completion and reused (the real-world
+    multi-turn chat pattern)."""
+    cfg, policy, qparams = setup
+    rng = np.random.default_rng(21)
+    p1 = rng.integers(0, 256, 130).tolist()
+
+    pc = BatchScheduler(qparams, cfg, policy, num_slots=1, max_seq_len=512,
+                        kv_dtype=jnp.float32, paged=True, page_size=128,
+                        prefix_cache=True)
+    r1 = pc.add_request(p1, max_new_tokens=130, eos_id=-1)
+    done = {}
+    while r1 not in done:
+        done.update(pc.step())
+    gen1 = done[r1]
+    assert len(gen1) == 130
+    # turn 2: the whole first conversation + a new user message
+    p2 = p1 + gen1 + rng.integers(0, 256, 5).tolist()  # 265 tokens, 2 full pages
+    hits_before = pc.registry.hits
+    r2 = pc.add_request(p2, max_new_tokens=4, eos_id=-1)
+    while pc.has_work:
+        done.update(pc.step())
+    assert len(done[r2]) == 4
+    # both full pages of turn 1 (incl. the decode-written one) were reused
+    assert pc.registry.hits - hits_before >= 2
+
+    # correctness: a fresh scheduler (no reuse possible) gives identical tokens
+    fresh = BatchScheduler(qparams, cfg, policy, num_slots=1, max_seq_len=512,
+                           kv_dtype=jnp.float32, paged=True, page_size=128,
+                           prefix_cache=True)
+    f2 = fresh.add_request(p2, max_new_tokens=4, eos_id=-1)
+    want = fresh.run()[f2]
+    assert done[r2] == want
