@@ -28,7 +28,7 @@ import numpy as np
 from flexq_tpu.config import ModelConfig, QuantPolicy
 from flexq_tpu.models.quantized import forward_serve
 
-MAX_LEN = 2048
+MAX_LEN = int(os.environ.get("FLEXQ_BENCH_MAXLEN", "2048"))
 
 
 _MODEL_DIMS = {
@@ -192,7 +192,7 @@ def main():
         fn = decode_step_fn(cfg, policy, cache_dtype == jnp.int8)
         step = _Step(fn, cfg, cache_dtype)
         for b in (1, 4):
-            for pos0 in (256, 1980):
+            for pos0 in (256, MAX_LEN - 68):
                 key = f"{tag}_B{b}_pos{pos0}"
                 print(f"bench {key} ...", flush=True)
                 dt = time_steps(step, qparams, b, pos0)
