@@ -319,3 +319,35 @@ def test_tp_weight_only_policy_matches_single_device():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_scheduler_tp_prefix_cache():
+    """Prefix caching over a 2-way TP mesh: sharded pool pages gathered into
+    the sharded prefill scratch; outputs match the no-reuse TP scheduler."""
+    import numpy as np
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, params = tiny_model()
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, 256).tolist()
+    p1, p2 = base + [1, 2], base + [8]
+
+    mesh = make_mesh(tp=2, dp=1)
+    plain = BatchScheduler(qparams, cfg, policy, num_slots=1, max_seq_len=512,
+                           kv_dtype=jnp.float32, paged=True, page_size=128,
+                           mesh=mesh)
+    r1 = plain.add_request(p1, max_new_tokens=3, eos_id=-1)
+    r2 = plain.add_request(p2, max_new_tokens=3, eos_id=-1)
+    want = plain.run()
+
+    pc = BatchScheduler(qparams, cfg, policy, num_slots=1, max_seq_len=512,
+                        kv_dtype=jnp.float32, paged=True, page_size=128,
+                        mesh=mesh, prefix_cache=True)
+    q1 = pc.add_request(p1, max_new_tokens=3, eos_id=-1)
+    q2 = pc.add_request(p2, max_new_tokens=3, eos_id=-1)
+    got = pc.run()
+    assert got[q1] == want[r1]
+    assert got[q2] == want[r2]
+    assert pc.registry.hits >= 2
