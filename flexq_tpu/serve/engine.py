@@ -78,7 +78,7 @@ class Engine:
         self._spec_jit = jax.jit(self._spec_verify, donate_argnums=(2,))
         self._spec_loop_jit = jax.jit(
             self._spec_decode_loop,
-            static_argnames=("k", "max_new", "stop_ids", "max_ngram"),
+            static_argnames=("k", "max_new", "stop_ids", "max_ngram", "sampling"),
             donate_argnums=(2,),
         )
 
@@ -164,7 +164,7 @@ class Engine:
             start += c
         return logits, cache
 
-    def _spec_verify(self, params, ids, cache, start):
+    def _spec_forward(self, params, ids, cache, start):
         """Speculative-decoding verify forward: same window semantics as
         `_prefill_chunk` (writes K/V at start..start+c-1, causal attention
         over the cache) but returns the greedy argmax target of EVERY window
@@ -190,6 +190,10 @@ class Engine:
             mask=mask,
             **scales,
         )
+        return logits, kv
+
+    def _spec_verify(self, params, ids, cache, start):
+        logits, kv = self._spec_forward(params, ids, cache, start)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
 
     def _decode_step(self, params, ids, cache, pos):
@@ -276,8 +280,9 @@ class Engine:
         return tokens, lps, cache
 
     def _spec_decode_loop(
-        self, params, logits0, cache, buf, prompt_len,
+        self, params, logits0, cache, buf, prompt_len, key,
         k: int, max_new: int, stop_ids, max_ngram: int,
+        sampling: SamplingParams = SamplingParams(),
     ):
         """Whole speculative decode fused on device (the spec analogue of
         `_decode_loop`): per step, an on-device n-gram draft
@@ -287,13 +292,27 @@ class Engine:
         per step; this loop fetches once at the end).
 
         buf is the token history (prompt at [0, prompt_len)); generated
-        tokens land at buf[prompt_len:length]. Greedy-only, B=1 (per-row
-        acceptance lengths diverge under batching).
+        tokens land at buf[prompt_len:length]. B=1 (per-row acceptance
+        lengths diverge under batching).
+
+        Non-greedy sampling is EXACT for the deterministic n-gram drafts:
+        the emitted tokens are the model's own samples at each window
+        position (conditioned on the draft prefix), and a position's sample
+        is only emitted when every earlier sample matched the draft — i.e.
+        when its conditioning was satisfied. Count-based penalties are not
+        supported here (window positions would need evolving counts).
         """
         from flexq_tpu.serve.speculative import ngram_draft_device
 
         stop_arr = jnp.asarray(sorted(set(stop_ids)), jnp.int32)
-        first = jnp.argmax(logits0[0]).astype(jnp.int32)
+        if sampling.greedy:
+            first = jnp.argmax(logits0[0]).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            first = sample(
+                process_logits(logits0.astype(jnp.float32), sampling),
+                sampling, sub,
+            )[0]
         buf = jax.lax.dynamic_update_index_in_dim(buf, first, prompt_len, 0)
         length0 = prompt_len + 1
         finished0 = jnp.isin(first, stop_arr)
@@ -301,16 +320,24 @@ class Engine:
         acc0 = jnp.int32(0)
 
         def cond(state):
-            cache, buf, length, finished, steps, acc = state
+            cache, buf, length, finished, steps, acc, key = state
             return ~finished & (length - prompt_len < max_new)
 
         def body(state):
-            cache, buf, length, finished, steps, acc = state
+            cache, buf, length, finished, steps, acc, key = state
             draft = ngram_draft_device(buf, length, k, max_ngram)
             last = jax.lax.dynamic_index_in_dim(buf, length - 1, keepdims=False)
             ids = jnp.concatenate([last[None], draft])[None]  # [1, 1+k]
-            targets, cache = self._spec_verify(params, ids, cache, length - 1)
-            t = targets[0]  # [1+k]
+            if sampling.greedy:
+                targets, cache = self._spec_verify(params, ids, cache, length - 1)
+                t = targets[0]  # [1+k]
+            else:
+                logits_w, cache = self._spec_forward(params, ids, cache, length - 1)
+                proc = process_logits(
+                    logits_w[0].astype(jnp.float32), sampling
+                )  # rows = window positions (independent given the draft)
+                key, sub = jax.random.split(key)
+                t = jax.random.categorical(sub, proc, axis=-1).astype(jnp.int32)
             accept = jnp.cumprod((draft == t[:k]).astype(jnp.int32))
             n_acc = jnp.sum(accept)
             lim = n_acc + 1  # accepted drafts + the bonus token
@@ -323,10 +350,10 @@ class Engine:
             # write all k+1 targets: slots beyond m are overwritten by the
             # next step's window (same invariant as the KV-cache writes)
             buf = jax.lax.dynamic_update_slice(buf, t, (length,))
-            return (cache, buf, length + m, finished, steps + 1, acc + n_acc)
+            return (cache, buf, length + m, finished, steps + 1, acc + n_acc, key)
 
-        state = (cache, buf, length0, finished0, steps0, acc0)
-        cache, buf, length, _, steps, acc = jax.lax.while_loop(cond, body, state)
+        state = (cache, buf, length0, finished0, steps0, acc0, key)
+        cache, buf, length, _, steps, acc, _ = jax.lax.while_loop(cond, body, state)
         return buf, length, steps, acc, cache
 
     def generate(
@@ -352,9 +379,9 @@ class Engine:
         out [, logprobs] [, stats].
         """
         if mode == "spec":
-            # greedy-only draft-and-verify (serve/speculative.py); sampling
-            # params other than greedy would need the rejection-sampling
-            # acceptance rule, not implemented
+            # draft-and-verify (serve/speculative.py): exact greedy, or
+            # exact sampling (emitted tokens are the model's own samples;
+            # count penalties unsupported in sampled mode)
             assert not return_logprobs, "logprobs unsupported in spec mode"
             from flexq_tpu.serve.speculative import generate_speculative
 
@@ -365,6 +392,8 @@ class Engine:
                 eos_id=eos_id,
                 stop_ids=stop_ids,
                 return_stats=return_stats,
+                sampling=sampling,
+                seed=seed,
             )
 
         prompts = [list(p) for p in prompt_ids]

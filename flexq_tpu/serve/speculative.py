@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,8 +122,14 @@ def generate_speculative(
     max_ngram: int = 3,
     return_stats: bool = False,
     fused: bool = True,
+    sampling=None,
+    seed: int = 0,
 ) -> List[List[int]] | Tuple[List[List[int]], SpecStats]:
-    """Greedy generation via draft-and-verify; exact greedy semantics.
+    """Generation via draft-and-verify; exact greedy semantics, and exact
+    sampling semantics for non-greedy params (fused loop only): emitted
+    tokens are the model's own samples per window position, valid exactly
+    while the samples match the deterministic draft. Count-based penalties
+    are unsupported under sampling (no per-window count tracking).
 
     One verify step: feed [last_token, d_1..d_k] at positions pos..pos+k;
     greedy targets t_0..t_k; accept the longest prefix with d_j == t_{j-1};
@@ -135,6 +142,18 @@ def generate_speculative(
     """
     import time
 
+    from flexq_tpu.serve.sampling import SamplingParams
+
+    if sampling is None:
+        sampling = SamplingParams()
+    if not sampling.greedy:
+        assert fused, "sampled speculative decoding requires the fused loop"
+        assert (
+            sampling.repetition_penalty == 1.0
+            and sampling.presence_penalty == 0.0
+            and sampling.frequency_penalty == 0.0
+            and sampling.min_length == 0
+        ), "count/length penalties unsupported in sampled speculative mode"
     prompts = [list(p) for p in prompt_ids]
     assert len(prompts) == 1, "speculative decoding: B=1 (use scheduler for batches)"
     l = len(prompts[0])
@@ -169,8 +188,9 @@ def generate_speculative(
         )
         buf, length, steps, acc, cache = engine._spec_loop_jit(
             engine.params, logits, cache, buf, jnp.int32(l),
+            jax.random.PRNGKey(seed),
             k=k, max_new=max_new_tokens, stop_ids=tuple(sorted(stop_set)),
-            max_ngram=max_ngram,
+            max_ngram=max_ngram, sampling=sampling,
         )
         length = int(length)
         out = [int(t) for t in np.asarray(buf)[l:length]]
