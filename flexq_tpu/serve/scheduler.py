@@ -476,11 +476,10 @@ class BatchScheduler:
                 c = self.prefill_chunk
                 slot.page_hashes = self.registry.hash_chain(req.prompt, ps)
                 matched = self.registry.match(slot.page_hashes)
-                # reuse must be chunk-aligned (chunk starts stay uniform) and
-                # leave >=1 token to compute (its logits seed sampling)
-                m_tok = min(
-                    len(matched) * ps // c * c, (plen - 1) // c * c
-                )
+                # PAGE-granular reuse (chunk starts are traced scalars, so
+                # any ps-aligned start compiles to the same program); leave
+                # >=1 token to compute (its logits seed sampling)
+                m_tok = min(len(matched) * ps, (plen - 1) // ps * ps)
                 if m_tok > 0:
                     slot.shared_pages = matched[: m_tok // ps]
                     slot.prefix_len = m_tok
@@ -504,7 +503,12 @@ class BatchScheduler:
                 # bucket falls back to the jnp path and its different
                 # rounding makes chunked != unchunked token streams)
                 unit = self.pool.page_size if self.paged else 128
-                slot.bucket = -(-(-(-plen // c) * c) // unit) * unit
+                # bucket covers every chunk write: starts run prefix_len,
+                # prefix_len+c, ... (prefix_len is page- not chunk-aligned),
+                # so the last write ends at prefix_len + ceil(rest/c)*c
+                pfx = slot.prefix_len
+                span = pfx + -(-(plen - pfx) // c) * c
+                slot.bucket = -(-span // unit) * unit
                 slot.scratch = self._new_scratch(slot.bucket)
                 if slot.shared_pages:
                     slot.scratch = self.pool.gather_prefix(

@@ -188,3 +188,31 @@ def test_multi_turn_response_pages_reused(setup):
     f2 = fresh.add_request(p2, max_new_tokens=4, eos_id=-1)
     want = fresh.run()[f2]
     assert done[r2] == want
+
+
+def test_page_granular_reuse_with_larger_chunks(setup):
+    """Reuse is page-granular even when prefill_chunk spans multiple pages:
+    a 3-page shared prefix under chunk=256 must reuse all 3 pages (the old
+    chunk-aligned clamp kept only 2)."""
+    cfg, policy, qparams = setup
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 256, 384).tolist()  # 3 full pages
+    p1 = base + rng.integers(0, 256, 6).tolist()
+    p2 = base + rng.integers(0, 256, 5).tolist()
+
+    plain = BatchScheduler(qparams, cfg, policy, num_slots=1, max_seq_len=1024,
+                           kv_dtype=jnp.float32, paged=True, page_size=128,
+                           prefill_chunk=256)
+    r1 = plain.add_request(p1, max_new_tokens=3, eos_id=-1)
+    r2 = plain.add_request(p2, max_new_tokens=3, eos_id=-1)
+    want = plain.run()
+
+    pc = BatchScheduler(qparams, cfg, policy, num_slots=1, max_seq_len=1024,
+                        kv_dtype=jnp.float32, paged=True, page_size=128,
+                        prefill_chunk=256, prefix_cache=True)
+    q1 = pc.add_request(p1, max_new_tokens=3, eos_id=-1)
+    q2 = pc.add_request(p2, max_new_tokens=3, eos_id=-1)
+    got = pc.run()
+    assert got[q1] == want[r1]
+    assert got[q2] == want[r2]
+    assert pc.registry.hits == 3  # ALL full prefix pages, not chunk-floored
