@@ -10,6 +10,7 @@ connections are admitted into the scheduler's slots and decoded together
 API:
   GET  /health            -> {"ok": true, "slots": N, "pending": M}
   GET  /metrics           -> request/token counters, tok/s, slot occupancy
+  GET  /v1/models         -> OpenAI-style model listing
   POST /generate          body: {"prompt_ids": [int...],
                                  "max_new_tokens": int = 64,
                                  "temperature"/"top_k"/"top_p"/
@@ -19,6 +20,17 @@ API:
                           -> {"request_id": int, "tokens": [int...],
                               "logprobs": [float...], "cum_logprob": float
                               (when requested — FT output_log_probs parity)}
+  POST /v1/completions    OpenAI-compatible: prompt = str | [int] | a list
+                          of those; n, max_tokens, temperature (0 = greedy),
+                          top_p, stop (str|[str]), logprobs, echo,
+                          stream (SSE)
+  POST /v1/chat/completions  messages=[{role, content}...] through the
+                          tokenizer's chat template (or a generic one);
+                          stream (SSE) supported
+
+Text endpoints tokenize server-side (serve/tokenizer.py): a local HF
+tokenizer dir via --tokenizer, else the byte-level fallback. Raw-id
+endpoints need none.
 
 Run:  python -m flexq_tpu.serve.http --port 8000 ... (see main()); tests
 drive it in-process via serve_background().
@@ -94,6 +106,35 @@ class SchedulerService:
             self._events.pop(rid, None)
             return self._results.pop(rid)
 
+    def peek(self, rid: int):
+        """(tokens so far, finished?) without consuming the result —
+        the polling primitive behind SSE streaming."""
+        with self._lock:
+            if rid in self._results:
+                return list(self._results[rid][0]), True
+            for s in self.scheduler.slots:
+                if s.req_id == rid:
+                    return list(s.prior) + list(s.generated), False
+            return [], False  # still pending admission
+
+    def cancel(self, rid: int):
+        """Best-effort early stop (client disconnected / stop string hit).
+        Pending requests are dropped immediately; a decoding slot has its
+        budget clamped so it finishes on the next recorded token."""
+        with self._lock:
+            for p in list(self.scheduler.pending):
+                if p.req_id == rid:
+                    self.scheduler.pending.remove(p)
+                    self._results[rid] = (list(p.prior), None)
+                    ev = self._events.get(rid)
+                    if ev is not None:
+                        ev.set()
+                    return
+            for s in self.scheduler.slots:
+                if s.req_id == rid:
+                    s.max_new = max(1, len(s.prior) + len(s.generated))
+                    return
+
     def stats(self) -> Dict[str, int]:
         with self._lock:
             return {
@@ -134,7 +175,23 @@ class SchedulerService:
         self._worker.join(timeout=5)
 
 
-def _make_handler(service: SchedulerService):
+def _first_stop_hit(text: str, stops: List[str]):
+    """Earliest stop-string occurrence in text, or None."""
+    best = None
+    for s in stops:
+        i = text.find(s)
+        if i >= 0 and (best is None or i < best):
+            best = i
+    return best
+
+
+def _make_handler(service: SchedulerService, tokenizer=None,
+                  model_name: str = "flexq-tpu"):
+    if tokenizer is None:
+        from flexq_tpu.serve.tokenizer import ByteTokenizer
+
+        tokenizer = ByteTokenizer()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -152,16 +209,209 @@ def _make_handler(service: SchedulerService):
                 self._send(200, {"ok": True, **service.stats()})
             elif self.path == "/metrics":
                 self._send(200, service.metrics())
+            elif self.path == "/v1/models":
+                self._send(200, {"object": "list", "data": [
+                    {"id": model_name, "object": "model", "owned_by": "flexq-tpu"}
+                ]})
             else:
                 self._send(404, {"error": "not found"})
 
+        # ---- OpenAI-compatible endpoints -------------------------------
+
+        def _encode_prompt(self, p):
+            """str -> tokenized ids; [int] -> as-is. Returns (ids, text?)."""
+            if isinstance(p, str):
+                return tokenizer.encode(p), p
+            if isinstance(p, list) and all(
+                isinstance(t, int) and not isinstance(t, bool) for t in p
+            ):
+                return [int(t) for t in p], None
+            raise ValueError("prompt must be a string or a list of token ids")
+
+        def _openai_common(self, req):
+            temperature = float(req.get("temperature", 1.0))
+            sampling = SamplingParams(
+                temperature=temperature if temperature > 0 else 1.0,
+                top_k=int(req.get("top_k", 0)),
+                top_p=float(req.get("top_p", 1.0)),
+                repetition_penalty=float(req.get("repetition_penalty", 1.0)),
+                greedy=temperature <= 0,
+            )
+            stop = req.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
+            max_new = int(req.get("max_tokens", 16))
+            eos_id = int(req.get("eos_id", getattr(tokenizer, "eos_id", 2)))
+            return sampling, [str(s) for s in stop], max_new, eos_id
+
+        def _finish(self, toks, eos_id, max_new):
+            if toks and toks[-1] == eos_id:
+                return toks[:-1], "stop"
+            return toks, "length" if len(toks) >= max_new else "stop"
+
+        def _openai_completions(self, req):
+            sampling, stops, max_new, eos_id = self._openai_common(req)
+            p = req.get("prompt", "")
+            prompts = (
+                p if isinstance(p, list) and p and isinstance(p[0], (str, list))
+                else [p]
+            )
+            n = int(req.get("n", 1))
+            want_lp = req.get("logprobs") not in (None, False)
+            echo = bool(req.get("echo", False))
+            if bool(req.get("stream", False)):
+                if len(prompts) != 1 or n != 1:
+                    raise ValueError("stream=true supports a single prompt, n=1")
+                ids, _ = self._encode_prompt(prompts[0])
+                self._stream(ids, sampling, stops, max_new, eos_id,
+                             mode="text_completion")
+                return None
+            subs = []  # (rid, prompt_ids, prompt_text)
+            for prm in prompts:
+                ids, text = self._encode_prompt(prm)
+                for _ in range(n):
+                    rid = service.submit(ids, sampling, max_new, eos_id,
+                                         logprobs=want_lp)
+                    subs.append((rid, ids, text))
+            choices, ptoks, ctoks = [], 0, 0
+            timeout = float(req.get("timeout", 600))
+            for idx, (rid, ids, text) in enumerate(subs):
+                toks, lps = service.wait_full(rid, timeout)
+                ctoks += len(toks)
+                ptoks += len(ids)
+                toks, finish = self._finish(toks, eos_id, max_new)
+                out = tokenizer.decode(toks)
+                cut = _first_stop_hit(out, stops)
+                if cut is not None:
+                    out, finish = out[:cut], "stop"
+                if echo:
+                    out = (text if text is not None else tokenizer.decode(ids)) + out
+                ch = {"index": idx, "text": out, "finish_reason": finish,
+                      "token_ids": toks}
+                if lps is not None:
+                    ch["logprobs"] = {"token_logprobs": lps,
+                                      "tokens": [tokenizer.decode([t]) for t in toks]}
+                choices.append(ch)
+            return {
+                "id": f"cmpl-{subs[0][0]}", "object": "text_completion",
+                "created": int(time.time()), "model": model_name,
+                "choices": choices,
+                "usage": {"prompt_tokens": ptoks, "completion_tokens": ctoks,
+                          "total_tokens": ptoks + ctoks},
+            }
+
+        def _openai_chat(self, req):
+            sampling, stops, max_new, eos_id = self._openai_common(req)
+            messages = req["messages"]
+            if not isinstance(messages, list) or not messages:
+                raise ValueError("messages must be a non-empty list")
+            prompt_text = tokenizer.apply_chat_template(messages)
+            ids = tokenizer.encode(prompt_text)
+            if bool(req.get("stream", False)):
+                self._stream(ids, sampling, stops, max_new, eos_id,
+                             mode="chat.completion.chunk")
+                return None
+            rid = service.submit(ids, sampling, max_new, eos_id)
+            toks, _ = service.wait_full(rid, float(req.get("timeout", 600)))
+            ngen = len(toks)
+            toks, finish = self._finish(toks, eos_id, max_new)
+            out = tokenizer.decode(toks)
+            cut = _first_stop_hit(out, stops)
+            if cut is not None:
+                out, finish = out[:cut], "stop"
+            return {
+                "id": f"chatcmpl-{rid}", "object": "chat.completion",
+                "created": int(time.time()), "model": model_name,
+                "choices": [{
+                    "index": 0,
+                    "message": {"role": "assistant", "content": out},
+                    "finish_reason": finish,
+                }],
+                "usage": {"prompt_tokens": len(ids), "completion_tokens": ngen,
+                          "total_tokens": len(ids) + ngen},
+            }
+
+        def _stream(self, ids, sampling, stops, max_new, eos_id, mode):
+            """Server-sent events: one chunk per newly decoded text delta."""
+            rid = service.submit(ids, sampling, max_new, eos_id)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            chat = mode == "chat.completion.chunk"
+            rid_tag = f"chatcmpl-{rid}" if chat else f"cmpl-{rid}"
+
+            def emit(delta, finish):
+                if chat:
+                    d = {"role": "assistant", "content": delta} if delta else {}
+                    choice = {"index": 0, "delta": d, "finish_reason": finish}
+                else:
+                    choice = {"index": 0, "text": delta, "finish_reason": finish}
+                chunk = {"id": rid_tag, "object": mode,
+                         "created": int(time.time()), "model": model_name,
+                         "choices": [choice]}
+                self.wfile.write(b"data: " + json.dumps(chunk).encode() + b"\n\n")
+                self.wfile.flush()
+
+            sent_text, finish = "", None
+            deadline = time.monotonic() + 600
+            while finish is None and time.monotonic() < deadline:
+                toks, done = service.peek(rid)
+                clean, fin = self._finish(toks, eos_id, max_new)
+                text = tokenizer.decode(clean)
+                cut = _first_stop_hit(text, stops)
+                if cut is not None:
+                    text, finish = text[:cut], "stop"
+                    service.cancel(rid)
+                elif done:
+                    finish = fin
+                if len(text) > len(sent_text):
+                    emit(text[len(sent_text):], None)
+                    sent_text = text
+                if finish is None:
+                    time.sleep(0.005)
+            emit("", finish or "length")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+            # consume the (possibly still finishing) result so it doesn't leak
+            try:
+                service.wait_full(rid, timeout=600)
+            except TimeoutError:
+                pass
+
         def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, TypeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            if self.path == "/v1/completions":
+                try:
+                    resp = self._openai_completions(req)
+                    if resp is not None:
+                        self._send(200, resp)
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, {"error": {"message": str(e),
+                                               "type": "invalid_request_error"}})
+                except TimeoutError as e:
+                    self._send(504, {"error": {"message": str(e)}})
+                return
+            if self.path == "/v1/chat/completions":
+                try:
+                    resp = self._openai_chat(req)
+                    if resp is not None:
+                        self._send(200, resp)
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, {"error": {"message": str(e),
+                                               "type": "invalid_request_error"}})
+                except TimeoutError as e:
+                    self._send(504, {"error": {"message": str(e)}})
+                return
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
                 prompt = [int(t) for t in req["prompt_ids"]]
                 sampling = SamplingParams(
                     temperature=float(req.get("temperature", 1.0)),
@@ -194,11 +444,14 @@ def _make_handler(service: SchedulerService):
     return Handler
 
 
-def serve_background(scheduler, host: str = "127.0.0.1", port: int = 0):
+def serve_background(scheduler, host: str = "127.0.0.1", port: int = 0,
+                     tokenizer=None, model_name: str = "flexq-tpu"):
     """Start the HTTP server on a daemon thread.
     Returns (server, service, actual_port)."""
     service = SchedulerService(scheduler)
-    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server = ThreadingHTTPServer(
+        (host, port), _make_handler(service, tokenizer, model_name)
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, service, server.server_address[1]
@@ -227,6 +480,13 @@ def main():
         "--prefix-cache", action="store_true",
         help="reuse identical prompt-prefix pages across requests (paged only)",
     )
+    ap.add_argument(
+        "--tokenizer", default=None,
+        help="local HF tokenizer dir for the /v1 text endpoints "
+             "(default: byte-level fallback)",
+    )
+    ap.add_argument("--model-name", default="flexq-tpu",
+                    help="model id reported by the /v1 endpoints")
     args = ap.parse_args()
 
     cfg, policy, params = load_packed(args.checkpoint)
@@ -242,7 +502,12 @@ def main():
         prefill_chunk=args.prefill_chunk,
         prefix_cache=args.prefix_cache,
     )
-    server, service, port = serve_background(sched, args.host, args.port)
+    from flexq_tpu.serve.tokenizer import load_tokenizer
+
+    server, service, port = serve_background(
+        sched, args.host, args.port,
+        tokenizer=load_tokenizer(args.tokenizer), model_name=args.model_name,
+    )
     print(f"serving on {args.host}:{port} ({args.slots} slots)", flush=True)
     try:
         while True:
