@@ -14,9 +14,11 @@ Pallas kernels, which XLA cannot re-partition — every rank must run the
 kernel on its *local* weight shard with local shapes. shard_map gives exactly
 that (and is the idiomatic JAX way to write an explicit-collective TP layer).
 
-The `data` axis shards the batch; embed/norms/lm_head are replicated in v1
-(vocab-parallel head is a later optimization; the reference vocab-shards the
-lm_head, Llama.cc:1090-1130).
+The `data` axis shards the batch (ids, masks, positions, dense KV cache);
+embed/norms are replicated and the lm_head is vocab-parallel (local [H, V/tp]
+matmul + tiled all_gather — the reference's vocab-TP gemm + ftNcclAllGather,
+Llama.cc:1090-1130). Operands whose leading dim is not divisible by the data
+axis (e.g. a B=1 admission prefill on a dp>1 mesh) run data-replicated.
 """
 
 from __future__ import annotations
@@ -103,11 +105,94 @@ def _local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
     )
 
 
+def tp_forward_local(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    lcfg: ModelConfig,
+    policy: QuantPolicy,
+    ids: jax.Array,  # [B_local, L] int32
+    kv: Optional[Tuple] = None,
+    positions: Optional[jax.Array] = None,
+    cache_pos: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    prefill_bf16: bool = False,
+    axis: str = "model",
+):
+    """Per-rank TP forward body — must run INSIDE shard_map (params sharded
+    per `param_specs`; activations replicated along `axis`). The quantized
+    sub-layers return *partial* row-parallel outputs; llama_layer_serve
+    psums them before the residual adds, exactly where the reference's
+    TensorParallel* wrappers issue their NCCL all-reduces.
+
+    ``kv`` formats (full local-shard buffers; scales select int8 KV):
+      ("dense", k, v) | ("dense8", k, v, ks, vs)
+      ("paged", pk, pv, table) | ("paged8", pk, pv, sk, sv, table)
+
+    Returns (full-vocab logits, new cache pieces tuple or None) — the
+    vocab-parallel lm_head is all-gathered so every rank holds full logits
+    (sampling then runs rank-redundantly but identically).
+    """
+    b, l = ids.shape
+    x = params["embed"][ids]
+    pos = (
+        positions
+        if positions is not None
+        else jnp.broadcast_to(jnp.arange(l), (b, l))
+    )
+    cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    m = mask if mask is not None else causal_mask(l, l)
+    have = kv is not None
+    kind = kv[0] if have else None
+    if have:
+        paged = kind.startswith("paged")
+        table = kv[-1] if paged else None
+        pieces = list(kv[1:-1] if paged else kv[1:])
+    lengths = (
+        jnp.broadcast_to(jnp.asarray(cache_pos, jnp.int32), (b,)) + l
+        if have
+        else None
+    )
+    for i, lp in enumerate(params["layers"]):
+        if not have:
+            kvi = None
+        elif kind == "paged8":
+            kvi = ("paged8", pieces[0], pieces[1], pieces[2], pieces[3], table, i)
+        elif kind == "paged":
+            kvi = ("paged", pieces[0], pieces[1], table, i)
+        else:  # dense / dense8: (k, v[, ks, vs], layer_idx)
+            kvi = tuple(pieces) + (i,)
+        if policy.no_act_quant or prefill_bf16:
+            # weight-only / fp16 policy (the quantized layer path would wrap
+            # 16-bit activations into int8 containers — same gate as
+            # forward_serve) or the compute-bound W6A16 prefill path
+            from flexq_tpu.models.quantized import llama_layer_serve_prefill
+
+            x, new_kv = llama_layer_serve_prefill(
+                lp, lcfg, x, cos, sin, m, kv=kvi, cache_pos=cache_pos,
+                tp_axis=axis, lengths=lengths,
+            )
+        else:
+            x, new_kv = llama_layer_serve(
+                lp, lcfg, policy, x, cos, sin, m, kv=kvi, cache_pos=cache_pos,
+                tp_axis=axis, lengths=lengths,
+            )
+        if new_kv is not None:
+            pieces[: len(new_kv)] = list(new_kv)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings: replicated, no gather needed
+        logits = x @ params["embed"].T.astype(x.dtype)
+    else:
+        local = x @ head.astype(x.dtype)  # [B, L, V/tp]
+        logits = jax.lax.all_gather(local, axis, axis=local.ndim - 1, tiled=True)
+    return logits, (tuple(pieces) if have else None)
+
+
 def forward_serve_tp(
     params: Dict[str, Any],
     cfg: ModelConfig,
     policy: QuantPolicy,
-    ids: jax.Array,  # [B, L] int32, sharded P("data", None)
+    ids: jax.Array,  # [B, L] int32
     mesh: Mesh,
     kv_k: Optional[jax.Array] = None,  # dense [L, B, KVH, max, D]
     kv_v: Optional[jax.Array] = None,  # — or paged pools [L, P, KVH, PS, D]
@@ -115,105 +200,100 @@ def forward_serve_tp(
     mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,
     page_table: Optional[jax.Array] = None,  # int32 [B, maxpages] => paged
+    kv_k_scale: Optional[jax.Array] = None,  # dense [L, B, KVH, max] f32
+    kv_v_scale: Optional[jax.Array] = None,  # — or paged [L, P, KVH, PS]
+    prefill_bf16: bool = False,
 ):
-    """TP×DP quantized forward. Returns (logits, new_kv or None).
+    """TP×DP quantized forward. Returns (logits, new_kv or None) where new_kv
+    is (k, v) or (k, v, ks, vs) for the int8 quantized cache.
 
     With ``page_table`` the cache buffers are PAGED pools (kv-head axis
     sharded over `model`, pages+table shared by all data-parallel rows —
-    page ids are global, so the table is replicated)."""
+    page ids are global, so the table is replicated). Scale arrays select
+    the int8 KV cache (dense or paged). Batch-major operands (ids, vector
+    cache_pos, per-slot masks/positions, the dense cache) shard over `data`
+    when the batch divides dp; otherwise they run data-replicated.
+    """
     tp = mesh.shape["model"]
+    dp = mesh.shape.get("data", 1)
     lcfg = _local_cfg(cfg, tp)
     specs = param_specs(params)
     paged = page_table is not None
-    if paged:
-        # v1: pages are written per batch row; replicating the pool across a
-        # data axis would fork its replicas
-        assert mesh.shape["data"] == 1, "paged TP requires dp=1 (v1)"
-    head_ax = "model" if cfg.num_kv_heads >= tp else None
-    if paged:
-        kv_spec = P(None, None, head_ax, None, None)  # pool: pages replicated
-    else:
-        kv_spec = P(None, "data", head_ax, None, None)
-
-    # Quantized sub-layers return *partial* row-parallel outputs; psum is
-    # injected via a policy hook: llama_layer_serve already adds residuals
-    # AFTER o/down, so we wrap the layer body and psum inside.
-    def body(params, ids, kv_k, kv_v, table):
-        b, l = ids.shape
-        x = params["embed"][ids]
-        pos = (
-            positions
-            if positions is not None
-            else jnp.broadcast_to(jnp.arange(l), (b, l))
-        )
-        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
-        m = mask if mask is not None else causal_mask(l, l)
-        have = kv_k.ndim > 0
-        lengths = (
-            jnp.broadcast_to(jnp.asarray(cache_pos, jnp.int32), (b,)) + l
-            if have
-            else None
-        )
-        for i, lp in enumerate(params["layers"]):
-            if not have:
-                kv = None
-            elif paged:
-                kv = ("paged", kv_k, kv_v, table, i)
-            else:
-                kv = (kv_k, kv_v, i)
-            if policy.no_act_quant:
-                # weight-only / fp16 policy: the quantized layer path would
-                # wrap 16-bit activations into int8 containers (same gate
-                # as forward_serve, models/quantized.py)
-                from flexq_tpu.models.quantized import llama_layer_serve_prefill
-
-                x, new_kv = llama_layer_serve_prefill(
-                    lp, lcfg, x, cos, sin, m, kv=kv, cache_pos=cache_pos,
-                    tp_axis="model", lengths=lengths,
-                )
-            else:
-                x, new_kv = llama_layer_serve(
-                    lp,
-                    lcfg,
-                    policy,
-                    x,
-                    cos,
-                    sin,
-                    m,
-                    kv=kv,
-                    cache_pos=cache_pos,
-                    tp_axis="model",
-                    lengths=lengths,
-                )
-            if new_kv is not None:
-                kv_k, kv_v = new_kv
-        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-        head = params.get("lm_head")
-        if head is None:  # tied embeddings: replicated, no gather needed
-            logits = x @ params["embed"].T.astype(x.dtype)
-        else:
-            local = x @ head.astype(x.dtype)  # [B, L, V/tp]
-            logits = jax.lax.all_gather(
-                local, "model", axis=local.ndim - 1, tiled=True
-            )
-        return logits, kv_k, kv_v
-
+    quant = kv_k_scale is not None
     have_cache = kv_k is not None
-    if not have_cache:
-        kv_k = jnp.zeros((), jnp.int32)
-        kv_v = jnp.zeros((), jnp.int32)
-    if page_table is None:
-        page_table = jnp.zeros((), jnp.int32)
-    cache_spec = kv_spec if have_cache else P()
+    b = ids.shape[0]
+    if paged:
+        # pages are written per batch row; replicating the pool across a
+        # data axis would fork its replicas
+        assert dp == 1, "paged TP requires dp=1 (page ids are global)"
+    data_ax = "data" if dp > 1 and b % dp == 0 else None
+    head_ax = "model" if cfg.num_kv_heads >= tp else None
+    kv_batch = None if paged else data_ax  # pool batch dim = pages, replicated
+    kv_spec = P(None, kv_batch, head_ax, None, None) if have_cache else P()
+    ks_spec = P(None, kv_batch, head_ax, None) if quant else P()
+    have_pos = positions is not None
+    have_cp = cache_pos is not None
+    have_mask = mask is not None
+    pos_spec = (
+        P(data_ax, None)
+        if have_pos and positions.ndim == 2 and positions.shape[0] == b
+        else P()
+    )
+    cp_spec = P(data_ax) if have_cp and getattr(cache_pos, "ndim", 0) == 1 else P()
+    mask_spec = (
+        P(data_ax, None, None, None)
+        if have_mask and mask.ndim == 4 and mask.shape[0] == b
+        else P()
+    )
+
+    sent = jnp.zeros((), jnp.int32)
+
+    def body(params, ids, kk, kv, ks, vs, table, pos, cp, m):
+        if not have_cache:
+            kv_t = None
+        elif paged and quant:
+            kv_t = ("paged8", kk, kv, ks, vs, table)
+        elif paged:
+            kv_t = ("paged", kk, kv, table)
+        elif quant:
+            kv_t = ("dense8", kk, kv, ks, vs)
+        else:
+            kv_t = ("dense", kk, kv)
+        logits, pieces = tp_forward_local(
+            params, cfg, lcfg, policy, ids, kv=kv_t,
+            positions=pos if have_pos else None,
+            cache_pos=cp if have_cp else None,
+            mask=m if have_mask else None,
+            prefill_bf16=prefill_bf16,
+        )
+        if pieces is None:
+            pieces = (sent, sent)
+        if len(pieces) == 2:
+            pieces = pieces + (sent, sent)
+        return (logits,) + tuple(pieces)
+
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(specs, P("data", None), cache_spec, cache_spec, P()),
-        out_specs=(P("data", None, None), cache_spec, cache_spec),
+        in_specs=(
+            specs, P(data_ax, None), kv_spec, kv_spec, ks_spec, ks_spec,
+            P(), pos_spec, cp_spec, mask_spec,
+        ),
+        out_specs=(P(data_ax, None, None), kv_spec, kv_spec, ks_spec, ks_spec),
         check_vma=False,
     )
-    logits, nk, nv = fn(params, ids, kv_k, kv_v, page_table)
-    return (logits, (nk, nv)) if have_cache else (logits, None)
+    logits, nk, nv, nks, nvs = fn(
+        params, ids,
+        kv_k if have_cache else sent, kv_v if have_cache else sent,
+        kv_k_scale if quant else sent, kv_v_scale if quant else sent,
+        page_table if paged else sent,
+        positions if have_pos else sent,
+        cache_pos if have_cp else sent,
+        mask if have_mask else sent,
+    )
+    if not have_cache:
+        return logits, None
+    return logits, ((nk, nv, nks, nvs) if quant else (nk, nv))
 
 
 def replicate_kv_heads(params: Dict[str, Any], cfg: ModelConfig, tp: int):

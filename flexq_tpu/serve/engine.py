@@ -54,7 +54,20 @@ class Engine:
         kv_dtype=jnp.bfloat16,
         prefill_bf16_threshold: int = 64,
         prefill_chunk: Optional[int] = None,
+        mesh=None,
     ):
+        # mesh => multi-chip serving: params TP-sharded, KV cache (values and
+        # int8 scales) sharded on the kv-head axis, prefill/decode routed
+        # through the shard_map TP forward AND the fused on-device decode
+        # loop runs UNDER the mesh (shard_map around the lax.while_loop,
+        # psum per layer inside) — multi-chip decode pays zero per-token
+        # host dispatch, same as single-chip. A `data` mesh axis shards the
+        # batch (requires b % dp == 0).
+        self.mesh = mesh
+        if mesh is not None:
+            from flexq_tpu.parallel.tp import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.policy = policy
@@ -90,34 +103,62 @@ class Engine:
     def quantized_cache(self) -> bool:
         return self.kv_dtype == jnp.int8
 
+    def _cache_sharding(self, scales: bool = False):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_ax = "data" if self.mesh.shape.get("data", 1) > 1 else None
+        head_ax = "model" if self.cfg.num_kv_heads >= self.mesh.shape["model"] else None
+        dims = (None, data_ax, head_ax, None) + (() if scales else (None,))
+        return NamedSharding(self.mesh, P(*dims))
+
     def new_cache(self, batch: int):
         """kv_dtype=int8 selects the quantized KV cache (values + per-token
         per-head f32 scales — halves cache traffic/capacity vs bf16)."""
         shape = self._kv_shape(batch)
         k = jnp.zeros(shape, self.kv_dtype)
         v = jnp.zeros(shape, self.kv_dtype)
-        if not self.quantized_cache:
-            return k, v
-        sshape = shape[:-1]
-        return k, v, jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32)
+        cache = (k, v)
+        if self.quantized_cache:
+            sshape = shape[:-1]
+            cache += (jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
+        if self.mesh is not None:
+            sh, ssh = self._cache_sharding(), self._cache_sharding(scales=True)
+            cache = tuple(
+                jax.device_put(x, ssh if x.ndim == 4 else sh) for x in cache
+            )
+        return cache
+
+    def _fwd(self, params, ids, cache, positions, cache_pos, mask,
+             prefill_bf16: bool = False):
+        """Route one forward through the single-device or the TP path."""
+        scales = (
+            dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:]))
+            if len(cache) == 4
+            else {}
+        )
+        if self.mesh is not None:
+            from flexq_tpu.parallel.tp import forward_serve_tp
+
+            return forward_serve_tp(
+                params, self.cfg, self.policy, ids, self.mesh,
+                kv_k=cache[0], kv_v=cache[1], cache_pos=cache_pos,
+                mask=mask, positions=positions, prefill_bf16=prefill_bf16,
+                **scales,
+            )
+        return forward_serve(
+            params, self.cfg, self.policy, ids,
+            positions=positions, kv_k=cache[0], kv_v=cache[1],
+            cache_pos=cache_pos, mask=mask, prefill_bf16=prefill_bf16,
+            **scales,
+        )
 
     def _prefill(self, params, ids, cache, prompt_len: int):
         b, l = ids.shape
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
         mask = prefill_mask(l, self.max_seq_len)
-        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
-        logits, kv = forward_serve(
-            params,
-            self.cfg,
-            self.policy,
-            ids,
-            positions=positions,
-            kv_k=cache[0],
-            kv_v=cache[1],
-            cache_pos=jnp.int32(0),
-            mask=mask,
+        logits, kv = self._fwd(
+            params, ids, cache, positions, jnp.int32(0), mask,
             prefill_bf16=l >= self.prefill_bf16_threshold,
-            **scales,
         )
         return logits[:, prompt_len - 1], kv
 
@@ -133,19 +174,9 @@ class Engine:
         qi = start + jnp.arange(c)[:, None]
         ki = jnp.arange(self.max_seq_len)[None, :]
         mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
-        logits, kv = forward_serve(
-            params,
-            self.cfg,
-            self.policy,
-            ids,
-            positions=positions,
-            kv_k=cache[0],
-            kv_v=cache[1],
-            cache_pos=start,
-            mask=mask,
+        logits, kv = self._fwd(
+            params, ids, cache, positions, start, mask,
             prefill_bf16=c >= self.prefill_bf16_threshold,
-            **scales,
         )
         return logits[:, -1], kv
 
@@ -177,20 +208,7 @@ class Engine:
         qi = start + jnp.arange(c)[:, None]
         ki = jnp.arange(self.max_seq_len)[None, :]
         mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
-        logits, kv = forward_serve(
-            params,
-            self.cfg,
-            self.policy,
-            ids,
-            positions=positions,
-            kv_k=cache[0],
-            kv_v=cache[1],
-            cache_pos=start,
-            mask=mask,
-            **scales,
-        )
-        return logits, kv
+        return self._fwd(params, ids, cache, positions, start, mask)
 
     def _spec_verify(self, params, ids, cache, start):
         logits, kv = self._spec_forward(params, ids, cache, start)
@@ -200,19 +218,7 @@ class Engine:
         b = ids.shape[0]
         positions = jnp.broadcast_to(pos, (b, 1))
         mask = decode_mask(pos, self.max_seq_len)
-        scales = dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:])) if len(cache) == 4 else {}
-        logits, kv = forward_serve(
-            params,
-            self.cfg,
-            self.policy,
-            ids,
-            positions=positions,
-            kv_k=cache[0],
-            kv_v=cache[1],
-            cache_pos=pos,
-            mask=mask,
-            **scales,
-        )
+        logits, kv = self._fwd(params, ids, cache, positions, pos, mask)
         return logits[:, 0], kv
 
     def _decode_loop(
@@ -225,6 +231,74 @@ class Engine:
         zero host round-trips per token. This is the TPU analogue of the
         reference's on-GPU DynamicDecodeLayer + should_stop flag
         (Llama.cc:1197-1232), minus its per-step PP broadcast.
+
+        Under a mesh the WHOLE loop runs inside shard_map: each rank carries
+        its local cache/param shards through the while_loop, the per-layer
+        psums ride ICI, and sampling runs rank-redundantly on the
+        all-gathered logits — multi-chip decode keeps the fused loop's
+        zero-dispatch property (the reference's per-rank decode loop,
+        Llama.cc:970-1240, needs an NCCL broadcast of should_stop instead).
+        """
+        if self.mesh is None:
+            step = lambda nxt, cache, pos: self._decode_step(params, nxt, cache, pos)
+            return self._loop_body(
+                step, logits0, cache, pos0, key, token_counts,
+                sampling, eos_id, stop_ids, max_new, logprobs,
+            )
+
+        from jax.sharding import PartitionSpec as P
+
+        from flexq_tpu.parallel.tp import _local_cfg, param_specs, tp_forward_local
+
+        mesh = self.mesh
+        lcfg = _local_cfg(self.cfg, mesh.shape["model"])
+        specs = param_specs(params)
+        quant = len(cache) == 4
+        data_ax = "data" if mesh.shape.get("data", 1) > 1 else None
+        head_ax = "model" if self.cfg.num_kv_heads >= mesh.shape["model"] else None
+        kv_spec = P(None, data_ax, head_ax, None, None)
+        ks_spec = P(None, data_ax, head_ax, None)
+        cache_specs = (kv_spec, kv_spec) + ((ks_spec, ks_spec) if quant else ())
+
+        def body(params, logits0, key, token_counts, *cache):
+            if data_ax is not None:
+                # decorrelate sampling across data shards (a replicated key
+                # would give shard-0 row r and shard-1 row r the SAME draws);
+                # greedy decoding is unaffected
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+            def step(nxt, cache, pos):
+                b = nxt.shape[0]
+                kv_t = ("dense8" if quant else "dense",) + tuple(cache)
+                logits, pieces = tp_forward_local(
+                    params, self.cfg, lcfg, self.policy, nxt, kv=kv_t,
+                    positions=jnp.broadcast_to(pos, (b, 1)), cache_pos=pos,
+                    mask=decode_mask(pos, self.max_seq_len),
+                )
+                return logits[:, 0], pieces
+
+            tokens, lps, cache = self._loop_body(
+                step, logits0, cache, pos0, key, token_counts,
+                sampling, eos_id, stop_ids, max_new, logprobs,
+            )
+            return (tokens, lps) + tuple(cache)
+
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, P(data_ax, None), P(), P(data_ax, None)) + cache_specs,
+            out_specs=(P(data_ax, None), P(data_ax, None)) + cache_specs,
+            check_vma=False,
+        )
+        out = fn(params, logits0, key, token_counts, *cache)
+        return out[0], out[1], out[2:]
+
+    def _loop_body(
+        self, step, logits0, cache, pos0, key, token_counts,
+        sampling: SamplingParams, eos_id: int, stop_ids, max_new: int,
+        logprobs: bool = False,
+    ):
+        """The fused while_loop itself; ``step`` runs one decode forward.
 
         tokens buffer holds -1 for steps after a sequence finished; the host
         trims rows afterwards. Semantics (sampling key sequence, count/length
@@ -263,7 +337,7 @@ class Engine:
             finished = finished | (record & jnp.isin(nxt, stop_arr))
             counts = counts.at[rows, nxt].add(1)
             gen_len = gen_len + 1
-            logits, cache = self._decode_step(params, nxt[:, None], cache, pos)
+            logits, cache = step(nxt[:, None], cache, pos)
             # f32 carry regardless of model dtype (bf16 logits otherwise
             # mismatch the f32-seeded while_loop carry)
             logits = logits.astype(jnp.float32)
@@ -383,6 +457,7 @@ class Engine:
             # exact sampling (emitted tokens are the model's own samples;
             # count penalties unsupported in sampled mode)
             assert not return_logprobs, "logprobs unsupported in spec mode"
+            assert self.mesh is None, "spec mode is single-device (B=1 loop)"
             from flexq_tpu.serve.speculative import generate_speculative
 
             return generate_speculative(
@@ -402,6 +477,9 @@ class Engine:
         l = lens.pop()
         b = len(prompts)
         assert l + max_new_tokens <= self.max_seq_len
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("data", 1)
+            assert b % dp == 0, f"batch {b} must divide by data axis {dp}"
 
         from flexq_tpu.utils.profiling import GenerationStats, StepTimer
 

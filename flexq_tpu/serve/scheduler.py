@@ -31,11 +31,15 @@ from flexq_tpu.serve.engine import prefill_mask
 from flexq_tpu.serve.sampling import SamplingParams, process_logits, sample
 
 
-def _cache_spec(cfg, mesh):
+def _cache_spec(cfg, mesh, scales: bool = False, batch_ax=None):
+    """Sharding for KV buffers: [L, B|P, KVH, S(, D)]. ``batch_ax`` shards
+    the slot dim over `data` (dense cache, dp>1); page pools keep it
+    replicated (page ids are global). ``scales`` drops the head_dim axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     head_ax = "model" if cfg.num_kv_heads >= mesh.shape["model"] else None
-    return NamedSharding(mesh, P(None, None, head_ax, None, None))
+    dims = (None, batch_ax, head_ax, None) + (() if scales else (None,))
+    return NamedSharding(mesh, P(*dims))
 
 
 @dataclasses.dataclass
@@ -100,15 +104,22 @@ class BatchScheduler:
         prefix_cache: bool = False,
     ):
         # mesh => multi-device serving: params TP-sharded (column/row split),
-        # KV cache / page pool sharded on the kv-head axis, every scheduler
-        # step a shard_map TP forward (parallel/tp.py). v1 keeps the bf16
-        # cache (quantized KV scales are single-device-only) and dp=1.
+        # KV cache / page pool (values AND int8 scales) sharded on the
+        # kv-head axis, every scheduler step a shard_map TP forward
+        # (parallel/tp.py). dp>1 additionally shards the slot dim of the
+        # dense cache over `data` (paged pools stay dp=1: page ids are
+        # global, so data-replicating the pool would fork its replicas).
         self.mesh = mesh
+        self._dp = 1 if mesh is None else mesh.shape.get("data", 1)
         if mesh is not None:
             from flexq_tpu.parallel.tp import shard_params
 
-            assert kv_dtype != jnp.int8, "mesh + int8 KV not supported (v1)"
-            assert mesh.shape.get("data", 1) == 1, "scheduler TP requires dp=1"
+            if paged:
+                assert self._dp == 1, "paged scheduler TP requires dp=1"
+            else:
+                assert num_slots % self._dp == 0, (
+                    f"num_slots {num_slots} must divide by dp {self._dp}"
+                )
             params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
@@ -154,6 +165,10 @@ class BatchScheduler:
                 sh = _cache_spec(cfg, mesh)
                 self.pool.pool_k = jax.device_put(self.pool.pool_k, sh)
                 self.pool.pool_v = jax.device_put(self.pool.pool_v, sh)
+                if self.quantized:
+                    ssh = _cache_spec(cfg, mesh, scales=True)
+                    self.pool.scale_k = jax.device_put(self.pool.scale_k, ssh)
+                    self.pool.scale_v = jax.device_put(self.pool.scale_v, ssh)
             self.ptable = PageTable(num_slots, max_seq_len // page_size)
             # page 0 is the garbage page: inactive slots (table all-zero)
             # decode junk into it without corrupting live pages
@@ -164,13 +179,18 @@ class BatchScheduler:
             shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_seq_len, cfg.head_dim)
             self.kv_k = jnp.zeros(shape, kv_dtype)
             self.kv_v = jnp.zeros(shape, kv_dtype)
-            if mesh is not None:
-                sh = _cache_spec(cfg, mesh)
-                self.kv_k = jax.device_put(self.kv_k, sh)
-                self.kv_v = jax.device_put(self.kv_v, sh)
             if self.quantized:
                 self.kv_ks = jnp.zeros(shape[:-1], jnp.float32)
                 self.kv_vs = jnp.zeros(shape[:-1], jnp.float32)
+            if mesh is not None:
+                batch_ax = "data" if self._dp > 1 else None
+                sh = _cache_spec(cfg, mesh, batch_ax=batch_ax)
+                self.kv_k = jax.device_put(self.kv_k, sh)
+                self.kv_v = jax.device_put(self.kv_v, sh)
+                if self.quantized:
+                    ssh = _cache_spec(cfg, mesh, scales=True, batch_ax=batch_ax)
+                    self.kv_ks = jax.device_put(self.kv_ks, ssh)
+                    self.kv_vs = jax.device_put(self.kv_vs, ssh)
         self.slots = [_Slot() for _ in range(num_slots)]
         self.pending: Deque[_Pending] = deque()
         self.done: Dict[int, List[int]] = {}
@@ -200,6 +220,8 @@ class BatchScheduler:
                 params, self.cfg, self.policy, ids, self.mesh,
                 kv_k=cache[0], kv_v=cache[1], cache_pos=cache_pos,
                 mask=mask, positions=positions, page_table=table,
+                kv_k_scale=cache[2] if len(cache) == 4 else None,
+                kv_v_scale=cache[3] if len(cache) == 4 else None,
             )
         extra = {"page_table": table} if table is not None else {"mask": mask}
         return forward_serve(
@@ -277,15 +299,15 @@ class BatchScheduler:
         )
         dt = self.pool.pool_k.dtype if self.paged else self.kv_k.dtype
         kv = (jnp.zeros(shape1, dt), jnp.zeros(shape1, dt))
+        scales = (
+            (jnp.zeros(shape1[:-1], jnp.float32),) * 2 if self.quantized else ()
+        )
         if self.mesh is not None:
             sh = _cache_spec(self.cfg, self.mesh)
             kv = tuple(jax.device_put(x, sh) for x in kv)
-        if self.quantized:
-            kv += (
-                jnp.zeros(shape1[:-1], jnp.float32),
-                jnp.zeros(shape1[:-1], jnp.float32),
-            )
-        return kv
+            ssh = _cache_spec(self.cfg, self.mesh, scales=True)
+            scales = tuple(jax.device_put(x, ssh) for x in scales)
+        return kv + scales
 
     def _chunk_fn(self, bucket: int):
         """Jitted one-chunk prefill over a bucket-sized scratch cache.

@@ -351,3 +351,89 @@ def test_scheduler_tp_prefix_cache():
     assert got[q1] == want[r1]
     assert got[q2] == want[r2]
     assert pc.registry.hits >= 2
+
+
+def test_engine_fused_loop_tp_matches_single_device(quantized):
+    """The fused on-device decode loop (shard_map around lax.while_loop)
+    under a TP mesh must generate exactly the single-device fused loop's
+    tokens (greedy), for both bf16 and int8 quantized KV caches."""
+    from flexq_tpu.serve.engine import Engine
+    from flexq_tpu.serve.sampling import SamplingParams
+
+    cfg, policy, qparams = quantized
+    prompts = [[3, 14, 15, 9, 2, 6], [7, 7, 7, 7, 7, 7]]
+    greedy = SamplingParams()
+    for kv_dtype in (jnp.float32, jnp.int8):
+        ref = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=kv_dtype)
+        want = ref.generate(prompts, max_new_tokens=6, eos_id=-1, mode="fused",
+                            sampling=greedy)
+        mesh = make_mesh(tp=2, dp=1)
+        eng = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=kv_dtype,
+                     mesh=mesh)
+        got = eng.generate(prompts, max_new_tokens=6, eos_id=-1, mode="fused",
+                           sampling=greedy)
+        assert got == want, (kv_dtype, got, want)
+
+
+def test_engine_fused_loop_tp_dp(quantized):
+    """Fused loop on a TP×DP mesh (batch sharded over `data`)."""
+    from flexq_tpu.serve.engine import Engine
+    from flexq_tpu.serve.sampling import SamplingParams
+
+    cfg, policy, qparams = quantized
+    prompts = [[3, 14, 15, 9], [7, 7, 7, 7], [1, 2, 3, 4], [9, 9, 1, 1]]
+    ref = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=jnp.float32)
+    want = ref.generate(prompts, max_new_tokens=4, eos_id=-1, mode="fused",
+                        sampling=SamplingParams())
+    mesh = make_mesh(tp=2, dp=2)
+    eng = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=jnp.float32,
+                 mesh=mesh)
+    got = eng.generate(prompts, max_new_tokens=4, eos_id=-1, mode="fused",
+                       sampling=SamplingParams())
+    assert got == want
+
+
+def test_scheduler_tp_int8_kv(quantized):
+    """int8 quantized KV under the TP mesh (dense AND paged) == the
+    single-device int8 scheduler."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams = quantized
+    plain = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.int8)
+    r1 = plain.add_request([3, 14, 15, 9], max_new_tokens=5, eos_id=-1)
+    r2 = plain.add_request([7, 7], max_new_tokens=4, eos_id=-1)
+    want = plain.run()
+
+    mesh = make_mesh(tp=2, dp=1)
+    for paged in (False, True):
+        sched = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                               max_seq_len=256, kv_dtype=jnp.int8,
+                               paged=paged, mesh=mesh)
+        t1 = sched.add_request([3, 14, 15, 9], max_new_tokens=5, eos_id=-1)
+        t2 = sched.add_request([7, 7], max_new_tokens=4, eos_id=-1)
+        got = sched.run()
+        assert got[t1] == want[r1], (paged, got, want)
+        assert got[t2] == want[r2], (paged, got, want)
+
+
+def test_scheduler_tp_dp2(quantized):
+    """Continuous batching on a TP×DP mesh: slots shard over `data` (dense
+    cache); B=1 admission prefill runs data-replicated."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams = quantized
+    plain = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32)
+    r1 = plain.add_request([3, 14, 15, 9], max_new_tokens=5, eos_id=-1)
+    r2 = plain.add_request([7, 7], max_new_tokens=4, eos_id=-1)
+    want = plain.run()
+
+    mesh = make_mesh(tp=2, dp=2)
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
+                           kv_dtype=jnp.float32, mesh=mesh)
+    t1 = sched.add_request([3, 14, 15, 9], max_new_tokens=5, eos_id=-1)
+    t2 = sched.add_request([7, 7], max_new_tokens=4, eos_id=-1)
+    got = sched.run()
+    assert got[t1] == want[r1]
+    assert got[t2] == want[r2]
