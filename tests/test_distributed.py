@@ -1,0 +1,70 @@
+"""Multi-process (multi-host analogue) TP serving test.
+
+Spawns TWO OS processes, each owning half the devices of one mesh, and runs
+the quantized TP forward across the process boundary — proving the psum /
+all_gather collectives legalize and produce single-device-exact logits when
+the `model` axis crosses processes. This validates the multi-host scaffold
+(parallel/distributed.py) the way the reference would need MPI + multi-GPU
+hardware to do (nccl_utils.cc:308-411).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_tp_forward():
+    port = _free_port()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_distributed_child.py")
+    env = dict(os.environ)
+    # one local CPU device per process => the tp=2 axis SPANS processes
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("JAX_PLATFORMS", None)  # child sets the platform via jax.config
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=root, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"DISTRIBUTED_OK process={i}" in out, out
+
+
+def test_process_mesh_single_process_shape():
+    """process_mesh on one process == the plain (data, model) mesh."""
+    import jax
+
+    from flexq_tpu.parallel.distributed import process_mesh
+
+    mesh = process_mesh(tp=4, dp=2)
+    assert mesh.shape == {"data": 2, "model": 4}
+    assert mesh.axis_names == ("data", "model")
+    # tp preference: consecutive local devices along the model axis
+    ids = [[d.id for d in row] for row in mesh.devices]
+    assert ids[0] == [0, 1, 2, 3]
