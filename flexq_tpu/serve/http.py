@@ -185,6 +185,40 @@ def _first_stop_hit(text: str, stops: List[str]):
     return best
 
 
+def _stream_safe_len(text: str, stops: List[str]) -> int:
+    """Emittable prefix length of not-yet-final streamed text.
+
+    Holds back (a) trailing replacement chars — an incomplete multi-byte
+    UTF-8 sequence decodes to U+FFFD under errors='replace' and would be
+    emitted corrupted before its continuation byte arrives — and (b) the
+    longest suffix that is a proper prefix of some stop string (emitting
+    'EN' of stop='END' early would leak text past the stop cut that the
+    non-streaming path truncates). Both are flushed once disambiguated or
+    at stream end (the vLLM/OpenAI server buffering rule).
+    """
+    n = len(text)
+    while n and text[n - 1] == "�":
+        n -= 1
+    safe = n
+    for s in stops:
+        for j in range(min(len(s) - 1, n), 0, -1):
+            if text[:n].endswith(s[:j]):
+                safe = min(safe, n - j)
+                break
+    return safe
+
+
+def _cut_token_ids(tokenizer, toks: List[int], text_len: int) -> List[int]:
+    """Largest token prefix whose decoded text fits within text_len chars —
+    keeps choice token_ids/logprobs consistent with stop-truncated text."""
+    if text_len <= 0:
+        return []
+    for i in range(len(toks)):
+        if len(tokenizer.decode(toks[: i + 1])) > text_len:
+            return toks[:i]
+    return list(toks)
+
+
 def _make_handler(service: SchedulerService, tokenizer=None,
                   model_name: str = "flexq-tpu"):
     if tokenizer is None:
@@ -262,28 +296,37 @@ def _make_handler(service: SchedulerService, tokenizer=None,
             if bool(req.get("stream", False)):
                 if len(prompts) != 1 or n != 1:
                     raise ValueError("stream=true supports a single prompt, n=1")
+                if echo or want_lp:
+                    raise ValueError(
+                        "stream=true does not support echo/logprobs"
+                    )
                 ids, _ = self._encode_prompt(prompts[0])
                 self._stream(ids, sampling, stops, max_new, eos_id,
                              mode="text_completion")
                 return None
             subs = []  # (rid, prompt_ids, prompt_text)
+            ptoks = 0
             for prm in prompts:
                 ids, text = self._encode_prompt(prm)
+                ptoks += len(ids)  # each distinct prompt counted ONCE, not xn
                 for _ in range(n):
                     rid = service.submit(ids, sampling, max_new, eos_id,
                                          logprobs=want_lp)
                     subs.append((rid, ids, text))
-            choices, ptoks, ctoks = [], 0, 0
+            choices, ctoks = [], 0
             timeout = float(req.get("timeout", 600))
             for idx, (rid, ids, text) in enumerate(subs):
                 toks, lps = service.wait_full(rid, timeout)
                 ctoks += len(toks)
-                ptoks += len(ids)
                 toks, finish = self._finish(toks, eos_id, max_new)
                 out = tokenizer.decode(toks)
                 cut = _first_stop_hit(out, stops)
                 if cut is not None:
                     out, finish = out[:cut], "stop"
+                    # ids/logprobs must not include tokens past the stop cut
+                    toks = _cut_token_ids(tokenizer, toks, cut)
+                if lps is not None:
+                    lps = lps[: len(toks)]
                 if echo:
                     out = (text if text is not None else tokenizer.decode(ids)) + out
                 ch = {"index": idx, "text": out, "finish_reason": finish,
@@ -355,29 +398,41 @@ def _make_handler(service: SchedulerService, tokenizer=None,
 
             sent_text, finish = "", None
             deadline = time.monotonic() + 600
-            while finish is None and time.monotonic() < deadline:
-                toks, done = service.peek(rid)
-                clean, fin = self._finish(toks, eos_id, max_new)
-                text = tokenizer.decode(clean)
-                cut = _first_stop_hit(text, stops)
-                if cut is not None:
-                    text, finish = text[:cut], "stop"
-                    service.cancel(rid)
-                elif done:
-                    finish = fin
-                if len(text) > len(sent_text):
-                    emit(text[len(sent_text):], None)
-                    sent_text = text
-                if finish is None:
-                    time.sleep(0.005)
-            emit("", finish or "length")
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
-            # consume the (possibly still finishing) result so it doesn't leak
             try:
-                service.wait_full(rid, timeout=600)
-            except TimeoutError:
-                pass
+                while finish is None and time.monotonic() < deadline:
+                    toks, done = service.peek(rid)
+                    clean, fin = self._finish(toks, eos_id, max_new)
+                    text = tokenizer.decode(clean)
+                    cut = _first_stop_hit(text, stops)
+                    if cut is not None:
+                        text, finish = text[:cut], "stop"
+                        service.cancel(rid)
+                    elif done:
+                        finish = fin
+                    if finish is None:
+                        # hold back an incomplete UTF-8 tail and any suffix
+                        # that may still complete a stop string — emitting
+                        # them early would corrupt text ('�' for a split
+                        # multi-byte char) or leak past the stop cut
+                        text = text[: _stream_safe_len(text, stops)]
+                    if len(text) > len(sent_text):
+                        emit(text[len(sent_text):], None)
+                        sent_text = text
+                    if finish is None:
+                        time.sleep(0.005)
+                emit("", finish or "length")
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except OSError:
+                pass  # client disconnected mid-stream
+            finally:
+                # stop decoding for a vanished client and drain the result so
+                # the service's _results/_events entries don't leak
+                service.cancel(rid)
+                try:
+                    service.wait_full(rid, timeout=600)
+                except (TimeoutError, KeyError):
+                    pass
 
         def do_POST(self):
             try:

@@ -62,7 +62,12 @@ class HFTokenizer:
 
     def encode(self, text: str, add_bos: bool = True) -> List[int]:
         ids = self.tok.encode(text, add_special_tokens=False)
-        if add_bos and self.bos_id is not None:
+        # chat templates usually embed the BOS token in the text (it
+        # re-encodes to bos_id even with add_special_tokens=False) —
+        # prepending again would double the BOS and degrade generation
+        if add_bos and self.bos_id is not None and (
+            not ids or ids[0] != self.bos_id
+        ):
             ids = [self.bos_id] + ids
         return ids
 

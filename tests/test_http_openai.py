@@ -99,7 +99,8 @@ def test_completions_text_prompt_echo_and_n(served):
     # greedy: both samples identical; echo prepends the prompt text
     assert r["choices"][0]["text"] == r["choices"][1]["text"]
     assert r["choices"][0]["text"].startswith("ab")
-    assert r["usage"]["prompt_tokens"] == 2 * len(ByteTokenizer().encode("ab"))
+    # a distinct prompt is counted ONCE regardless of n (OpenAI semantics)
+    assert r["usage"]["prompt_tokens"] == len(ByteTokenizer().encode("ab"))
 
 
 def test_completions_logprobs(served):
@@ -159,3 +160,168 @@ def test_completions_streaming_matches_nonstream(served):
     conn.close()
     assert done and finish == "length"
     assert text == want
+
+
+def test_stream_safe_len_holdbacks():
+    """SSE holdback: incomplete UTF-8 tails and stop-string prefixes are
+    withheld until disambiguated (advisor findings: corrupted multi-byte
+    chars / leaked partial stop text in streamed output)."""
+    from flexq_tpu.serve.http import _stream_safe_len
+
+    # trailing U+FFFD (split multi-byte char mid-stream) is held back
+    assert _stream_safe_len("ab�", []) == 2
+    assert _stream_safe_len("ab��", []) == 2
+    # suffix that could grow into a stop string is held back
+    assert _stream_safe_len("helloEN", ["END"]) == 5
+    assert _stream_safe_len("helloE", ["END"]) == 5
+    # a full stop occurrence is the caller's job (cut), not holdback's
+    assert _stream_safe_len("helloEND", ["END"]) == 8
+    # no false holdback when the tail is not a stop prefix
+    assert _stream_safe_len("helloX", ["END"]) == 6
+    # longest prefix across multiple stops wins
+    assert _stream_safe_len("abcSTO", ["STOP", "XY"]) == 3
+
+
+def test_cut_token_ids_matches_text_cut():
+    from flexq_tpu.serve.http import _cut_token_ids
+
+    tok = ByteTokenizer()
+    toks = tok.encode("hello world", add_bos=False)
+    assert tok.decode(_cut_token_ids(tok, toks, 5)) == "hello"
+    assert _cut_token_ids(tok, toks, 0) == []
+    assert _cut_token_ids(tok, toks, 99) == toks
+
+
+def test_completions_stop_truncates_ids_and_logprobs(served):
+    """token_ids/logprobs must not include tokens past the stop cut."""
+    base = _post(served, "/v1/completions",
+                 {"prompt": "q", "max_tokens": 6, "temperature": 0,
+                  "eos_id": -1, "logprobs": 1})
+    full = base["choices"][0]["text"]
+    assert len(base["choices"][0]["token_ids"]) == 6
+    if len(full) < 3:
+        pytest.skip("generation too short to carve a stop from")
+    stop = full[2:3]  # guaranteed to occur
+    r = _post(served, "/v1/completions",
+              {"prompt": "q", "max_tokens": 6, "temperature": 0,
+               "eos_id": -1, "logprobs": 1, "stop": stop})
+    ch = r["choices"][0]
+    assert ch["finish_reason"] == "stop"
+    assert stop not in ch["text"]
+    tok = ByteTokenizer()
+    assert tok.decode(ch["token_ids"]) == ch["text"]
+    assert len(ch["logprobs"]["token_logprobs"]) == len(ch["token_ids"])
+
+
+def test_streaming_with_stop_matches_nonstream(served):
+    """Streamed deltas with a stop string concatenate to EXACTLY the
+    non-streaming text (no partial-stop leakage)."""
+    base = _post(served, "/v1/completions",
+                 {"prompt": "st", "max_tokens": 6, "temperature": 0,
+                  "eos_id": -1})
+    full = base["choices"][0]["text"]
+    if len(full) < 3:
+        pytest.skip("generation too short")
+    stop = full[2:4] if len(full) >= 4 else full[2:3]
+    body = {"prompt": "st", "max_tokens": 6, "temperature": 0,
+            "eos_id": -1, "stop": stop}
+    want = _post(served, "/v1/completions", body)["choices"][0]["text"]
+
+    conn = http.client.HTTPConnection("127.0.0.1", served, timeout=300)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({**body, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    text, finish = "", None
+    for raw in resp.fp:
+        line = raw.decode().strip()
+        if not line.startswith("data: ") or line == "data: [DONE]":
+            if line == "data: [DONE]":
+                break
+            continue
+        c = json.loads(line[len("data: "):])["choices"][0]
+        text += c["text"]
+        if c["finish_reason"]:
+            finish = c["finish_reason"]
+    conn.close()
+    assert finish == "stop"
+    assert text == want
+    assert stop not in text
+
+
+def test_streaming_rejects_echo_and_logprobs(served):
+    for extra in ({"echo": True}, {"logprobs": 1}):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{served}/v1/completions",
+            data=json.dumps({"prompt": "a", "max_tokens": 2, "stream": True,
+                             **extra}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+
+def test_stream_disconnect_cancels_and_drains(served):
+    """A client vanishing mid-stream must not leak the request: the slot's
+    budget is clamped and the result entry is drained (advisor finding)."""
+    import time as _time
+
+    import flexq_tpu.serve.http as http_mod
+
+    # reach into the live service through the server fixture's module state
+    # is not possible from the port alone; spin a dedicated server instead
+    import torch as _t
+    _t.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=300, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    mcfg = config_from_hf(m.config)
+    params = from_hf_llama(m, dtype=jnp.float32)
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(params, mcfg, policy, dtype=jnp.float32)
+    sched = BatchScheduler(qparams, mcfg, policy, num_slots=2, max_seq_len=64)
+    server, service, port = serve_background(sched)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/v1/completions",
+                     json.dumps({"prompt": "zz", "max_tokens": 40,
+                                 "temperature": 0, "eos_id": -1,
+                                 "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.fp.readline()  # receive at least one chunk, then vanish
+        resp.close()
+        conn.close()
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            with service._lock:
+                leaked = bool(service._results) or bool(service._events)
+            if not leaked and not sched.has_work:
+                break
+            _time.sleep(0.05)
+        with service._lock:
+            assert not service._results and not service._events
+        assert not sched.has_work  # budget clamped: decode stopped early
+    finally:
+        service.shutdown()
+        server.shutdown()
+
+
+def test_hf_tokenizer_no_double_bos():
+    """Chat-template text that already embeds BOS must not get a second one."""
+    from flexq_tpu.serve.tokenizer import HFTokenizer
+
+    class _Stub:
+        def encode(self, text, add_special_tokens=False):
+            # template text embeds '<s>' which re-encodes to bos_id=1
+            return ([1, 10, 11] if text.startswith("<s>") else [10, 11])
+
+    t = HFTokenizer.__new__(HFTokenizer)
+    t.tok = _Stub()
+    t.bos_id, t.eos_id = 1, 2
+    assert t.encode("<s>hi") == [1, 10, 11]  # no double BOS
+    assert t.encode("hi") == [1, 10, 11]  # still prepended when absent
