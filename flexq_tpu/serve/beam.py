@@ -93,6 +93,22 @@ def beam_search(
     Returns the best hypothesis per batch row (tokens up to and including
     eos if produced). Prompts must be equal length (as Engine.generate v1).
     """
+    nbest = beam_search_nbest(engine, prompt_ids, beams, eos_id, pad_id, n_best=1)
+    return [row[0][0] for row in nbest]
+
+
+def beam_search_nbest(
+    engine,
+    prompt_ids: Sequence[Sequence[int]],
+    beams: BeamParams = BeamParams(),
+    eos_id: int = 2,
+    pad_id: int = 0,
+    n_best: int = 1,
+) -> List[List[Tuple[List[int], float]]]:
+    """Beam search returning, per batch row, the ``n_best`` hypotheses as
+    (tokens, length-penalized score) sorted best-first — the engine-level
+    n-best surface behind HTTP best_of (FT returns all beam_width
+    hypotheses in output_ids likewise)."""
     prompts = [list(p) for p in prompt_ids]
     lens = {len(p) for p in prompts}
     assert len(lens) == 1, "equal-length prompts required"
@@ -140,20 +156,18 @@ def beam_search(
         tokens_np = np.concatenate([tokens_np, token_np[:, :, None]], axis=2)
         pos += 1
 
-    # pick best beam under the length penalty
-    fin_np = np.asarray(finished)
+    # rank beams under the length penalty
     scores_np = np.asarray(scores)
-    out: List[List[int]] = []
+    out: List[List[Tuple[List[int], float]]] = []
     for row in range(b):
-        best, best_score = None, -np.inf
+        hyps = []
         for bi in range(k):
             toks = list(tokens_np[row, bi])
             if eos_id in toks:
                 toks = toks[: toks.index(eos_id) + 1]
             ln = max(len(toks), 1)
             norm = float(_length_norm(jnp.asarray(ln), beams.length_penalty))
-            sc = scores_np[row, bi] / norm
-            if sc > best_score:
-                best, best_score = toks, sc
-        out.append([int(t) for t in best])
+            hyps.append(([int(t) for t in toks], float(scores_np[row, bi]) / norm))
+        hyps.sort(key=lambda h: -h[1])
+        out.append(hyps[: max(n_best, 1)])
     return out

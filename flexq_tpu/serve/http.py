@@ -16,14 +16,18 @@ API:
                                  "temperature"/"top_k"/"top_p"/
                                  "repetition_penalty": sampling overrides,
                                  "eos_id": int = 2,
-                                 "logprobs": bool = false}
+                                 "logprobs": bool = false,
+                                 "beam_width"/"n_best"/"length_penalty":
+                                 beam search (ranked "nbest" in response)}
                           -> {"request_id": int, "tokens": [int...],
                               "logprobs": [float...], "cum_logprob": float
                               (when requested — FT output_log_probs parity)}
   POST /v1/completions    OpenAI-compatible: prompt = str | [int] | a list
                           of those; n, max_tokens, temperature (0 = greedy),
                           top_p, stop (str|[str]), logprobs, echo,
-                          stream (SSE)
+                          stream (SSE); best_of > n or use_beam_search
+                          routes through the scheduler's beam path
+                          (n choices from a best_of-wide beam)
   POST /v1/chat/completions  messages=[{role, content}...] through the
                           tokenizer's chat template (or a generic one);
                           stream (SSE) supported
@@ -73,8 +77,11 @@ class SchedulerService:
                     finished = self.scheduler.step()
                     self._steps += 1
                     lps = getattr(self.scheduler, "done_logprobs", {})
+                    nbs = getattr(self.scheduler, "done_nbest", {})
                     for rid, toks in finished.items():
-                        self._results[rid] = (toks, lps.pop(rid, None))
+                        self._results[rid] = (
+                            toks, lps.pop(rid, None), nbs.pop(rid, None)
+                        )
                         self._requests_done += 1
                         self._tokens_out += len(toks)
                         ev = self._events.get(rid)
@@ -84,11 +91,13 @@ class SchedulerService:
                 time.sleep(self._poll_idle_s)
 
     def submit(self, prompt, sampling: SamplingParams, max_new: int, eos_id: int,
-               logprobs: bool = False) -> int:
+               logprobs: bool = False, beam_width: int = 1, n_best: int = 1,
+               length_penalty: float = 1.0) -> int:
         with self._lock:
             rid = self.scheduler.add_request(
                 prompt, sampling=sampling, max_new_tokens=max_new, eos_id=eos_id,
-                logprobs=logprobs,
+                logprobs=logprobs, beam_width=beam_width, n_best=n_best,
+                length_penalty=length_penalty,
             )
             self._events[rid] = threading.Event()
         return rid
@@ -99,6 +108,15 @@ class SchedulerService:
 
     def wait_full(self, rid: int, timeout: Optional[float] = None):
         """Returns (tokens, logprobs-or-None)."""
+        toks, lps, _ = self._wait(rid, timeout)
+        return toks, lps
+
+    def wait_nbest(self, rid: int, timeout: Optional[float] = None):
+        """Returns (best tokens, ranked [(tokens, score)] or None)."""
+        toks, _, nbest = self._wait(rid, timeout)
+        return toks, nbest
+
+    def _wait(self, rid: int, timeout: Optional[float]):
         ev = self._events[rid]
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} not finished")
@@ -125,11 +143,15 @@ class SchedulerService:
             for p in list(self.scheduler.pending):
                 if p.req_id == rid:
                     self.scheduler.pending.remove(p)
-                    self._results[rid] = (list(p.prior), None)
+                    self._results[rid] = (list(p.prior), None, None)
                     ev = self._events.get(rid)
                     if ev is not None:
                         ev.set()
                     return
+            g = getattr(self.scheduler, "beam_groups", {}).get(rid)
+            if g is not None:
+                g.max_new = max(1, len(g.histories[0]))
+                return
             for s in self.scheduler.slots:
                 if s.req_id == rid:
                     s.max_new = max(1, len(s.prior) + len(s.generated))
@@ -293,6 +315,15 @@ def _make_handler(service: SchedulerService, tokenizer=None,
             n = int(req.get("n", 1))
             want_lp = req.get("logprobs") not in (None, False)
             echo = bool(req.get("echo", False))
+            # beam search: best_of > n (OpenAI semantics: best_of candidates,
+            # top n returned) or an explicit use_beam_search flag (vLLM
+            # convention) routes through the scheduler's beam path
+            best_of = int(req.get("best_of", n))
+            if best_of > n or bool(req.get("use_beam_search", False)):
+                return self._beam_completions(
+                    req, prompts, n, max(best_of, n, 2), stops, max_new,
+                    eos_id, echo, want_lp,
+                )
             if bool(req.get("stream", False)):
                 if len(prompts) != 1 or n != 1:
                     raise ValueError("stream=true supports a single prompt, n=1")
@@ -335,6 +366,53 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     ch["logprobs"] = {"token_logprobs": lps,
                                       "tokens": [tokenizer.decode([t]) for t in toks]}
                 choices.append(ch)
+            return {
+                "id": f"cmpl-{subs[0][0]}", "object": "text_completion",
+                "created": int(time.time()), "model": model_name,
+                "choices": choices,
+                "usage": {"prompt_tokens": ptoks, "completion_tokens": ctoks,
+                          "total_tokens": ptoks + ctoks},
+            }
+
+        def _beam_completions(self, req, prompts, n, k, stops, max_new,
+                              eos_id, echo, want_lp):
+            """n choices per prompt from a k-beam search (deterministic —
+            sampling params are ignored, like FT's beam layers)."""
+            if bool(req.get("stream", False)):
+                raise ValueError("stream unsupported with beam search")
+            if want_lp:
+                raise ValueError("logprobs unsupported with beam search")
+            alpha = float(req.get("length_penalty", 1.0))
+            timeout = float(req.get("timeout", 600))
+            subs = []
+            ptoks = 0
+            for prm in prompts:
+                ids, text = self._encode_prompt(prm)
+                ptoks += len(ids)
+                rid = service.submit(ids, SamplingParams(), max_new, eos_id,
+                                     beam_width=k, n_best=n,
+                                     length_penalty=alpha)
+                subs.append((rid, ids, text))
+            choices, ctoks, idx = [], 0, 0
+            for rid, ids, text in subs:
+                _, nbest = service.wait_nbest(rid, timeout)
+                for toks, score in nbest[:n]:
+                    ctoks += len(toks)
+                    toks, finish = self._finish(toks, eos_id, max_new)
+                    out = tokenizer.decode(toks)
+                    cut = _first_stop_hit(out, stops)
+                    if cut is not None:
+                        out, finish = out[:cut], "stop"
+                        toks = _cut_token_ids(tokenizer, toks, cut)
+                    if echo:
+                        out = (
+                            text if text is not None else tokenizer.decode(ids)
+                        ) + out
+                    choices.append({
+                        "index": idx, "text": out, "finish_reason": finish,
+                        "token_ids": toks, "beam_score": score,
+                    })
+                    idx += 1
             return {
                 "id": f"cmpl-{subs[0][0]}", "object": "text_completion",
                 "created": int(time.time()), "model": model_name,
@@ -476,6 +554,23 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     greedy=bool(req.get("greedy", True)),
                 )
                 want_lp = bool(req.get("logprobs", False))
+                bw = int(req.get("beam_width", 1))
+                if bw > 1:
+                    rid = service.submit(
+                        prompt, SamplingParams(),
+                        int(req.get("max_new_tokens", 64)),
+                        int(req.get("eos_id", 2)),
+                        beam_width=bw, n_best=int(req.get("n_best", 1)),
+                        length_penalty=float(req.get("length_penalty", 1.0)),
+                    )
+                    toks, nbest = service.wait_nbest(
+                        rid, timeout=float(req.get("timeout", 600))
+                    )
+                    self._send(200, {
+                        "request_id": rid, "tokens": toks,
+                        "nbest": [{"tokens": t, "score": s} for t, s in nbest],
+                    })
+                    return
                 rid = service.submit(
                     prompt,
                     sampling,

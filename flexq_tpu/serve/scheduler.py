@@ -68,6 +68,9 @@ class _Slot:
     shared_pages: List[int] = dataclasses.field(default_factory=list)
     prefix_len: int = 0
     page_hashes: List[int] = dataclasses.field(default_factory=list)
+    # True while this slot is one lane of a beam-search group (the group,
+    # keyed by req_id, owns sampling: the slot skips _sample_one/_record)
+    beam: bool = False
 
 
 @dataclasses.dataclass
@@ -82,6 +85,31 @@ class _Pending:
     prior: List[int] = dataclasses.field(default_factory=list)
     want_logprobs: bool = False
     prior_lps: List[float] = dataclasses.field(default_factory=list)
+    # beam search (beam_width > 1): the request occupies beam_width slots
+    beam_width: int = 1
+    n_best: int = 1
+    length_penalty: float = 1.0
+
+
+@dataclasses.dataclass
+class _BeamGroup:
+    """Host state of one in-flight beam-search request (reference
+    DynamicDecodeLayer.cc:519 -> OnlineBeamSearchLayer: cumulative scores,
+    finished flags, per-step parent indirection). The k beams live in k
+    scheduler slots and decode inside the SAME batched step as regular
+    requests; after each step the group reorders its slots' KV-cache rows
+    by parent (the TPU analogue of FT's cache_indir pointer chasing)."""
+
+    req_id: int
+    slots: List[int]
+    k: int
+    n_best: int
+    eos_id: int
+    max_new: int
+    length_penalty: float
+    scores: np.ndarray  # [k] f32 cumulative log-probs
+    finished: np.ndarray  # [k] bool
+    histories: List[List[int]]  # [k] token lists (pads after finish)
 
 
 class BatchScheduler:
@@ -195,6 +223,10 @@ class BatchScheduler:
         self.pending: Deque[_Pending] = deque()
         self.done: Dict[int, List[int]] = {}
         self.done_logprobs: Dict[int, List[float]] = {}
+        # beam search: req_id -> group; done_nbest: req_id -> ranked
+        # [(tokens, length-penalized score)] for HTTP n/best_of
+        self.beam_groups: Dict[int, _BeamGroup] = {}
+        self.done_nbest: Dict[int, List[Tuple[List[int], float]]] = {}
         self.last_tokens = jnp.zeros((num_slots, 1), jnp.int32)
         self._req_counter = itertools.count()
         self._key = jax.random.PRNGKey(seed)
@@ -299,8 +331,12 @@ class BatchScheduler:
         )
         dt = self.pool.pool_k.dtype if self.paged else self.kv_k.dtype
         kv = (jnp.zeros(shape1, dt), jnp.zeros(shape1, dt))
+        # two distinct buffers — an aliased pair would be donated twice
         scales = (
-            (jnp.zeros(shape1[:-1], jnp.float32),) * 2 if self.quantized else ()
+            (jnp.zeros(shape1[:-1], jnp.float32),
+             jnp.zeros(shape1[:-1], jnp.float32))
+            if self.quantized
+            else ()
         )
         if self.mesh is not None:
             sh = _cache_spec(self.cfg, self.mesh)
@@ -450,12 +486,24 @@ class BatchScheduler:
         max_new_tokens: int = 64,
         eos_id: int = 2,
         logprobs: bool = False,
+        beam_width: int = 1,
+        n_best: int = 1,
+        length_penalty: float = 1.0,
     ) -> int:
+        """``beam_width > 1`` runs the request as beam search across
+        beam_width slots (dense cache only: paged beams would need
+        copy-on-write page forking on reorder); the best hypothesis lands
+        in the normal result and the ranked n_best list in done_nbest."""
         req_id = next(self._req_counter)
         assert len(prompt) + max_new_tokens <= self.max_seq_len
+        if beam_width > 1:
+            assert not self.paged, "beam search requires the dense cache (v1)"
+            assert beam_width <= self.num_slots, (beam_width, self.num_slots)
+            assert not logprobs, "logprobs unsupported with beam search"
         self.pending.append(
             _Pending(req_id, list(prompt), sampling, max_new_tokens, eos_id,
-                     want_logprobs=logprobs)
+                     want_logprobs=logprobs, beam_width=beam_width,
+                     n_best=n_best, length_penalty=length_penalty)
         )
         return req_id
 
@@ -464,9 +512,19 @@ class BatchScheduler:
         return bool(self.pending) or any(s.req_id is not None for s in self.slots)
 
     def _admit(self):
+        # beam requests at the queue head admit into beam_width slots at
+        # once (FIFO preserved: if not enough slots are free, everything
+        # behind the beam request waits too)
+        while self.pending and self.pending[0].beam_width > 1:
+            free = [i for i, s in enumerate(self.slots) if s.req_id is None]
+            if len(free) < self.pending[0].beam_width:
+                return
+            self._admit_beam(self.pending.popleft(), free)
         for i, slot in enumerate(self.slots):
             if slot.req_id is not None or not self.pending:
                 continue
+            if self.pending[0].beam_width > 1:
+                break  # FIFO: a beam request is next; admit it next tick
             req = self.pending.popleft()
             if self.paged:
                 avail = self.pool.free_pages + (
@@ -543,6 +601,122 @@ class BatchScheduler:
             # sample the first token from the prefill logits
             tok = self._sample_one(logits[0], slot)
             self._record(i, slot, tok)
+
+    # ---- beam search ---------------------------------------------------
+    BEAM_NEG = -1e9
+    BEAM_PAD = 0  # frozen-beam continuation token (serve/beam.py pad_id)
+
+    def _admit_beam(self, req: _Pending, free: List[int]):
+        """Prefill once, seed beam_width slots with identical prompt KV,
+        expand the first top-k tokens (serve/beam.py's first expansion)."""
+        k = req.beam_width
+        idx = free[:k]
+        plen = len(req.prompt)
+        logits, kv1 = self._prefill_one(req.prompt)
+        for i in idx:
+            self._insert_scratch(i, kv1, plen)
+            s = self.slots[i]
+            s.req_id = req.req_id
+            s.beam = True
+            s.pos = plen
+            s.prompt = req.prompt
+            s.max_new = req.max_new
+            s.eos_id = req.eos_id
+            s.generated = []
+        logp0 = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+        scores, first = jax.lax.top_k(logp0, k)
+        first_np = np.asarray(first)
+        for j, i in enumerate(idx):
+            self.last_tokens = self.last_tokens.at[i, 0].set(int(first_np[j]))
+        g = _BeamGroup(
+            req_id=req.req_id, slots=idx, k=k, n_best=req.n_best,
+            eos_id=req.eos_id, max_new=req.max_new,
+            length_penalty=req.length_penalty,
+            scores=np.asarray(scores, np.float32),
+            finished=first_np == req.eos_id,
+            histories=[[int(t)] for t in first_np],
+        )
+        self.beam_groups[req.req_id] = g
+        self._maybe_finish_beam(g)
+
+    def _beam_advance(self, g: _BeamGroup, logits: jax.Array):
+        """One beam step off the batched decode logits: top-k over k*V with
+        frozen-beam pad continuations, history re-threading through parents,
+        and KV-cache slot-row reorder (beam.py._beam_step semantics, so the
+        in-scheduler path generates exactly what standalone beam_search
+        does)."""
+        rows = jnp.asarray(g.slots)
+        logp = jax.nn.log_softmax(logits[rows].astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        frozen = jnp.full((v,), self.BEAM_NEG, jnp.float32).at[self.BEAM_PAD].set(0.0)
+        fin = jnp.asarray(g.finished)
+        logp = jnp.where(fin[:, None], frozen[None, :], logp)
+        total = jnp.asarray(g.scores)[:, None] + logp
+        top_scores, top_idx = jax.lax.top_k(total.reshape(-1), g.k)
+        fetched = np.asarray(jnp.concatenate(
+            [top_idx.astype(jnp.float32), top_scores]
+        ))  # one host fetch
+        top_idx_np = fetched[: g.k].astype(np.int64)
+        parent = top_idx_np // v
+        token = top_idx_np % v
+        g.histories = [
+            g.histories[int(p)] + [int(t)] for p, t in zip(parent, token)
+        ]
+        g.finished = np.asarray(
+            [bool(g.finished[int(p)]) or int(t) == g.eos_id
+             for p, t in zip(parent, token)]
+        )
+        g.scores = fetched[g.k:].astype(np.float32)
+        self._reorder_slots(
+            [g.slots[int(p)] for p in parent], g.slots
+        )
+        for j, i in enumerate(g.slots):
+            self.last_tokens = self.last_tokens.at[i, 0].set(int(token[j]))
+            self.slots[i].pos += 1
+        self._maybe_finish_beam(g)
+
+    def _reorder_slots(self, src: List[int], dst: List[int]):
+        """cache[:, dst] = cache[:, src] for the dense KV (+ scale) buffers —
+        the gather-based TPU replacement for FT's cache_indir indirection
+        (decoder_masked_multihead_attention chases parent pointers; XLA
+        fuses nothing through an indirection, so beams reorder rows)."""
+        import functools
+
+        if src == dst:
+            return
+        if not hasattr(self, "_reorder_jit"):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def f(arr, src_idx, dst_idx):
+                return arr.at[:, dst_idx].set(
+                    arr[:, src_idx], unique_indices=True
+                )
+
+            self._reorder_jit = f
+        s = jnp.asarray(src, jnp.int32)
+        d = jnp.asarray(dst, jnp.int32)
+        self.kv_k = self._reorder_jit(self.kv_k, s, d)
+        self.kv_v = self._reorder_jit(self.kv_v, s, d)
+        if self.quantized:
+            self.kv_ks = self._reorder_jit(self.kv_ks, s, d)
+            self.kv_vs = self._reorder_jit(self.kv_vs, s, d)
+
+    def _maybe_finish_beam(self, g: _BeamGroup):
+        if not (all(g.finished) or len(g.histories[0]) >= g.max_new):
+            return
+        hyps = []
+        for j in range(g.k):
+            toks = list(g.histories[j])
+            if g.eos_id in toks:
+                toks = toks[: toks.index(g.eos_id) + 1]
+            ln = max(len(toks), 1)
+            norm = ((5.0 + ln) / 6.0) ** g.length_penalty  # GNMT
+            hyps.append((toks, float(g.scores[j]) / norm))
+        hyps.sort(key=lambda h: -h[1])
+        self.done[g.req_id] = hyps[0][0]
+        self.done_nbest[g.req_id] = hyps[: max(g.n_best, 1)]
+        for i in g.slots:
+            self.slots[i] = _Slot()
+        del self.beam_groups[g.req_id]
 
     def _sample_one(self, logits_row: jax.Array, slot: _Slot) -> int:
         counts = np.zeros((1, self.cfg.vocab_size), np.int32)
@@ -669,8 +843,14 @@ class BatchScheduler:
                 else:
                     self.kv_k, self.kv_v = cache
             logits_np = logits  # device array; sampled per active slot
+            # beam groups consume their slots' rows jointly (top-k over
+            # k*vocab + KV row reorder); regular slots sample independently
+            for g in list(self.beam_groups.values()):
+                self._beam_advance(g, logits_np)
             for i in active:
                 slot = self.slots[i]
+                if slot.beam or slot.req_id is None:
+                    continue  # handled by its beam group (or group finished)
                 slot.pos += 1
                 tok = self._sample_one(logits_np[i], slot)
                 self._record(i, slot, tok)

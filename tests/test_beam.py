@@ -87,3 +87,115 @@ def test_beam_batch_and_eos(setup):
         assert 1 <= len(row) <= 6
         if eos in row:
             assert row[-1] == eos and row.count(eos) == 1
+
+
+def test_scheduler_beam_matches_standalone(setup):
+    """In-scheduler beam search (k slots + KV row reorder) must generate
+    exactly what standalone beam_search does (same model, greedy beam)."""
+    from flexq_tpu.serve.beam import beam_search_nbest
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    prompt = [1, 5, 9, 2]
+    k = 3
+    want = beam_search_nbest(
+        eng, [prompt],
+        BeamParams(beam_width=k, length_penalty=1.0, max_new_tokens=6),
+        eos_id=2, n_best=k,
+    )[0]
+
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=4, max_seq_len=32,
+                           kv_dtype=jnp.float32)
+    rid = sched.add_request(prompt, max_new_tokens=6, eos_id=2,
+                            beam_width=k, n_best=k, length_penalty=1.0)
+    out = sched.run()
+    assert out[rid] == want[0][0], (out[rid], want)
+    got_nbest = sched.done_nbest[rid]
+    assert [t for t, _ in got_nbest] == [t for t, _ in want]
+    for (_, s_got), (_, s_want) in zip(got_nbest, want):
+        assert abs(s_got - s_want) < 1e-4
+
+
+def test_scheduler_beam_with_concurrent_regular_request(setup):
+    """A beam group and an independent greedy request decode in the same
+    batched steps without perturbing each other."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    # references, each alone
+    solo = BatchScheduler(qparams, cfg, policy, num_slots=4, max_seq_len=32,
+                          kv_dtype=jnp.float32)
+    rb = solo.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1, beam_width=2)
+    rg = solo.add_request([7, 3], max_new_tokens=4, eos_id=-1)
+    want = solo.run()
+
+    both = BatchScheduler(qparams, cfg, policy, num_slots=3, max_seq_len=32,
+                          kv_dtype=jnp.float32)
+    b1 = both.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1, beam_width=2)
+    b2 = both.add_request([7, 3], max_new_tokens=4, eos_id=-1)
+    got = both.run()
+    assert got[b1] == want[rb]
+    assert got[b2] == want[rg]
+
+
+def test_scheduler_beam_queues_when_slots_short(setup):
+    """FIFO: a beam request wider than the free slots waits, then admits."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=32,
+                           kv_dtype=jnp.float32)
+    r1 = sched.add_request([7, 3], max_new_tokens=3, eos_id=-1)
+    rb = sched.add_request([1, 5, 9], max_new_tokens=4, eos_id=-1, beam_width=2)
+    out = sched.run()
+    assert len(out[r1]) == 3
+    assert len(out[rb]) == 4
+
+
+def test_http_best_of_beam(setup):
+    """/v1/completions with best_of>n serves via the beam path; /generate
+    beam_width returns the ranked n-best."""
+    import json
+    import urllib.request
+
+    from flexq_tpu.serve.http import serve_background
+    from flexq_tpu.serve.scheduler import BatchScheduler
+    from flexq_tpu.serve.beam import beam_search_nbest
+
+    cfg, policy, qparams, eng = setup
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=4, max_seq_len=32,
+                           kv_dtype=jnp.float32)
+    server, service, port = serve_background(sched)
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    try:
+        want = beam_search_nbest(
+            eng, [[1, 5, 9]],
+            BeamParams(beam_width=3, length_penalty=1.0, max_new_tokens=5),
+            eos_id=-1, n_best=2,
+        )[0]
+        r = post("/v1/completions",
+                 {"prompt": [1, 5, 9], "max_tokens": 5, "eos_id": -1,
+                  "n": 2, "best_of": 3})
+        assert len(r["choices"]) == 2
+        assert r["choices"][0]["token_ids"] == want[0][0]
+        assert r["choices"][1]["token_ids"] == want[1][0]
+        assert r["choices"][0]["beam_score"] >= r["choices"][1]["beam_score"]
+        assert r["usage"]["prompt_tokens"] == 3
+
+        g = post("/generate",
+                 {"prompt_ids": [1, 5, 9], "max_new_tokens": 5, "eos_id": -1,
+                  "beam_width": 3, "n_best": 2})
+        assert g["tokens"] == want[0][0]
+        assert [h["tokens"] for h in g["nbest"]] == [t for t, _ in want]
+    finally:
+        service.shutdown()
+        server.shutdown()
