@@ -25,11 +25,19 @@ import numpy as np
 
 @dataclasses.dataclass
 class MCItem:
-    """One multiple-choice instance: shared context + candidate continuations."""
+    """One multiple-choice instance: shared context + candidate continuations.
+
+    ``contexts`` (same length as choices) switches to PER-CHOICE contexts —
+    lm_eval's partial-evaluation tasks (winogrande.py:82-98, wsc273.py:121+)
+    vary the context and score a SHARED target continuation. ``gold_all``
+    marks several indices correct (ReCoRD: any correct entity counts,
+    superglue.py process_results)."""
 
     context: str
     choices: List[str]
     gold: int
+    contexts: Optional[List[str]] = None
+    gold_all: Optional[List[int]] = None
 
 
 def _pad_batch(rows: List[np.ndarray], pad_id: int = 0) -> Tuple[np.ndarray, np.ndarray]:
@@ -85,8 +93,11 @@ def evaluate_multiple_choice(
     byte_lens: List[int] = []
     for item in items:
         start = len(ctxs)
-        for choice in item.choices:
-            ctx_ids = tokenizer.encode(item.context)
+        for j, choice in enumerate(item.choices):
+            context = (
+                item.contexts[j] if item.contexts is not None else item.context
+            )
+            ctx_ids = tokenizer.encode(context)
             if not ctx_ids:
                 # unconditional scoring (crows_pairs/blimp/cbt): lm_eval
                 # conditions on the EOT token (crowspairs.py:115 note)
@@ -97,7 +108,7 @@ def evaluate_multiple_choice(
             # lm_eval convention: continuation encoded in context (leading
             # space matters); we approximate with whole-string diff when the
             # tokenizer supports it
-            whole = tokenizer.encode(item.context + choice)
+            whole = tokenizer.encode(context + choice)
             if whole[: len(ctx_ids)] == ctx_ids:
                 cont_ids = whole[len(ctx_ids) :]
             ctxs.append(ctx_ids)
@@ -115,8 +126,9 @@ def evaluate_multiple_choice(
     for item, (start, n) in zip(items, spans):
         sc = scores[start : start + n]
         bl = np.asarray(byte_lens[start : start + n], np.float64)
-        correct.append(float(np.argmax(sc) == item.gold))
-        correct_norm.append(float(np.argmax(sc / bl) == item.gold))
+        golds = item.gold_all if item.gold_all is not None else [item.gold]
+        correct.append(float(int(np.argmax(sc)) in golds))
+        correct_norm.append(float(int(np.argmax(sc / bl)) in golds))
 
     def boot_stderr(xs: List[float], iters: int = 1000, seed: int = 1234) -> float:
         rng = np.random.default_rng(seed)
@@ -147,11 +159,14 @@ def _piqa(row) -> MCItem:
 
 
 def _arc(row) -> MCItem:
-    keys = row["choices"]["label"]
+    # arc.py:55-63: numeric answer keys normalize to letters; gold indexes
+    # the fixed A-E alphabet (labels are alphabetical in the dataset)
+    num_to_letter = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
+    key = num_to_letter.get(row["answerKey"], row["answerKey"])
     return MCItem(
         context=f"Question: {row['question']}\nAnswer:",
         choices=[" " + t for t in row["choices"]["text"]],
-        gold=keys.index(row["answerKey"]),
+        gold=["A", "B", "C", "D", "E"].index(key),
     )
 
 
@@ -163,40 +178,60 @@ def _boolq(row) -> MCItem:
     )
 
 
+def _hellaswag_preprocess(text: str) -> str:
+    """hellaswag.py:61-68: strip WikiHow artifacts ([title] headers and
+    bracketed spans) and collapse double spaces — omitting this changes
+    prompts and would NOT reproduce lm_eval's HellaSwag accuracy."""
+    import re
+
+    text = text.strip()
+    text = text.replace(" [title]", ". ")
+    text = re.sub("\\[.*?\\]", "", text)
+    text = text.replace("  ", " ")
+    return text
+
+
 def _hellaswag(row) -> MCItem:
     ctx = row["ctx_a"] + " " + row["ctx_b"].capitalize()
     return MCItem(
-        context=row["activity_label"] + ": " + ctx,
-        choices=[" " + e for e in row["endings"]],
+        context=_hellaswag_preprocess(row["activity_label"] + ": " + ctx),
+        choices=[" " + _hellaswag_preprocess(e) for e in row["endings"]],
         gold=int(row["label"]),
     )
 
 
 def _winogrande(row) -> MCItem:
-    # winogrande scores the sentence with each option substituted
+    # PARTIAL evaluation (winogrande.py:66-98): each option substitutes into
+    # the CONTEXT and the SHARED text after the blank is the scored target —
+    # NOT option+suffix as a continuation (that ranks different strings and
+    # yields a different accuracy)
     idx = row["sentence"].index("_")
-    pre = row["sentence"][:idx]
-    post = row["sentence"][idx + 1 :]
-    # context is rstripped, so every option carries its leading space
+    target = " " + row["sentence"][idx + 1 :].strip()
     return MCItem(
-        context=pre.rstrip(),
-        choices=[" " + opt + post for opt in (row["option1"], row["option2"])],
+        context="",
+        contexts=[
+            row["sentence"][:idx] + opt
+            for opt in (row["option1"], row["option2"])
+        ],
+        choices=[target, target],
         gold=int(row["answer"]) - 1,
     )
 
 
 def _openbookqa(row) -> MCItem:
-    keys = row["choices"]["label"]
     return MCItem(
         context=row["question_stem"],
         choices=[" " + t for t in row["choices"]["text"]],
-        gold=keys.index(row["answerKey"]),
+        # openbookqa.py:58: fixed alphabet index on the stripped key
+        gold=["A", "B", "C", "D"].index(row["answerKey"].strip()),
     )
 
 
 def _sciq(row) -> MCItem:
+    # sciq.py:69: "{source}\nQuestion: {q}\nAnswer:".strip() — empty support
+    # leaves no leading newline
     support = row.get("support", "") or ""
-    ctx = (support + "\n" if support else "") + f"Question: {row['question']}\nAnswer:"
+    ctx = "{}\nQuestion: {}\nAnswer:".format(support, row["question"]).strip()
     choices = [row["distractor1"], row["distractor2"], row["distractor3"], row["correct_answer"]]
     return MCItem(context=ctx, choices=[" " + c for c in choices], gold=3)
 
@@ -226,13 +261,46 @@ def _storycloze(row) -> MCItem:
     )
 
 
-def _race(row) -> MCItem:
-    letters = ["A", "B", "C", "D"]
-    ctx = f"Article: {row['article']}\n\nQuestion: {row['question']}\nAnswer:"
+RACE_LETTERS = {"A": 0, "B": 1, "C": 2, "D": 3}
+
+
+def collate_race(rows) -> List[dict]:
+    """race.py:55-85 _collate_data: HF's race is one row per QUESTION, but
+    the GPT-3 protocol evaluates one doc per PASSAGE — group rows by article
+    (insertion order), each doc carrying all its problems."""
+    import collections
+
+    by_article = collections.defaultdict(list)
+    for row in rows:
+        by_article[row["article"]].append(
+            {"question": row["question"], "answer": row["answer"],
+             "options": row["options"]}
+        )
+    return [
+        {"article": a, "problems": ps} for a, ps in by_article.items()
+    ]
+
+
+def _race(doc) -> MCItem:
+    # race.py:96-135: prior problems of the same article appear inline as
+    # answered Q/A context (cloze questions ending "  _  ." splice the
+    # answer in); only the LAST problem is scored
+    def answer_opt(problem):
+        return problem["options"][RACE_LETTERS[problem["answer"]]]
+
+    text = "Article: " + doc["article"] + "\n\n"
+    for problem in doc["problems"][:-1]:
+        if problem["question"][-6:] == "  _  .":
+            text += problem["question"][-5:] + answer_opt(problem) + "\n"
+        else:
+            text += "Question: " + problem["question"] + "\n"
+            text += "Answer: " + answer_opt(problem) + "\n"
+    last = doc["problems"][-1]
+    text += last["question"]
     return MCItem(
-        context=ctx,
-        choices=[" " + o for o in row["options"]],
-        gold=letters.index(row["answer"]),
+        context=text,
+        choices=[" " + o for o in last["options"]],
+        gold=RACE_LETTERS[last["answer"]],
     )
 
 
@@ -245,13 +313,18 @@ def _swag(row) -> MCItem:
 
 
 def _mathqa(row) -> MCItem:
-    # options like "a ) 38 , b ) 27 , ..."; answerKey letter in "correct"
-    letters = ["a", "b", "c", "d", "e"]
-    opts = [o.split(")", 1)[1].strip() for o in row["options"].split(",")]
+    # mathqa.py:54-58: options parsed by regex (naive comma-splitting breaks
+    # on options that contain commas), "a ) 38 , ..." -> "38"
+    import re
+
+    opts = [
+        c[4:].rstrip(" ,")
+        for c in re.findall(r"[abcd] \) .*?, |e \) .*?$", row["options"])
+    ]
     return MCItem(
         context=f"Question: {row['Problem']}\nAnswer:",
         choices=[" " + o for o in opts],
-        gold=letters.index(row["correct"]),
+        gold=["a", "b", "c", "d", "e"].index(row["correct"]),
     )
 
 
@@ -283,46 +356,74 @@ def _truthfulqa_mc1(row) -> MCItem:
 
 
 def _logiqa(row) -> MCItem:
+    # logiqa.py:54-76 (HF schema: context/question/options, label a letter)
+    question = row.get("question", row.get("query"))
     ctx = (
-        f"Passage: {row['context']}\nQuestion: {row['query']}\nChoices:\n"
+        f"Passage: {row['context']}\nQuestion: {question}\nChoices:\n"
         + "".join(
             f"{l}. {o}\n" for l, o in zip("ABCD", row["options"])
         )
         + "Answer:"
     )
+    if "label" in row:
+        gold = ["a", "b", "c", "d"].index(str(row["label"]).lower())
+    else:
+        gold = int(row["correct_option"])
     return MCItem(
         context=ctx,
         choices=[" " + o for o in row["options"]],
-        gold=int(row["correct_option"]),
+        gold=gold,
     )
 
 
+WSC273_UPPER_PRONOUNS = [
+    "A", "An", "The", "She", "He", "It", "They", "My", "His", "Her", "Their",
+]
+
+
 def _wsc273(row) -> MCItem:
-    # score the full sentence with each candidate substituted at the pronoun
-    text = row["text"]
+    # PARTIAL evaluation (wsc273.py:69-118): candidates substitute into the
+    # CONTEXT, the shared post-pronoun text is the scored target. Options are
+    # normalized (possessive "'s" for determiner pronouns; sentence-medial
+    # pronoun lowercasing) and "  " collapses BEFORE indexing — bug-
+    # compatible with the reference, whose indices refer to the edited text.
+    text = row["text"].replace("  ", " ")
     start = int(row["pronoun_loc"])
-    pre = text[:start].rstrip()
-    post = text[start + len(row["pronoun"]):]
+    pronoun = row["pronoun"]
+
+    def normalize(option):
+        if pronoun.lower() in ["my", "his", "her", "our", "their"]:
+            option = option + "'s"
+        first = option.split()[0]
+        start_of_sentence = text[start - 2] == "."
+        if not start_of_sentence and first in WSC273_UPPER_PRONOUNS:
+            return option.replace(first, first.lower())
+        return option
+
+    target = " " + text[start + len(pronoun):].strip()
     return MCItem(
-        context=pre,
-        choices=[" " + opt + post for opt in row["options"]],
+        context="",
+        contexts=[text[:start] + normalize(opt) for opt in row["options"]],
+        choices=[target, target],
         gold=int(row["label"]),
     )
 
 
 def _mmlu(row) -> MCItem:
-    # hendrycks_test: question, choices [4], answer int
-    ctx = row["question"].strip()
-    letters = ["A", "B", "C", "D"]
+    # hendrycks_test.py:129-154: "Question: .../Choices:/A. ...\n.../Answer:"
+    # and the scored continuations are the FULL choice texts (not letters)
+    keys = ["A", "B", "C", "D"]
     ctx = (
-        ctx + "\n" + "".join(
-            f"{l}. {c}\n" for l, c in zip(letters, row["choices"])
-        ) + "Answer:"
+        "Question: " + row["question"] + "\nChoices:\n"
+        + "".join(f"{k}. {c}\n" for k, c in zip(keys, row["choices"]))
+        + "Answer:"
     )
+    ans = row["answer"]
+    gold = keys.index(ans) if isinstance(ans, str) else int(ans)
     return MCItem(
         context=ctx,
-        choices=[" " + l for l in letters],
-        gold=int(row["answer"]),
+        choices=[" " + c for c in row["choices"]],
+        gold=gold,
     )
 
 
@@ -340,8 +441,10 @@ def _anli(row) -> MCItem:
 
 
 def _cb(row) -> MCItem:
+    # superglue.py:113-116: "True, False or Neither?" — no comma before
+    # "or" (unlike anli, which has one)
     ctx = (
-        f"{row['premise']}\nQuestion: {row['hypothesis']}. True, False, "
+        f"{row['premise']}\nQuestion: {row['hypothesis']}. True, False "
         "or Neither?\nAnswer:"
     )
     return MCItem(
@@ -357,16 +460,24 @@ def _rte(row) -> MCItem:
 
 
 def _wic(row) -> MCItem:
+    # superglue.py:391-397: the word is the sentence1 SPAN (not the "word"
+    # field, which can differ in inflection)
+    word = (
+        row["sentence1"][row["start1"]: row["end1"]]
+        if "start1" in row
+        else row["word"]
+    )
     ctx = (
         f"Sentence 1: {row['sentence1']}\nSentence 2: {row['sentence2']}\n"
-        f"Question: Is the word '{row['word']}' used in the same way in the "
+        f"Question: Is the word '{word}' used in the same way in the "
         "two sentences above?\nAnswer:"
     )
     return MCItem(context=ctx, choices=[" no", " yes"], gold=int(row["label"]))
 
 
 def _pubmedqa(row) -> MCItem:
-    ctx_txt = " ".join(row["context"]["contexts"]) if isinstance(
+    # pubmedqa.py:53-57: abstract sections joined with NEWLINES
+    ctx_txt = "\n".join(row["context"]["contexts"]) if isinstance(
         row.get("context"), dict
     ) else str(row.get("context", ""))
     ctx = f"Abstract: {ctx_txt}\nQuestion: {row['question']}\nAnswer:"
@@ -383,12 +494,26 @@ def _pubmedqa(row) -> MCItem:
 # lm_eval task classes cited inline so accuracies are comparable. -----------
 
 def _detok(text: str) -> str:
-    """lm_eval general_detokenize / mutual.detokenize whitespace repair."""
+    """mutual.detokenize / cbt.detokenize whitespace repair (mutual.py:70-84).
+    NOT general_detokenize — lm_eval has two distinct detokenizers."""
     for a, b in ((" '", "'"), (" \n", "\n"), ("\n ", "\n"), (" n't", "n't"),
                  ("`` ", '"'), ("''", '"'), (" :", ":"), (" ;", ";"),
                  (" !", "!"), (" ?", "?"), (" ,", ","), (" .", ".")):
         text = text.replace(a, b)
     return text
+
+
+def _general_detok(text: str) -> str:
+    """lm_eval utils.general_detokenize (utils.py:62-69) — used by sst,
+    mrpc, and superglue WSC."""
+    import re
+
+    text = text.replace(" n't", "n't")
+    text = text.replace(" )", ")")
+    text = text.replace("( ", "(")
+    text = text.replace('" ', '"')
+    text = text.replace(' "', '"')
+    return re.sub(r" (['.,])", r"\1", text)
 
 
 def _glue_cola(row) -> MCItem:  # glue.py:70
@@ -399,10 +524,10 @@ def _glue_cola(row) -> MCItem:  # glue.py:70
     )
 
 
-def _glue_sst(row) -> MCItem:  # glue.py:124
+def _glue_sst(row) -> MCItem:  # glue.py:124 (general_detokenize)
     return MCItem(
         context=(
-            f"{_detok(row['sentence'])}\nQuestion: Is this sentence positive "
+            f"{_general_detok(row['sentence'])}\nQuestion: Is this sentence positive "
             "or negative?\nAnswer:"
         ),
         choices=[" negative", " positive"],
@@ -447,11 +572,11 @@ def _glue_rte(row) -> MCItem:  # glue.py:397 (0=entail=True)
     )
 
 
-def _glue_mrpc(row) -> MCItem:  # glue.py:510
+def _glue_mrpc(row) -> MCItem:  # glue.py:403 (general_detokenize)
     return MCItem(
         context=(
-            f"Sentence 1: {_detok(row['sentence1'])}\nSentence 2: "
-            f"{_detok(row['sentence2'])}\nQuestion: Do both sentences mean "
+            f"Sentence 1: {_general_detok(row['sentence1'])}\nSentence 2: "
+            f"{_general_detok(row['sentence2'])}\nQuestion: Do both sentences mean "
             "the same thing?\nAnswer:"
         ),
         choices=[" no", " yes"],
@@ -459,11 +584,11 @@ def _glue_mrpc(row) -> MCItem:  # glue.py:510
     )
 
 
-def _glue_qqp(row) -> MCItem:
+def _glue_qqp(row) -> MCItem:  # glue.py:455-459 (NO detokenization)
     return MCItem(
         context=(
-            f"Question 1: {_detok(row['question1'])}\nQuestion 2: "
-            f"{_detok(row['question2'])}\nQuestion: Do both questions ask the "
+            f"Question 1: {row['question1']}\nQuestion 2: "
+            f"{row['question2']}\nQuestion: Do both questions ask the "
             "same thing?\nAnswer:"
         ),
         choices=[" no", " yes"],
@@ -514,7 +639,7 @@ def _toxigen(row) -> MCItem:  # toxigen.py:55-70
             "Is the following statement hateful? Respond with either Yes or "
             f"No. Statement: '{row['text']}'"
         ),
-        choices=["No", "Yes"],
+        choices=[" No", " Yes"],  # base MC task scores " {choice}"
         gold=label,
     )
 
@@ -527,8 +652,8 @@ def _ethics_cm(row) -> MCItem:  # hendrycks_ethics.py:90-100
     )
 
 
-def _ethics_justice(row) -> MCItem:  # hendrycks_ethics.py:124-139
-    prompt = " ".join([row["scenario"], row.get("excuse", "")]).strip()
+def _ethics_justice(row) -> MCItem:  # hendrycks_ethics.py:175-192
+    prompt = row["scenario"]
     return MCItem(
         context=(
             "Question: Would most people believe this reasonable or "
@@ -539,8 +664,8 @@ def _ethics_justice(row) -> MCItem:  # hendrycks_ethics.py:124-139
     )
 
 
-def _ethics_deontology(row) -> MCItem:  # hendrycks_ethics.py:120-148
-    prompt = " ".join([row["scenario"], row.get("excuse", "")]).strip()
+def _ethics_deontology(row) -> MCItem:  # hendrycks_ethics.py:124-128
+    prompt = " ".join([row["scenario"], row.get("excuse", "")])
     return MCItem(
         context=(
             "Question: Would most people believe this reasonable or "
@@ -587,7 +712,7 @@ def _sg_wsc(row) -> MCItem:  # superglue.py:425-489 (binary WSC)
     raw = row["text"]
     pre = " ".join(raw.split()[: row["span2_index"]])
     post = raw[len(pre) + len(row["span2_text"]) + 1 :]
-    passage = _detok(pre + " *{}*".format(row["span2_text"]) + post)
+    passage = _general_detok(pre + " *{}*".format(row["span2_text"]) + post)
     ctx = (
         f"Passage: {passage}\n"
         f'Question: In the passage above, does the pronoun "*{row["span2_text"]}*" '
@@ -646,15 +771,16 @@ def _record(row) -> MCItem:  # superglue.py ReCoRD (entity cloze)
     text = initial + "\n\n"
     for h in highlights:
         text += f"  - {h}.\n"
-    entities = list(dict.fromkeys(row["entities"]))  # dedup, keep order
+    entities = sorted(set(row["entities"]))  # superglue.py:315-320
     answers = set(row["answers"])
-    gold = next((i for i, e in enumerate(entities) if e in answers), 0)
+    golds = [i for i, e in enumerate(entities) if e in answers] or [0]
     return MCItem(
         context=text,
         choices=[
             f"  - {row['query']}".replace("@placeholder", e) for e in entities
         ],
-        gold=gold,
+        gold=golds[0],
+        gold_all=golds,  # any correct entity counts (process_results)
     )
 
 
@@ -739,6 +865,7 @@ def evaluate_greedy_completion(
         ctxs.append(ctx_ids)
         conts.append(full[len(ctx_ids):])
     n_correct, nll, ntok = 0, 0.0, 0
+    doc_nlls: List[float] = []
     for i in range(0, len(ctxs), batch_size):
         cb, kb = ctxs[i : i + batch_size], conts[i : i + batch_size]
         rows, ce, cl = [], [], []
@@ -752,16 +879,24 @@ def evaluate_greedy_completion(
         lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
         for r in range(len(rows)):
             ok = True
+            doc_nll = 0.0
             for t_ in range(ce[r] - cl[r], ce[r]):
                 tok = rows[r][t_]
-                nll -= lp[r, t_ - 1, tok]
+                doc_nll -= lp[r, t_ - 1, tok]
                 ntok += 1
                 if int(np.argmax(logits[r, t_ - 1])) != tok:
                     ok = False
+            nll += doc_nll
+            doc_nlls.append(doc_nll)
             n_correct += int(ok)
     return {
         "acc": n_correct / max(len(ctxs), 1),
+        # token-level ppl over all continuation tokens
         "ppl": float(math.exp(nll / max(ntok, 1))),
+        # lm_eval `perplexity` aggregation: exp(-mean over DOCS of the
+        # continuation loglikelihood) — the lambada "ppl" metric
+        # (lambada.py:63-69)
+        "ppl_doc": float(math.exp(np.mean(doc_nlls))) if doc_nlls else 1.0,
         "n": len(ctxs),
     }
 
@@ -783,9 +918,12 @@ def evaluate_lambada(
         t = t.strip()
         pre, last = t.rsplit(" ", 1)
         pairs.append((pre, " " + last))
-    return evaluate_greedy_completion(
+    out = evaluate_greedy_completion(
         forward_fn, tokenizer, pairs, batch_size=batch_size, max_len=max_len
     )
+    # lm_eval lambada "ppl" is the DOC-level perplexity of the final word
+    out["ppl"] = out.pop("ppl_doc")
+    return out
 
 
 def lambada_cloze_pairs(texts: Sequence[str]) -> List[Tuple[str, str]]:
@@ -807,7 +945,8 @@ def load_task_items(name: str, data_dir: str, split: str = "validation") -> List
     if split in getattr(ds, "keys", lambda: [])():
         ds = ds[split]
     adapter = TASK_ADAPTERS[name]
-    return [adapter(row) for row in ds]
+    rows = collate_race(ds) if name == "race" else ds
+    return [adapter(row) for row in rows]
 
 
 # --- generation-based tasks (greedy_until + exact-match/F1 scoring) ---------
@@ -924,7 +1063,7 @@ def _naturalqs(row) -> GenItem:
     if isinstance(q, dict):
         q = q.get("text", "")
     ans = row.get("answer") or row.get("answers") or [""]
-    return GenItem(context=f"Q: {q}\nA:", answers=list(ans))
+    return GenItem(context=f"Q: {q}\n\nA:", answers=list(ans))
 
 
 def _drop(row) -> GenItem:  # drop.py:114-116; answers = spans/number/date
@@ -983,9 +1122,7 @@ def _hendrycks_math(row) -> GenItem:  # hendrycks_math.py:50,76
 
 
 def _quac(row) -> GenItem:  # quac.py doc_to_text
-    title = row["title"]
-    if row.get("section_title"):
-        title = f"{title} - {row['section_title']}"
+    title = row["title"] + " - " + row.get("section_title", "")
     ans = row.get("answers") or row.get("answer") or [""]
     if isinstance(ans, dict):
         ans = ans.get("texts") or ans.get("text") or [""]

@@ -86,9 +86,10 @@ def test_winogrande_adapter():
     }
     item = _winogrande(row)
     assert item.gold == 0
-    assert item.context.endswith("because")
-    assert item.choices[0].startswith(" the trophy")
-    assert item.choices[0].endswith("is too big.")
+    # partial evaluation: options vary the CONTEXT; shared scored target
+    assert item.contexts[0].endswith("because the trophy")
+    assert item.contexts[1].endswith("because the suitcase")
+    assert item.choices == [" is too big.", " is too big."]
 
 
 def test_new_task_adapters_shapes():
@@ -126,9 +127,10 @@ def test_new_task_adapters_shapes():
         },
         "race": {
             "article": "Text.",
-            "question": "Q?",
-            "options": ["w", "x", "y", "z"],
-            "answer": "C",
+            "problems": [
+                {"question": "Q?", "options": ["w", "x", "y", "z"],
+                 "answer": "C"},
+            ],
         },
     }
     for name, row in rows.items():
