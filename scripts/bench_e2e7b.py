@@ -179,6 +179,10 @@ def main():
         # the reference's int8_mode=4 weight-only baseline
         policy = QuantPolicy.weight_only("llama", wbits=4)
         print("policy: W4A16 weight-only (fpA_intB-baseline path)", flush=True)
+    elif wbits == "8a16":
+        # the reference's int8_mode=1 weight-only baseline (README.md:157)
+        policy = QuantPolicy.weight_only("llama", wbits=8)
+        print("policy: W8A16 weight-only (int8_mode=1-baseline path)", flush=True)
     else:
         policy = QuantPolicy.llama_flex()
     print("generating + quantizing layer-by-layer...", flush=True)

@@ -58,3 +58,33 @@ def test_w8a8_serve_path_end_to_end():
     o1 = eng.generate([[1, 5, 9]], max_new_tokens=5, eos_id=-1)
     o2 = eng.generate([[1, 5, 9]], max_new_tokens=5, eos_id=-1)
     assert o1 == o2
+
+
+def test_w8a16_weight_only_policy_forward():
+    """W8A16 weight-only (the reference's int8_mode=1 cutlass fpA_intB
+    baseline, README.md:157-162): quantize_linear emits the dense q8 plane
+    and the bf16 layer path dequantizes per group in-graph. Must track the
+    8-bit fake-quant oracle tightly."""
+    pytest.importorskip("torch")
+    import numpy as np
+    from flexq_tpu.config import QuantPolicy
+    from flexq_tpu.models.llama import fake_quant_weights, forward
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+    from test_serve import tiny_model
+
+    cfg, params = tiny_model()
+    policy = QuantPolicy.weight_only("llama", wbits=8)
+    assert policy.is_weight_only and policy.no_act_quant
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    assert "q8" in qparams["layers"][0]["q_proj"]
+
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (1, 8)))
+    oracle = np.asarray(
+        forward(fake_quant_weights(params, policy), cfg, ids, policy=policy)
+    )
+    got, _ = forward_serve(qparams, cfg, policy, ids)
+    got = np.asarray(got)
+    denom = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / denom < 0.02
+    agree = (got.argmax(-1) == oracle.argmax(-1)).mean()
+    assert agree >= 0.9
