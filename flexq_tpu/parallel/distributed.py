@@ -90,10 +90,12 @@ def process_mesh(tp: int, dp: int = 1, devices=None):
         devices = jax.devices()
     nproc = max(getattr(d, "process_index", 0) for d in devices) + 1
     total = len(devices)
-    assert tp * dp == total, f"tp*dp={tp*dp} != total devices {total}"
     if nproc == 1:
-        arr = np.asarray(devices).reshape(dp, tp)
+        # single process may use a SUBSET of local devices (tp=2 of 8)
+        assert tp * dp <= total, f"need {tp * dp} devices, have {total}"
+        arr = np.asarray(devices[: tp * dp]).reshape(dp, tp)
         return Mesh(arr, axis_names=("data", "model"))
+    assert tp * dp == total, f"tp*dp={tp*dp} != total devices {total}"
 
     local = total // nproc
     if tp <= local:

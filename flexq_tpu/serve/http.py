@@ -637,7 +637,30 @@ def main():
     )
     ap.add_argument("--model-name", default="flexq-tpu",
                     help="model id reported by the /v1 endpoints")
+    # multi-chip serving (reference: mpirun -n N llama_example / Triton
+    # multi-GPU instances): tp*dp chips form the mesh. The coordinator flags
+    # bootstrap the multi-process runtime (parallel/distributed.py); NOTE
+    # multi-process serving additionally requires every process to execute
+    # identical scheduler steps — a request-broadcast layer in front of the
+    # HTTP server (rank-0 ingest + in-band replication) is future work, so
+    # today tp*dp should address ONE process's local chips.
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    ap.add_argument("--dp", type=int, default=1, help="data-parallel ways")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of the jax.distributed coordinator")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    mesh = None
+    if args.coordinator is not None:
+        from flexq_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+    if args.tp * args.dp > 1:
+        from flexq_tpu.parallel.distributed import process_mesh
+
+        mesh = process_mesh(tp=args.tp, dp=args.dp)
 
     cfg, policy, params = load_packed(args.checkpoint)
     sched = BatchScheduler(
@@ -651,6 +674,7 @@ def main():
         page_size=args.page_size,
         prefill_chunk=args.prefill_chunk,
         prefix_cache=args.prefix_cache,
+        mesh=mesh,
     )
     from flexq_tpu.serve.tokenizer import load_tokenizer
 
