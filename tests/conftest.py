@@ -25,3 +25,11 @@ if os.environ.get("FLEXQ_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # Persistent XLA compilation cache: the suite's wall time is dominated
+    # by shard_map/while_loop compiles on this 2-core box; a warm cache
+    # turns repeat runs from ~30 min into minutes. Repo-local, gitignored.
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                             ".jax_compile_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
