@@ -140,22 +140,12 @@ class SchedulerService:
         Pending requests are dropped immediately; a decoding slot has its
         budget clamped so it finishes on the next recorded token."""
         with self._lock:
-            for p in list(self.scheduler.pending):
-                if p.req_id == rid:
-                    self.scheduler.pending.remove(p)
-                    self._results[rid] = (list(p.prior), None, None)
-                    ev = self._events.get(rid)
-                    if ev is not None:
-                        ev.set()
-                    return
-            g = getattr(self.scheduler, "beam_groups", {}).get(rid)
-            if g is not None:
-                g.max_new = max(1, len(g.histories[0]))
-                return
-            for s in self.scheduler.slots:
-                if s.req_id == rid:
-                    s.max_new = max(1, len(s.prior) + len(s.generated))
-                    return
+            dropped = self.scheduler.cancel(rid)
+            if dropped is not None:  # was still pending: surface the result
+                self._results[rid] = (dropped, None, None)
+                ev = self._events.get(rid)
+                if ev is not None:
+                    ev.set()
 
     def stats(self) -> Dict[str, int]:
         with self._lock:
@@ -637,19 +627,20 @@ def main():
     )
     ap.add_argument("--model-name", default="flexq-tpu",
                     help="model id reported by the /v1 endpoints")
-    # multi-chip serving (reference: mpirun -n N llama_example / Triton
-    # multi-GPU instances): tp*dp chips form the mesh. The coordinator flags
-    # bootstrap the multi-process runtime (parallel/distributed.py); NOTE
-    # multi-process serving additionally requires every process to execute
-    # identical scheduler steps — a request-broadcast layer in front of the
-    # HTTP server (rank-0 ingest + in-band replication) is future work, so
-    # today tp*dp should address ONE process's local chips.
+    # multi-chip / multi-host serving (reference: mpirun -n N llama_example /
+    # Triton multi-GPU instances): tp*dp chips form the mesh. For N>1
+    # processes (one per host), pass --coordinator/--num-processes/
+    # --process-id on every host: process 0 serves HTTP and replicates the
+    # scheduler command log to followers (serve/replicated.py), which enter
+    # the same jitted steps so cross-process collectives rendezvous.
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
     ap.add_argument("--dp", type=int, default=1, help="data-parallel ways")
     ap.add_argument("--coordinator", default=None,
                     help="host:port of the jax.distributed coordinator")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--replication-port", type=int, default=8476,
+                    help="leader port for the scheduler command-log stream")
     args = ap.parse_args()
 
     mesh = None
@@ -676,6 +667,25 @@ def main():
         prefix_cache=args.prefix_cache,
         mesh=mesh,
     )
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from flexq_tpu.serve.replicated import ReplicatedScheduler
+
+        if _jax.process_index() == 0:
+            sched = ReplicatedScheduler(
+                sched, leader=True, port=args.replication_port,
+                num_followers=_jax.process_count() - 1,
+            )
+        else:
+            leader_host = args.coordinator.split(":")[0]
+            follower = ReplicatedScheduler(
+                sched, leader=False,
+                leader_addr=(leader_host, args.replication_port),
+            )
+            print(f"follower {_jax.process_index()} mirroring", flush=True)
+            follower.serve_forever()  # returns on leader shutdown
+            return
     from flexq_tpu.serve.tokenizer import load_tokenizer
 
     server, service, port = serve_background(

@@ -511,6 +511,27 @@ class BatchScheduler:
     def has_work(self) -> bool:
         return bool(self.pending) or any(s.req_id is not None for s in self.slots)
 
+    def cancel(self, req_id: int) -> Optional[List[int]]:
+        """Best-effort early stop. A still-pending request is dropped and its
+        prior tokens returned (the caller surfaces them as the result); an
+        in-flight request/beam group has its budget clamped so it finishes
+        on the next recorded token (returns None — the normal completion
+        flow delivers it). Deterministic, so multi-process replicas applying
+        the same cancel stay in lockstep (serve/replicated.py)."""
+        for p in list(self.pending):
+            if p.req_id == req_id:
+                self.pending.remove(p)
+                return list(p.prior)
+        g = self.beam_groups.get(req_id)
+        if g is not None:
+            g.max_new = max(1, len(g.histories[0]))
+            return None
+        for s in self.slots:
+            if s.req_id == req_id:
+                s.max_new = max(1, len(s.prior) + len(s.generated))
+                return None
+        return None
+
     def _admit(self):
         # beam requests at the queue head admit into beam_width slots at
         # once (FIFO preserved: if not enough slots are free, everything

@@ -68,3 +68,39 @@ def test_process_mesh_single_process_shape():
     # tp preference: consecutive local devices along the model axis
     ids = [[d.id for d in row] for row in mesh.devices]
     assert ids[0] == [0, 1, 2, 3]
+
+
+def test_two_process_replicated_serving():
+    """Multi-host serving topology: leader + follower processes run the SAME
+    continuous-batching scheduler over a tp=2 mesh that spans them, kept in
+    lockstep by command-log replication (serve/replicated.py). The leader's
+    outputs must equal a single-device scheduler run."""
+    coord, cmd = _free_port(), _free_port()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_replicated_child.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), str(coord), str(cmd)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=root, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+    assert "REPLICATED_OK leader" in outs[0], outs[0]
+    assert "REPLICATED_OK follower" in outs[1], outs[1]
