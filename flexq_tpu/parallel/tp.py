@@ -36,8 +36,8 @@ from flexq_tpu.config import ModelConfig, QuantPolicy
 from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_cos_sin
 from flexq_tpu.models.quantized import llama_layer_serve
 
-COL_LINEARS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
-ROW_LINEARS = ("o_proj", "down_proj")
+COL_LINEARS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "fc1")
+ROW_LINEARS = ("o_proj", "down_proj", "fc2")
 
 
 def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
@@ -53,7 +53,12 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         out = {}
         for name, val in lp.items():
             if name in COL_LINEARS and isinstance(val, dict):
-                out[name] = {k: P(None, "model") for k in val}
+                # 1-D biases shard along the same output columns (added on
+                # the local shard pre-psum); 2-D planes/scales split N
+                out[name] = {
+                    k: (P("model") if k == "b" else P(None, "model"))
+                    for k in val
+                }
             elif name in ROW_LINEARS and isinstance(val, dict):
                 # hi [K/2,N], lo [K/4,N], q4 [K/2,N], q8 [K,N], scale [K/G,N]
                 # all shard K (dim 0); biases are added post-psum so they
@@ -139,7 +144,15 @@ def tp_forward_local(
         if positions is not None
         else jnp.broadcast_to(jnp.arange(l), (b, l))
     )
-    cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    is_opt = cfg.arch == "opt"
+    if is_opt:
+        # reference multi_gpu_gpt: embeddings replicated, TP inside layers
+        from flexq_tpu.models.opt import POS_OFFSET
+
+        x = x + params["pos_embed"][pos + POS_OFFSET]
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
     m = mask if mask is not None else causal_mask(l, l)
     have = kv is not None
     kind = kv[0] if have else None
@@ -161,7 +174,14 @@ def tp_forward_local(
             kvi = ("paged", pieces[0], pieces[1], table, i)
         else:  # dense / dense8: (k, v[, ks, vs], layer_idx)
             kvi = tuple(pieces) + (i,)
-        if policy.no_act_quant or prefill_bf16:
+        if is_opt:
+            from flexq_tpu.models.quantized import opt_layer_serve
+
+            x, new_kv = opt_layer_serve(
+                lp, lcfg, policy, x, m, kv=kvi, cache_pos=cache_pos,
+                tp_axis=axis, lengths=lengths,
+            )
+        elif policy.no_act_quant or prefill_bf16:
             # weight-only / fp16 policy (the quantized layer path would wrap
             # 16-bit activations into int8 containers — same gate as
             # forward_serve) or the compute-bound W6A16 prefill path
@@ -178,7 +198,16 @@ def tp_forward_local(
             )
         if new_kv is not None:
             pieces[: len(new_kv)] = list(new_kv)
-    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if is_opt:
+        from flexq_tpu.models.opt import layernorm
+
+        if "final_norm" in params:
+            x = layernorm(
+                x, params["final_norm"]["g"], params["final_norm"]["b"],
+                cfg.norm_eps,
+            )
+    else:
+        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     head = params.get("lm_head")
     if head is None:  # tied embeddings: replicated, no gather needed
         logits = x @ params["embed"].T.astype(x.dtype)

@@ -437,3 +437,62 @@ def test_scheduler_tp_dp2(quantized):
     got = sched.run()
     assert got[t1] == want[r1]
     assert got[t2] == want[r2]
+
+
+def test_opt_tp_matches_single_device():
+    """OPT/GPT under the TP mesh (the reference's multi_gpu_gpt path):
+    biased col/row-split linears, LayerNorm producers, pos embeddings —
+    quantized AND weight-only policies, with a KV-cached decode step."""
+    from transformers import OPTConfig, OPTForCausalLM
+
+    from flexq_tpu.models import config_from_hf, from_hf_opt
+    from flexq_tpu.serve.engine import decode_mask, prefill_mask
+
+    torch.manual_seed(0)
+    hf = OPTConfig(
+        vocab_size=256, hidden_size=256, ffn_dim=512, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        do_layer_norm_before=True, tie_word_embeddings=False,
+    )
+    m = OPTForCausalLM(hf).eval()
+    cfg = config_from_hf(m.config)
+    params = from_hf_opt(m, dtype=jnp.float32)
+    mesh = make_mesh(tp=2, dp=1)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 6)))
+
+    for policy in (QuantPolicy.opt_flex(wbits=8, abits=8),
+                   QuantPolicy.weight_only("opt", wbits=4)):
+        qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+        want, _ = forward_serve(qparams, cfg, policy, ids)
+        sharded = shard_params(qparams, mesh)
+        got, _ = forward_serve_tp(sharded, cfg, policy, ids, mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4
+        )
+
+    # decode step over a cache (prefill + one token), quantized policy
+    policy = QuantPolicy.opt_flex(wbits=8, abits=8)
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    sharded = shard_params(qparams, mesh)
+    b, l, maxlen = 2, 4, 16
+    shape = (cfg.num_layers, b, cfg.num_kv_heads, maxlen, cfg.head_dim)
+    kv = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    want, wkv = forward_serve(
+        qparams, cfg, policy, ids[:, :l], kv_k=kv[0], kv_v=kv[1],
+        cache_pos=jnp.int32(0), mask=prefill_mask(l, maxlen),
+    )
+    got, gkv = forward_serve_tp(
+        sharded, cfg, policy, ids[:, :l], mesh, kv_k=kv[0], kv_v=kv[1],
+        cache_pos=jnp.int32(0), mask=prefill_mask(l, maxlen),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+    nxt = jnp.argmax(want[:, -1], -1).astype(jnp.int32)[:, None]
+    want2, _ = forward_serve(
+        qparams, cfg, policy, nxt, kv_k=wkv[0], kv_v=wkv[1],
+        cache_pos=jnp.int32(l), mask=decode_mask(jnp.int32(l), maxlen),
+    )
+    got2, _ = forward_serve_tp(
+        sharded, cfg, policy, nxt, mesh, kv_k=gkv[0], kv_v=gkv[1],
+        cache_pos=jnp.int32(l), mask=decode_mask(jnp.int32(l), maxlen),
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=3e-4, atol=3e-4)
