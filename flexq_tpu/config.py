@@ -167,6 +167,23 @@ class QuantPolicy:
             act_bits={n: abits for n in names},
         )
 
+    def with_head(self, wbits: int = 6, abits: int = 8) -> "QuantPolicy":
+        """Extend a policy with a quantized lm_head (vocab GEMM).
+
+        The reference keeps the lm_head fp16 in every int8_mode (e2e
+        Llama.cc:1090-1130 runs the vocab-TP gemm out of fp16 weights) — on
+        TPU the bf16 head is pure weight streaming (~0.4 ms/step at 13B), so
+        quantizing it extends the W6 win past parity. Activations default to
+        8-bit (logits are accuracy-critical; the final-norm output gets the
+        same treatment as the sensitivity-flagged down_proj input). Opt-in:
+        default policies leave the head at 16-bit for reference parity.
+        """
+        return dataclasses.replace(
+            self,
+            weight_bits={**self.weight_bits, "lm_head": wbits},
+            act_bits={**self.act_bits, "lm_head": abits},
+        )
+
     @property
     def no_act_quant(self) -> bool:
         """True when no linear quantizes its activations (W*A16 or fp16).

@@ -11,7 +11,8 @@ CLI:
 
 Layout:
     out/meta.json                 model config + policy + format version
-    out/embed.safetensors         embed, final_norm, lm_head (bf16)
+    out/embed.safetensors         embed, final_norm, lm_head (bf16, or
+                                  packed lm_head.hi/.lo/.scale with --head-bits)
     out/layer_{i}.safetensors     per linear: {name}.hi/.lo/.scale (+ .b),
                                   norms bf16
 """
@@ -45,12 +46,34 @@ def _pad_cols(a: np.ndarray, n_to: int) -> np.ndarray:
     return np.pad(a, ((0, 0), (0, n_to - a.shape[1])))
 
 
+def _emit_packed(out: Dict[str, np.ndarray], name: str, w: np.ndarray, bits: int):
+    """Quantize+pack one [K, N] matrix into `out` under dotted keys."""
+    if bits == 6:
+        hi, lo, scale = quant_pack6(w)
+        out[f"{name}.hi"] = hi
+        out[f"{name}.lo"] = lo
+        out[f"{name}.scale"] = scale
+    elif bits == 8:
+        # W8A8 baseline checkpoint (reference int8_mode=2 parity)
+        q, scale = group_quant_np(w, 8)
+        out[f"{name}.q8"] = q
+        out[f"{name}.scale"] = scale
+    elif bits == 4:
+        # W4 weight-only checkpoint (reference int8_mode=4 parity)
+        plane, scale = quant_pack4(w)
+        out[f"{name}.q4"] = plane
+        out[f"{name}.scale"] = scale
+    else:
+        out[f"{name}.w"] = _np_bf16(w)
+
+
 def export_checkpoint(
     model_dir: str,
     out_dir: str,
     policy_name: str = "llama_flex",
     wbits: int = 6,
     abits: int = 6,
+    head_bits: int = 0,
 ) -> None:
     from safetensors import safe_open
     from safetensors.numpy import save_file
@@ -68,6 +91,12 @@ def export_checkpoint(
         policy = QuantPolicy.weight_only(cfg.arch, wbits=wbits)
     else:
         raise ValueError(policy_name)
+    if head_bits:
+        # quantized lm_head (exceeds parity — the reference's stays fp16);
+        # weight-only policies keep the head input at 16-bit too
+        policy = policy.with_head(
+            head_bits, abits=16 if policy.no_act_quant else 8
+        )
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -114,23 +143,7 @@ def export_checkpoint(
                 n = w.shape[1]
                 n_to = n + ((-n) % (1024 if n >= 2048 else 128))
                 w = _pad_cols(w, n_to)
-            if spec_bits == 6:
-                hi, lo, scale = quant_pack6(w)
-                out[f"{name}.hi"] = hi
-                out[f"{name}.lo"] = lo
-                out[f"{name}.scale"] = scale
-            elif spec_bits == 8:
-                # W8A8 baseline checkpoint (reference int8_mode=2 parity)
-                q, scale = group_quant_np(w, 8)
-                out[f"{name}.q8"] = q
-                out[f"{name}.scale"] = scale
-            elif spec_bits == 4:
-                # W4 weight-only checkpoint (reference int8_mode=4 parity)
-                plane, scale = quant_pack4(w)
-                out[f"{name}.q4"] = plane
-                out[f"{name}.scale"] = scale
-            else:
-                out[f"{name}.w"] = _np_bf16(w)
+            _emit_packed(out, name, w, spec_bits)
         # safetensors writes raw buffers stride-blind: force C-contiguous
         out = {k2: np.ascontiguousarray(v2) for k2, v2 in out.items()}
         save_file(out, os.path.join(out_dir, f"layer_{i}.safetensors"))
@@ -141,7 +154,15 @@ def export_checkpoint(
         "final_norm": _np_bf16(t("model.norm.weight")),
     }
     if "lm_head.weight" in tensors and not cfg.tie_word_embeddings:
-        top["lm_head"] = _np_bf16(t("lm_head.weight", transpose=True))
+        hw = t("lm_head.weight", transpose=True)  # [H, V]
+        head_wbits = policy.weight_bits.get("lm_head", 16)
+        if head_wbits < 16:
+            v = hw.shape[1]
+            hw = _pad_cols(hw, v + ((-v) % (1024 if v >= 2048 else 128)))
+            _emit_packed(top, "lm_head", hw, head_wbits)
+        else:
+            top["lm_head"] = _np_bf16(hw)
+    top = {k2: np.ascontiguousarray(v2) for k2, v2 in top.items()}
     save_file(top, os.path.join(out_dir, "embed.safetensors"))
 
     meta = {
@@ -194,6 +215,14 @@ def load_packed(out_dir: str):
     }
     if "lm_head" in top:
         params["lm_head"] = top["lm_head"]
+    else:  # packed quantized head under dotted keys (lm_head.hi/.lo/.scale)
+        head = {
+            key.split(".", 1)[1]: val
+            for key, val in top.items()
+            if key.startswith("lm_head.")
+        }
+        if head:
+            params["lm_head"] = head
     for i in range(cfg.num_layers):
         flat = load_file(os.path.join(out_dir, f"layer_{i}.safetensors"))
         lp: Dict[str, Any] = {}
@@ -218,8 +247,16 @@ def main():
     ap.add_argument("--policy", default="llama_flex")
     ap.add_argument("--wbits", type=int, default=6)
     ap.add_argument("--abits", type=int, default=6)
+    ap.add_argument(
+        "--head-bits", type=int, default=0,
+        help="quantize the lm_head at this width (0 = keep bf16; exceeds "
+        "reference parity — its vocab GEMM stays fp16 in every int8_mode)",
+    )
     args = ap.parse_args()
-    export_checkpoint(args.model_dir, args.out, args.policy, args.wbits, args.abits)
+    export_checkpoint(
+        args.model_dir, args.out, args.policy, args.wbits, args.abits,
+        head_bits=args.head_bits,
+    )
 
 
 if __name__ == "__main__":

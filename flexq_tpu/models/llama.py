@@ -303,6 +303,8 @@ def forward(
     head = params.get("lm_head")
     if head is None:  # tied embeddings
         head = params["embed"].T
+    if "lm_head" in params:  # quantized-head policies fake-quant the input
+        x = _maybe_quant_act(x, "lm_head", policy)
     return x @ head.astype(x.dtype)
 
 
@@ -324,4 +326,8 @@ def fake_quant_weights(params: Dict[str, Any], policy: QuantPolicy) -> Dict[str,
             w = lp[name]["w"]
             lp[name] = dict(lp[name])
             lp[name]["w"] = fake_quant(w.T, spec).T
+    if "lm_head" in out and "lm_head" in policy.weight_bits:
+        spec = policy.weight_spec("lm_head")
+        if spec.enabled:
+            out["lm_head"] = fake_quant(out["lm_head"].T, spec).T
     return out

@@ -101,7 +101,13 @@ def quantize_params(
         "layers": [],
     }
     if "lm_head" in params:
-        out["lm_head"] = params["lm_head"].astype(dtype)
+        head_spec = policy.weight_spec("lm_head")
+        if head_spec.enabled:
+            # quantized vocab GEMM (exceeds parity: the reference's lm_head
+            # stays fp16 in every int8_mode — Llama.cc:1090-1130)
+            out["lm_head"] = quantize_linear(params["lm_head"], head_spec)
+        else:
+            out["lm_head"] = params["lm_head"].astype(dtype)
     if "pos_embed" in params:
         out["pos_embed"] = params["pos_embed"].astype(dtype)
     # FFN down/fc2 input dim must match the padded gate/up output width
@@ -658,6 +664,36 @@ def _opt_layer_serve_bf16(
     return x2.reshape(b, l, hidden), new_kv
 
 
+def apply_lm_head(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    x: jax.Array,  # [B, L, H] final-norm output
+) -> jax.Array:
+    """Vocab projection -> logits [B, L, V].
+
+    Handles tied embeddings, the bf16 head, and the packed quantized head
+    (policy ``with_head``; exceeds parity — the reference's lm_head stays
+    fp16 in every int8_mode, Llama.cc:1090-1130). The quantized output is
+    sliced back from the padded vocab: pad logits would read as 0.0 and
+    could out-argmax real negative logits.
+    """
+    b, l, _ = x.shape
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    if isinstance(head, dict):
+        xm = x.reshape(b * l, -1)
+        abits = policy.act_bits.get("lm_head", 16)
+        if abits >= 16:
+            logits = _qlinear_bf16(head, xm, x.dtype, n_out=cfg.vocab_size)
+        else:
+            xq, xs = quant_act(xm, abits)
+            logits = _qlinear(head, xq, xs, x.dtype, n_out=cfg.vocab_size)
+        return logits.reshape(b, l, cfg.vocab_size)
+    return x @ head.astype(x.dtype)
+
+
 def forward_serve(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -750,10 +786,7 @@ def forward_serve(
             )
     else:
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    head = params.get("lm_head")
-    if head is None:
-        head = params["embed"].T
-    logits = x @ head.astype(x.dtype)
+    logits = apply_lm_head(params, cfg, policy, x)
     if have_cache:
         if quant_cache:
             return logits, (kv_k, kv_v, kv_k_scale, kv_v_scale)

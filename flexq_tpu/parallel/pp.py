@@ -63,7 +63,8 @@ def shard_params_pp(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         ),
     }
     if "lm_head" in params:
-        specs["lm_head"] = P()
+        # packed quantized heads are dicts of planes/scales: replicate each
+        specs["lm_head"] = jax.tree_util.tree_map(lambda _: P(), params["lm_head"])
     return jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), stacked, specs
     )
@@ -127,10 +128,9 @@ def forward_serve_pp(
 
         x = outputs.reshape(b, l, h)
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-        head = params.get("lm_head")
-        if head is None:
-            head = params["embed"].T
-        logits = x @ head.astype(x.dtype)
+        from flexq_tpu.models.quantized import apply_lm_head
+
+        logits = apply_lm_head(params, cfg, policy, x)
         # broadcast the last stage's logits to everyone (psum of masked copy)
         logits = jax.lax.psum(
             jnp.where(my_stage == pp - 1, logits, jnp.zeros_like(logits)), "pipe"
@@ -240,10 +240,9 @@ def decode_step_pp(
                 x = jax.lax.ppermute(x2, "pipe", perm)
 
         h = rmsnorm(final, params["final_norm"], cfg.norm_eps)
-        head = params.get("lm_head")
-        if head is None:
-            head = params["embed"].T
-        logits = h @ head.astype(h.dtype)
+        from flexq_tpu.models.quantized import apply_lm_head
+
+        logits = apply_lm_head(params, cfg, policy, h)
         logits = jax.lax.psum(
             jnp.where(my_stage == pp - 1, logits, jnp.zeros_like(logits)), "pipe"
         )

@@ -81,8 +81,12 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             specs["layers"] = [layer_spec(lp) for lp in val]
         elif key == "lm_head":
             # vocab-parallel head (reference Llama.cc:1090-1130: vocab-TP
-            # gemm + ftNcclAllGather); gathered after the local matmul
-            specs[key] = P(None, "model")
+            # gemm + ftNcclAllGather); gathered after the local matmul.
+            # Packed quantized heads split every plane/scale on the vocab dim.
+            if isinstance(val, dict):
+                specs[key] = {k: P(None, "model") for k in val}
+            else:
+                specs[key] = P(None, "model")
         else:
             specs[key] = jax.tree_util.tree_map(lambda _: P(), val)
     return specs
@@ -211,6 +215,24 @@ def tp_forward_local(
     head = params.get("lm_head")
     if head is None:  # tied embeddings: replicated, no gather needed
         logits = x @ params["embed"].T.astype(x.dtype)
+    elif isinstance(head, dict):
+        # packed quantized head: quantize the (replicated) final-norm output
+        # once per rank, run the local [H, Vpad/tp] Pallas GEMM, gather, and
+        # slice the vocab padding off the tail (pad columns live at the end
+        # of the LAST rank's shard, so the tiled gather keeps them last)
+        from flexq_tpu.kernels import quant_act
+        from flexq_tpu.models.quantized import _qlinear, _qlinear_bf16
+
+        xm = x.reshape(b * l, -1)
+        abits = policy.act_bits.get("lm_head", 16)
+        if abits >= 16:
+            local = _qlinear_bf16(head, xm, x.dtype)
+        else:
+            xq, xs = quant_act(xm, abits)
+            local = _qlinear(head, xq, xs, x.dtype)
+        local = local.reshape(b, l, -1)
+        logits = jax.lax.all_gather(local, axis, axis=2, tiled=True)
+        logits = logits[:, :, : cfg.vocab_size]
     else:
         local = x @ head.astype(x.dtype)  # [B, L, V/tp]
         logits = jax.lax.all_gather(local, axis, axis=local.ndim - 1, tiled=True)

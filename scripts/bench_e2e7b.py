@@ -70,6 +70,7 @@ def synth_llama7b_quantized(policy, seed: int = 0):
             "q_proj": (h, h), "k_proj": (h, h), "v_proj": (h, h), "o_proj": (h, h),
             "gate_proj": (h, f), "up_proj": (h, f), "down_proj": (f, h),
         }
+    head_spec = policy.weight_spec("lm_head")
     layers = []
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[i], len(shapes))
@@ -91,10 +92,13 @@ def synth_llama7b_quantized(policy, seed: int = 0):
             del dense
         layers.append(ql)
         print(f"  layer {i+1}/{cfg.num_layers} quantized", flush=True)
+    head = jax.random.normal(keys[-2], (h, cfg.vocab_size), jnp.bfloat16) * 0.02
+    if head_spec.enabled:  # FLEXQ_BENCH_HEAD: packed vocab GEMM
+        head = quantize_linear(head, head_spec)
     params = {
         "embed": jax.random.normal(keys[-3], (cfg.vocab_size, h), jnp.bfloat16) * 0.02,
         "final_norm": jnp.ones((h,), jnp.bfloat16),
-        "lm_head": jax.random.normal(keys[-2], (h, cfg.vocab_size), jnp.bfloat16) * 0.02,
+        "lm_head": head,
         "layers": layers,
     }
     return cfg, params
@@ -185,6 +189,12 @@ def main():
         print("policy: W8A16 weight-only (int8_mode=1-baseline path)", flush=True)
     else:
         policy = QuantPolicy.llama_flex()
+    head_bits = int(os.environ.get("FLEXQ_BENCH_HEAD", "0"))
+    if head_bits:
+        policy = policy.with_head(
+            head_bits, abits=16 if policy.no_act_quant else 8
+        )
+        print(f"lm_head quantized at W{head_bits}", flush=True)
     print("generating + quantizing layer-by-layer...", flush=True)
     cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
@@ -192,10 +202,13 @@ def main():
     if os.environ.get("FLEXQ_BENCH_KV") == "int8":
         # 13B + bf16 B=4 cache exceeds 16 GB; int8 KV is the fitting config
         kv_kinds = ((jnp.int8, "kv_int8"),)
+    batches = tuple(
+        int(b) for b in os.environ.get("FLEXQ_BENCH_BS", "1,4").split(",")
+    )
     for cache_dtype, tag in kv_kinds:
         fn = decode_step_fn(cfg, policy, cache_dtype == jnp.int8)
         step = _Step(fn, cfg, cache_dtype)
-        for b in (1, 4):
+        for b in batches:
             for pos0 in (256, MAX_LEN - 68):
                 key = f"{tag}_B{b}_pos{pos0}"
                 print(f"bench {key} ...", flush=True)

@@ -151,3 +151,50 @@ def test_native_pack4_matches_python():
     # transposed (F-ordered) input must give identical planes
     plane_t, s_t = quant_pack4(np.asfortranarray(w))
     np.testing.assert_array_equal(plane_t, plane_n)
+
+
+def test_export_roundtrip_quantized_head(tmp_path):
+    """--head-bits packs lm_head.hi/.lo/.scale into embed.safetensors and
+    load_packed regroups them; logits match in-memory with_head quantization."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from flexq_tpu.config import QuantPolicy
+    from flexq_tpu.export import export_checkpoint, load_packed
+    from flexq_tpu.models import config_from_hf, from_hf_llama
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+
+    torch.manual_seed(2)
+    cfg_hf = LlamaConfig(
+        vocab_size=250,  # pads to 256 in the packed head; slicing must undo it
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg_hf).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    out_dir = tmp_path / "packed_head"
+    export_checkpoint(str(hf_dir), str(out_dir), head_bits=6)
+    cfg, policy, params = load_packed(str(out_dir))
+    assert policy.weight_bits["lm_head"] == 6
+    assert isinstance(params["lm_head"], dict) and "hi" in params["lm_head"]
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 250, (1, 6)))
+    got, _ = forward_serve(params, cfg, policy, ids)
+    assert got.shape == (1, 6, 250)
+
+    mem_params = quantize_params(
+        from_hf_llama(model, dtype=jnp.float32),
+        config_from_hf(model.config),
+        QuantPolicy.llama_flex().with_head(6, 8),
+        dtype=jnp.bfloat16,
+    )
+    want, _ = forward_serve(mem_params, config_from_hf(model.config), policy, ids)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.05, atol=0.05
+    )

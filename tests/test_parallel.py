@@ -496,3 +496,48 @@ def test_opt_tp_matches_single_device():
         cache_pos=jnp.int32(l), mask=decode_mask(jnp.int32(l), maxlen),
     )
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=3e-4, atol=3e-4)
+
+
+def test_tp_quantized_lm_head_matches_single_device():
+    """Vocab-parallel PACKED head: plane/scale shards split the padded vocab,
+    the tiled all_gather restores column order, and the pad columns (vocab
+    250 -> 256) are sliced off after the gather."""
+    torch.manual_seed(0)
+    hcfg = LlamaConfig(
+        vocab_size=250, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(hcfg).eval()
+    cfg = config_from_hf(m.config)
+    params = from_hf_llama(m, dtype=jnp.float32)
+    policy = QuantPolicy.llama_flex().with_head(6, 8)
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    assert isinstance(qparams["lm_head"], dict)
+    mesh = make_mesh(tp=2, dp=1)
+    sharded = shard_params(qparams, mesh)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 250, (1, 6)))
+    want, _ = forward_serve(qparams, cfg, policy, ids)
+    got, _ = forward_serve_tp(sharded, cfg, policy, ids, mesh)
+    assert got.shape == (1, 6, 250)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_pp_quantized_lm_head(quantized):
+    """PP replicates packed-head planes; prefill logits must match 1-device."""
+    from flexq_tpu.parallel.pp import forward_serve_pp, make_pipe_mesh, shard_params_pp
+
+    cfg, _, _ = quantized
+    _, params = tiny_model()
+    policy = QuantPolicy.llama_flex().with_head(6, 8)
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    mesh = make_pipe_mesh(2)
+    sharded = shard_params_pp(qparams, mesh)
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (2, 6)))
+    want, _ = forward_serve(qparams, cfg, policy, ids)
+    got = forward_serve_pp(sharded, cfg, policy, ids, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )

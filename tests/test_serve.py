@@ -244,3 +244,80 @@ def test_opt_engine_generate_with_cache():
         want.append(nxt)
         seq.append(nxt)
     assert out == want, (out, want)
+
+
+def _tiny_model_vocab(vocab):
+    """tiny_model with a non-128-multiple vocab to exercise pad slicing."""
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=vocab,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    return config_from_hf(m.config), from_hf_llama(m, dtype=jnp.float32)
+
+
+def test_quantized_lm_head_tracks_oracle():
+    """with_head(6, 8): packed vocab GEMM (exceeds parity — the reference's
+    lm_head stays fp16 in every int8_mode, Llama.cc:1090-1130) must track the
+    fake-quant oracle with the same tolerance as the body, and the padded
+    vocab columns must be sliced off (vocab 250 pads to 256 in the kernel)."""
+    cfg, params = _tiny_model_vocab(250)
+    policy = QuantPolicy.llama_flex().with_head(6, 8)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 250, (1, 8)))
+
+    oracle = np.asarray(
+        forward(fake_quant_weights(params, policy), cfg, ids, policy=policy)
+    )
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    assert isinstance(qparams["lm_head"], dict) and "hi" in qparams["lm_head"]
+    got, _ = forward_serve(qparams, cfg, policy, ids)
+    got = np.asarray(got)
+
+    assert got.shape == oracle.shape == (1, 8, 250)
+    denom = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / denom < 0.06
+    assert (got.argmax(-1) == oracle.argmax(-1)).mean() >= 0.75
+
+
+def test_weight_only_quantized_lm_head():
+    """W4A16 policy + W4 head (abits=16): the head must run the bf16-dequant
+    GEMM, not wrap 16-bit activations into an int8 container."""
+    cfg, params = _tiny_model_vocab(250)
+    policy = QuantPolicy.weight_only("llama", wbits=4).with_head(4, abits=16)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 250, (1, 6)))
+    oracle = np.asarray(
+        forward(fake_quant_weights(params, policy), cfg, ids, policy=policy)
+    )
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    assert "q4" in qparams["lm_head"]
+    got, _ = forward_serve(qparams, cfg, policy, ids)
+    got = np.asarray(got)
+    assert got.shape == (1, 6, 250)
+    denom = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / denom < 0.06
+    assert (got.argmax(-1) == oracle.argmax(-1)).mean() >= 0.75
+
+
+def test_quantized_lm_head_engine_decode():
+    """Incremental decode with a packed head equals the full-forward chain."""
+    cfg, params = _tiny_model_vocab(250)
+    policy = QuantPolicy.llama_flex().with_head(6, 8)
+    qparams = quantize_params(params, cfg, policy, dtype=jnp.float32)
+    eng = Engine(qparams, cfg, policy, max_seq_len=32, kv_dtype=jnp.float32)
+    prompt = [3, 17, 41]
+    out = eng.generate([prompt], max_new_tokens=5, eos_id=-1)[0]
+    seq = list(prompt)
+    want = []
+    for _ in range(5):
+        logits, _ = forward_serve(qparams, cfg, policy, jnp.asarray([seq]))
+        nxt = int(np.asarray(logits)[0, -1].argmax())
+        want.append(nxt)
+        seq.append(nxt)
+    assert out == want, (out, want)
