@@ -70,6 +70,18 @@ def shard_params_pp(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     )
 
 
+# Compiled-step caches: rebuilding shard_map per call would re-trace every
+# step (jit keys on callable identity). Keyed on the statics baked into the
+# traced body (shapes included — mb/l/nl_local are Python constants there).
+_PP_FN_CACHE: Dict[Any, Any] = {}
+
+
+def _pp_policy_key(policy: QuantPolicy):
+    from flexq_tpu.parallel.tp import _policy_key
+
+    return _policy_key(policy)
+
+
 def forward_serve_pp(
     params: Dict[str, Any],  # output of shard_params_pp
     cfg: ModelConfig,
@@ -158,6 +170,14 @@ def forward_serve_pp(
         out_specs=P(),
         check_vma=False,
     )
+    # cached-jit only for eager calls (see tp.py: eager shard_map re-traces
+    # every call; a nested jit perturbs outer-jit sharding propagation)
+    if not isinstance(ids, jax.core.Tracer):
+        key = ("prefill", mesh, cfg, _pp_policy_key(policy), m, ids.shape,
+               jax.tree_util.tree_structure(params))
+        if key not in _PP_FN_CACHE:
+            _PP_FN_CACHE[key] = jax.jit(fn)
+        fn = _PP_FN_CACHE[key]
     return fn(params, ids)
 
 
@@ -263,5 +283,11 @@ def decode_step_pp(
         out_specs=(P(), P("pipe"), P("pipe")),
         check_vma=False,
     )
+    if not isinstance(ids, jax.core.Tracer):
+        key = ("decode", mesh, cfg, _pp_policy_key(policy), ids.shape,
+               kv_k.shape, str(kv_k.dtype), jax.tree_util.tree_structure(params))
+        if key not in _PP_FN_CACHE:
+            _PP_FN_CACHE[key] = jax.jit(fn)
+        fn = _PP_FN_CACHE[key]
     logits, kv_k, kv_v = fn(params, ids, kv_k, kv_v, jnp.asarray(cache_pos, jnp.int32))
     return logits, (kv_k, kv_v)

@@ -239,6 +239,23 @@ def tp_forward_local(
     return logits, (tuple(pieces) if have else None)
 
 
+# Compiled-step cache for forward_serve_tp: rebuilding shard_map on every
+# call forces a full re-trace (jit caches key on callable identity), which
+# dominated eval/one-shot usage and the CPU-mesh test suite. Keyed on every
+# static that shapes the traced body; jax.jit handles shape-based retraces.
+_TP_FN_CACHE: Dict[Any, Any] = {}
+
+
+def _policy_key(policy: QuantPolicy):
+    return (
+        tuple(sorted(policy.weight_bits.items())),
+        tuple(sorted(policy.act_bits.items())),
+        policy.w_group_size,
+        policy.a_group_size,
+        policy.symmetric,
+    )
+
+
 def forward_serve_tp(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -299,40 +316,65 @@ def forward_serve_tp(
 
     sent = jnp.zeros((), jnp.int32)
 
-    def body(params, ids, kk, kv, ks, vs, table, pos, cp, m):
-        if not have_cache:
-            kv_t = None
-        elif paged and quant:
-            kv_t = ("paged8", kk, kv, ks, vs, table)
-        elif paged:
-            kv_t = ("paged", kk, kv, table)
-        elif quant:
-            kv_t = ("dense8", kk, kv, ks, vs)
-        else:
-            kv_t = ("dense", kk, kv)
-        logits, pieces = tp_forward_local(
-            params, cfg, lcfg, policy, ids, kv=kv_t,
-            positions=pos if have_pos else None,
-            cache_pos=cp if have_cp else None,
-            mask=m if have_mask else None,
-            prefill_bf16=prefill_bf16,
-        )
-        if pieces is None:
-            pieces = (sent, sent)
-        if len(pieces) == 2:
-            pieces = pieces + (sent, sent)
-        return (logits,) + tuple(pieces)
-
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            specs, P(data_ax, None), kv_spec, kv_spec, ks_spec, ks_spec,
-            P(), pos_spec, cp_spec, mask_spec,
-        ),
-        out_specs=(P(data_ax, None, None), kv_spec, kv_spec, ks_spec, ks_spec),
-        check_vma=False,
+    # Cache a JITTED step per static config: eager shard_map re-traces its
+    # body on every call (even for a reused callable), which dominated
+    # eval/one-shot usage — ~15s/call of interpret-mode trace on the CPU
+    # test mesh, ~0.2s cached. Only for EAGER calls: inside an outer trace
+    # (ids is a Tracer — e.g. the scheduler's jitted step) a nested jit
+    # perturbs sharding propagation onto the outer jit's uncommitted
+    # arguments, and the outer jit caches the trace anyway. Note compiled
+    # execution may differ from the eager path by float-fusion noise, which
+    # act-quant rounding can amplify to ~1e-2-of-max on isolated logits.
+    traced = isinstance(ids, jax.core.Tracer)
+    cache_key = (
+        mesh, cfg, _policy_key(policy), prefill_bf16, have_cache, paged,
+        quant, have_pos, have_cp, have_mask, data_ax, kv_spec, ks_spec,
+        pos_spec, cp_spec, mask_spec, jax.tree_util.tree_structure(params),
     )
+    fn = None if traced else _TP_FN_CACHE.get(cache_key)
+    if fn is None:
+
+        def body(params, ids, kk, kv, ks, vs, table, pos, cp, m):
+            if not have_cache:
+                kv_t = None
+            elif paged and quant:
+                kv_t = ("paged8", kk, kv, ks, vs, table)
+            elif paged:
+                kv_t = ("paged", kk, kv, table)
+            elif quant:
+                kv_t = ("dense8", kk, kv, ks, vs)
+            else:
+                kv_t = ("dense", kk, kv)
+            logits, pieces = tp_forward_local(
+                params, cfg, lcfg, policy, ids, kv=kv_t,
+                positions=pos if have_pos else None,
+                cache_pos=cp if have_cp else None,
+                mask=m if have_mask else None,
+                prefill_bf16=prefill_bf16,
+            )
+            if pieces is None:
+                pieces = (sent, sent)
+            if len(pieces) == 2:
+                pieces = pieces + (sent, sent)
+            return (logits,) + tuple(pieces)
+
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                specs, P(data_ax, None), kv_spec, kv_spec, ks_spec,
+                ks_spec, P(), pos_spec, cp_spec, mask_spec,
+            ),
+            out_specs=(
+                P(data_ax, None, None), kv_spec, kv_spec, ks_spec, ks_spec
+            ),
+            check_vma=False,
+        )
+        if not traced:
+            fn = jax.jit(fn)
+            if len(_TP_FN_CACHE) >= 64:  # bound a long-lived process's cache
+                _TP_FN_CACHE.clear()
+            _TP_FN_CACHE[cache_key] = fn
     logits, nk, nv, nks, nvs = fn(
         params, ids,
         kv_k if have_cache else sent, kv_v if have_cache else sent,
