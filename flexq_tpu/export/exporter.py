@@ -15,6 +15,11 @@ Layout:
                                   packed lm_head.hi/.lo/.scale with --head-bits)
     out/layer_{i}.safetensors     per linear: {name}.hi/.lo/.scale (+ .b),
                                   norms bf16
+With --tp N (the reference's pre-split per-rank layout,
+LlamaDecoderLayerWeight.cc:381-406): layer_{i}.rank{r}.safetensors and
+head.rank{r}.safetensors hold rank r's column/row shards, bit-identical to
+the slices parallel/tp.py shard_params places on rank r; load with
+``load_packed(dir, rank=r)`` so each host reads only its own slice.
 """
 
 from __future__ import annotations
@@ -46,6 +51,50 @@ def _pad_cols(a: np.ndarray, n_to: int) -> np.ndarray:
     return np.pad(a, ((0, 0), (0, n_to - a.shape[1])))
 
 
+# Tensor-parallel split rules, matching parallel/tp.py param_specs: column
+# linears (and the vocab-parallel head) split the output dim, row linears
+# split the contraction dim, row biases stay replicated (added post-psum).
+# Slicing PACKED planes is exact because the pack6/pack4 layouts are
+# K-tile-local (kt=128): any 128-row K range maps to a contiguous plane-row
+# range, and N is untouched by packing.
+_COL_SPLIT = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "fc1", "lm_head")
+_ROW_SPLIT = ("o_proj", "down_proj", "fc2")
+
+
+def _rank_slice(key: str, a: np.ndarray, tp: int, r: int) -> np.ndarray:
+    """Slice one exported tensor (dotted key) to TP rank ``r``."""
+    if "." not in key:
+        return a  # norms: replicated
+    name, part = key.split(".", 1)
+    if name in _COL_SPLIT:
+        ax = 0 if part == "b" else 1
+    elif name in _ROW_SPLIT:
+        if part == "b":
+            return a
+        ax = 0
+    else:
+        return a
+    assert a.shape[ax] % tp == 0, (key, a.shape, tp)
+    c = a.shape[ax] // tp
+    sl = [slice(None)] * a.ndim
+    sl[ax] = slice(r * c, (r + 1) * c)
+    return a[tuple(sl)]
+
+
+def _rank_concat(key: str, shards) -> np.ndarray:
+    """Inverse of :func:`_rank_slice` (reassemble a full tensor)."""
+    if "." not in key:
+        return shards[0]
+    name, part = key.split(".", 1)
+    if name in _COL_SPLIT:
+        ax = 0 if part == "b" else 1
+    elif name in _ROW_SPLIT and part != "b":
+        ax = 0
+    else:
+        return shards[0]
+    return np.concatenate(shards, axis=ax)
+
+
 def _emit_packed(out: Dict[str, np.ndarray], name: str, w: np.ndarray, bits: int):
     """Quantize+pack one [K, N] matrix into `out` under dotted keys."""
     if bits == 6:
@@ -74,6 +123,7 @@ def export_checkpoint(
     wbits: int = 6,
     abits: int = 6,
     head_bits: int = 0,
+    tp: int = 1,
 ) -> None:
     from safetensors import safe_open
     from safetensors.numpy import save_file
@@ -145,8 +195,21 @@ def export_checkpoint(
                 w = _pad_cols(w, n_to)
             _emit_packed(out, name, w, spec_bits)
         # safetensors writes raw buffers stride-blind: force C-contiguous
-        out = {k2: np.ascontiguousarray(v2) for k2, v2 in out.items()}
-        save_file(out, os.path.join(out_dir, f"layer_{i}.safetensors"))
+        if tp == 1:
+            out = {k2: np.ascontiguousarray(v2) for k2, v2 in out.items()}
+            save_file(out, os.path.join(out_dir, f"layer_{i}.safetensors"))
+        else:
+            # per-rank shard files (the reference stores weights pre-split
+            # per TP rank, LlamaDecoderLayerWeight.cc:381-406 — each host
+            # loads only its shard at 70B scale)
+            for r in range(tp):
+                shard = {
+                    k2: np.ascontiguousarray(_rank_slice(k2, v2, tp, r))
+                    for k2, v2 in out.items()
+                }
+                save_file(
+                    shard, os.path.join(out_dir, f"layer_{i}.rank{r}.safetensors")
+                )
         print(f"layer {i + 1}/{cfg.num_layers} exported", flush=True)
 
     top: Dict[str, np.ndarray] = {
@@ -156,17 +219,35 @@ def export_checkpoint(
     if "lm_head.weight" in tensors and not cfg.tie_word_embeddings:
         hw = t("lm_head.weight", transpose=True)  # [H, V]
         head_wbits = policy.weight_bits.get("lm_head", 16)
+        head: Dict[str, np.ndarray] = {}
         if head_wbits < 16:
             v = hw.shape[1]
             hw = _pad_cols(hw, v + ((-v) % (1024 if v >= 2048 else 128)))
-            _emit_packed(top, "lm_head", hw, head_wbits)
+            _emit_packed(head, "lm_head", hw, head_wbits)
         else:
-            top["lm_head"] = _np_bf16(hw)
+            head["lm_head"] = _np_bf16(hw)
+        if tp == 1:
+            top.update(head)
+        else:
+            # vocab-parallel head shards (reference Llama.cc:1090-1130)
+            for r in range(tp):
+                shard = {
+                    (k2 if "." in k2 else "lm_head.w"): np.ascontiguousarray(
+                        _rank_slice(
+                            k2 if "." in k2 else "lm_head.w", v2, tp, r
+                        )
+                    )
+                    for k2, v2 in head.items()
+                }
+                save_file(
+                    shard, os.path.join(out_dir, f"head.rank{r}.safetensors")
+                )
     top = {k2: np.ascontiguousarray(v2) for k2, v2 in top.items()}
     save_file(top, os.path.join(out_dir, "embed.safetensors"))
 
     meta = {
         "format_version": FORMAT_VERSION,
+        "tensor_parallel": tp,
         "config": dataclasses.asdict(cfg),
         "policy": {
             "weight_bits": policy.weight_bits,
@@ -180,8 +261,15 @@ def export_checkpoint(
         json.dump(meta, f, indent=2)
 
 
-def load_packed(out_dir: str):
-    """Load an exported directory -> (cfg, policy, serve params pytree)."""
+def load_packed(out_dir: str, rank: Optional[int] = None):
+    """Load an exported directory -> (cfg, policy, serve params pytree).
+
+    For a tensor-parallel export (``--tp N``): ``rank=r`` loads ONLY rank
+    r's shard files — the multi-host pattern where each process reads its
+    own slice (reference LlamaDecoderLayerWeight::loadModel per-rank bins).
+    ``rank=None`` reassembles the full tree by concatenation (single-host
+    use, tests).
+    """
     import jax.numpy as jnp
     from safetensors import safe_open
 
@@ -190,6 +278,9 @@ def load_packed(out_dir: str):
     assert meta["format_version"] == FORMAT_VERSION, (
         f"packed format v{meta['format_version']} != v{FORMAT_VERSION}"
     )
+    tp = meta.get("tensor_parallel", 1)
+    if tp == 1:
+        assert rank in (None, 0), f"rank={rank} on a tp=1 export"
     cfg = ModelConfig(**meta["config"])
     pol = meta["policy"]
     policy = QuantPolicy(
@@ -207,7 +298,30 @@ def load_packed(out_dir: str):
                 out[key] = jnp.asarray(f.get_tensor(key))
         return out
 
+    def load_flat(stem: str) -> Dict[str, Any]:
+        """Read one logical file: plain (tp=1), one rank's shard, or the
+        rank shards reassembled by concatenation (tp>1, rank=None)."""
+        if tp == 1:
+            path = os.path.join(out_dir, f"{stem}.safetensors")
+            return load_file(path) if os.path.exists(path) else {}
+        paths = [
+            os.path.join(out_dir, f"{stem}.rank{r}.safetensors")
+            for r in range(tp)
+        ]
+        if not os.path.exists(paths[0]):
+            return {}
+        if rank is not None:
+            return load_file(paths[rank])
+        per_rank = [load_file(p) for p in paths]
+        return {
+            key: jnp.asarray(
+                _rank_concat(key, [np.asarray(pr[key]) for pr in per_rank])
+            )
+            for key in per_rank[0]
+        }
+
     top = load_file(os.path.join(out_dir, "embed.safetensors"))
+    top.update(load_flat("head"))
     params: Dict[str, Any] = {
         "embed": top["embed"],
         "final_norm": top["final_norm"],
@@ -222,9 +336,10 @@ def load_packed(out_dir: str):
             if key.startswith("lm_head.")
         }
         if head:
-            params["lm_head"] = head
+            # a tp-sharded bf16 head round-trips as {"w": ...}: unwrap it
+            params["lm_head"] = head["w"] if set(head) == {"w"} else head
     for i in range(cfg.num_layers):
-        flat = load_file(os.path.join(out_dir, f"layer_{i}.safetensors"))
+        flat = load_flat(f"layer_{i}")
         lp: Dict[str, Any] = {}
         for key, val in flat.items():
             if "." in key:
@@ -252,10 +367,15 @@ def main():
         help="quantize the lm_head at this width (0 = keep bf16; exceeds "
         "reference parity — its vocab GEMM stays fp16 in every int8_mode)",
     )
+    ap.add_argument(
+        "--tp", type=int, default=1,
+        help="write per-rank tensor-parallel shard files (the reference's "
+        "pre-split per-rank weight layout; load with load_packed(rank=r))",
+    )
     args = ap.parse_args()
     export_checkpoint(
         args.model_dir, args.out, args.policy, args.wbits, args.abits,
-        head_bits=args.head_bits,
+        head_bits=args.head_bits, tp=args.tp,
     )
 
 

@@ -36,6 +36,10 @@ def main():
         print("policy: uniform W4A8", flush=True)
     else:
         policy = QuantPolicy.llama_flex()
+    head_bits = int(os.environ.get("FLEXQ_BENCH_HEAD", "0"))
+    if head_bits:  # packed vocab GEMM (QuantPolicy.with_head)
+        policy = policy.with_head(head_bits, abits=8)
+        print(f"lm_head quantized at W{head_bits}", flush=True)
     cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
     for kv_dtype, tag in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
