@@ -351,6 +351,68 @@ def load_packed(out_dir: str, rank: Optional[int] = None):
     return cfg, policy, params
 
 
+def load_packed_sharded(out_dir: str, mesh):
+    """Multi-host weight loading: assemble mesh-sharded params from a
+    ``--tp N`` export, each process reading ONLY the rank shards its local
+    devices own (the reference's per-rank loadModel pattern — at 70B no
+    host ever touches the full weight set). Works single-process too.
+
+    The mesh's `model` axis size must equal the export's tp. Returns
+    (cfg, policy, params) where every leaf is a global jax.Array sharded
+    per parallel/tp.py param_specs (column/row/vocab splits, replicated
+    norms) — directly usable by forward_serve_tp / Engine(mesh=...).
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    from flexq_tpu.parallel.tp import param_specs
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    tp = meta.get("tensor_parallel", 1)
+    assert mesh.shape["model"] == tp, (
+        f"mesh model axis {mesh.shape['model']} != export tp {tp}"
+    )
+    dev = mesh.devices  # (dp, tp) — or (tp,) for a pure-TP mesh
+    if dev.ndim == 1:
+        dev = dev[None]
+    coords = {
+        dev[di, ti]: (di, ti)
+        for di in range(dev.shape[0])
+        for ti in range(dev.shape[1])
+    }
+    local = [d for d in dev.flatten() if d.process_index == jax.process_index()]
+    ranks = sorted({coords[d][1] for d in local})
+    trees = {}
+    cfg = policy = None
+    for r in ranks:
+        cfg, policy, trees[r] = load_packed(out_dir, rank=r if tp > 1 else None)
+
+    specs = param_specs(trees[ranks[0]])
+
+    def assemble(spec, *shards):
+        # axis carrying "model" in the spec = the split dim; None = replicated
+        ax = next((i for i, s in enumerate(spec) if s == "model"), None)
+        lshape = shards[0].shape
+        gshape = list(lshape)
+        if ax is not None:
+            gshape[ax] *= tp
+        bufs = []
+        for d in local:
+            _, ti = coords[d]
+            piece = shards[ranks.index(ti)] if ax is not None else shards[0]
+            bufs.append(jax.device_put(piece, d))
+        return jax.make_array_from_single_device_arrays(
+            tuple(gshape), NamedSharding(mesh, spec), bufs
+        )
+
+    params = jax.tree_util.tree_map(
+        assemble, specs, *(trees[r] for r in ranks),
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+    )
+    return cfg, policy, params
+
+
 def main():
     # The exporter is pure host work; never claim (or wait on) a TPU.
     import jax

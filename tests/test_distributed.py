@@ -104,3 +104,54 @@ def test_two_process_replicated_serving():
         assert p.returncode == 0, f"process {i} failed:\n{out}"
     assert "REPLICATED_OK leader" in outs[0], outs[0]
     assert "REPLICATED_OK follower" in outs[1], outs[1]
+
+
+def test_two_process_sharded_weight_loading(tmp_path):
+    """Each process loads ONLY its TP rank's shard files (exporter --tp 2 +
+    load_packed_sharded) and the spanning-mesh TP forward matches the
+    single-device forward — the 70B multi-host weight-loading pattern."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp  # noqa: F401
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from flexq_tpu.export import export_checkpoint
+
+    torch.manual_seed(5)
+    cfg_hf = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg_hf).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+    packed = tmp_path / "tp2"
+    export_checkpoint(str(hf_dir), str(packed), head_bits=6, tp=2)
+
+    port = _free_port()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_sharded_load_child.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), str(port), str(packed)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=root, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"SHARDED_LOAD_OK process={i}" in out, out

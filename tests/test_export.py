@@ -265,3 +265,43 @@ def test_export_tp_rank_shards(tmp_path):
     # same tolerance as the other export round-trip comparisons
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.08)
     assert (got.argmax(-1) == want.argmax(-1)).mean() >= 0.95
+
+
+def test_load_packed_sharded_mesh(tmp_path):
+    """load_packed_sharded assembles mesh-sharded params from rank files
+    (each process reads only its local ranks' shards) and serves the same
+    logits as shard_params over the assembled full tree."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from flexq_tpu.export import export_checkpoint, load_packed
+    from flexq_tpu.export.exporter import load_packed_sharded
+    from flexq_tpu.models.quantized import forward_serve
+    from flexq_tpu.parallel import forward_serve_tp, make_mesh, shard_params
+
+    torch.manual_seed(4)
+    cfg_hf = LlamaConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg_hf).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(hf_dir, safe_serialization=True)
+    out = tmp_path / "tp2"
+    export_checkpoint(str(hf_dir), str(out), head_bits=6, tp=2)
+
+    mesh = make_mesh(tp=2, dp=2)
+    cfg, policy, params = load_packed_sharded(str(out), mesh)
+
+    # every leaf is a committed global array on the mesh
+    leaf = params["layers"][0]["q_proj"]["hi"]
+    assert leaf.shape == (256, 512)  # full [K/2, N] with N reassembled
+    assert leaf.sharding.mesh.shape["model"] == 2
+
+    # parity vs loading the full tree and sharding it
+    _, _, full = load_packed(str(out))
+    ids = jnp.asarray(np.random.default_rng(9).integers(0, 256, (2, 5)))
+    want, _ = forward_serve_tp(shard_params(full, mesh), cfg, policy, ids, mesh)
+    got, _ = forward_serve_tp(params, cfg, policy, ids, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
