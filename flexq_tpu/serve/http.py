@@ -653,7 +653,21 @@ def main():
 
         mesh = process_mesh(tp=args.tp, dp=args.dp)
 
-    cfg, policy, params = load_packed(args.checkpoint)
+    import os
+
+    with open(os.path.join(args.checkpoint, "meta.json")) as f:
+        ckpt_tp = json.load(f).get("tensor_parallel", 1)
+    if mesh is not None and ckpt_tp > 1:
+        # per-rank shard files: every process reads only the ranks its local
+        # devices own (exporter --tp N; the 70B multi-host loading pattern)
+        from flexq_tpu.export.exporter import load_packed_sharded
+
+        cfg, policy, params = load_packed_sharded(args.checkpoint, mesh)
+    else:
+        assert ckpt_tp == 1, (
+            f"checkpoint is tp={ckpt_tp}-sharded: serve it with --tp {ckpt_tp}"
+        )
+        cfg, policy, params = load_packed(args.checkpoint)
     sched = BatchScheduler(
         params,
         cfg,

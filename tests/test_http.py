@@ -108,3 +108,51 @@ def test_http_metrics_endpoint():
     finally:
         service.shutdown()
         server.shutdown()
+
+
+def test_http_serving_from_tp_sharded_checkpoint(tmp_path):
+    """The HTTP CLI load path for a --tp export: load_packed_sharded onto a
+    mesh, BatchScheduler(mesh=...), serve — generations must match a
+    single-device scheduler over the full checkpoint."""
+    from flexq_tpu.export import export_checkpoint, load_packed
+    from flexq_tpu.export.exporter import load_packed_sharded
+    from flexq_tpu.parallel import make_mesh
+
+    torch.manual_seed(6)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    m.save_pretrained(hf_dir, safe_serialization=True)
+    packed = tmp_path / "tp2"
+    export_checkpoint(str(hf_dir), str(packed), tp=2)
+
+    # reference: the same mesh over the full reassembled tree (identical
+    # arrays + shardings => identical executable => identical tokens; a
+    # single-DEVICE reference would differ by bf16 near-tie argmax flips
+    # between the eager and compiled paths)
+    mcfg, policy, full = load_packed(str(packed))
+    mesh = make_mesh(tp=2, dp=1)
+    ref = BatchScheduler(
+        full, mcfg, policy, num_slots=2, max_seq_len=48, mesh=mesh
+    )
+    a = ref.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1)
+    want = ref.run()[a]
+
+    _, _, params = load_packed_sharded(str(packed), mesh)
+    sched = BatchScheduler(
+        params, mcfg, policy, num_slots=2, max_seq_len=48, mesh=mesh
+    )
+    server, service, port = serve_background(sched)
+    try:
+        got = _post(
+            port, "/generate",
+            {"prompt_ids": [1, 5, 9], "max_new_tokens": 5, "eos_id": -1},
+        )
+        assert got["tokens"] == want, (got, want)
+    finally:
+        service.shutdown()
+        server.shutdown()
