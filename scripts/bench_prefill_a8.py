@@ -45,10 +45,27 @@ def main():
             lambda a, b, c, d: w6_matmul_bf16(a, b, c, d, out_dtype=jnp.bfloat16),
             (xb, hi, lo, ws), iters=30, reps=5,
         )
-        t8 = bench_fn(
-            lambda a, b, c, d, e: w6_matmul(a, b, c, d, e, out_dtype=jnp.bfloat16),
-            (xq, xs, hi, lo, ws), iters=30, reps=5,
-        )
+        t8 = None
+        best = None
+        for bm, bn, bk in ((256, 2048, 512), (256, 1024, 512), (512, 1024, 512),
+                           (512, 2048, 256), (256, 2048, 256), (128, 2048, 512)):
+            if n % bn or k % bk:
+                continue
+            try:
+                t = bench_fn(
+                    lambda a, b, c, d, e: w6_matmul(
+                        a, b, c, d, e, out_dtype=jnp.bfloat16,
+                        block_m=bm, block_n=bn, block_k=bk,
+                    ),
+                    (xq, xs, hi, lo, ws), iters=30, reps=3,
+                )
+            except Exception as e:  # VMEM OOM configs
+                print(f"  ({bm},{bn},{bk}) failed: {str(e)[:80]}", flush=True)
+                continue
+            print(f"  ({bm},{bn},{bk}): {t*1e6:.0f}us", flush=True)
+            if t8 is None or t < t8:
+                t8, best = t, (bm, bn, bk)
+        print(f"  best A8 config {best}", flush=True)
         # producer cost the A8 path adds (fused quant of the bf16 input)
         tq = bench_fn(lambda a: quant_act(a, 8)[0], (xb,), iters=30, reps=5)
         flops = 2 * m * k * n
