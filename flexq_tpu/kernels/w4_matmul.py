@@ -116,7 +116,7 @@ def w4_matmul(
     if interpret is None:
         interpret = use_interpret()
 
-    abm, abn, abk = _pick_blocks(m, n, k)
+    abm, abn, abk = _pick_blocks(m, n, k, exact_int=True)
     bm = block_m or abm
     bn = block_n or abn
     bk = block_k or abk

@@ -126,10 +126,17 @@ def _w6_matmul_kernel(
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _pick_blocks(m: int, n: int, k: int):
+def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False):
     """Block-size selection: measured dispatch table first (autotune.py),
     then the shape heuristic (replaces the reference's 325-config library +
-    per-M-bucket table, flexq_gemm_wrapper.cu:53-86)."""
+    per-M-bucket table, flexq_gemm_wrapper.cu:53-86).
+
+    ``exact_int`` marks the A8 kernel (int8-act, int32 group partials): its
+    per-group int32 partial tile doubles the VMEM scratch vs the bf16-act
+    variant, so large-M blocks must shrink — (512, 2048, 512) busts the
+    16 MB scoped-vmem limit there (measured: quantized-lm_head prefill and
+    scripts/bench_prefill_a8.py; (512, 2048, 256) fits and swept fastest).
+    """
     from flexq_tpu.kernels import autotune
 
     tuned = autotune.lookup(m, k, n)
@@ -152,7 +159,7 @@ def _pick_blocks(m: int, n: int, k: int):
         # wide bn (2048) and bk=512 runs 162-172 TF vs ~135-150 for the old
         # (1024, 512, 256) choice — wider N amortizes the in-kernel weight
         # dequant across more MXU work per block. f32 acc 512x2048 = 4 MB.
-        bk = largest_divisor_tile(k, cap=512)
+        bk = largest_divisor_tile(k, cap=256 if exact_int else 512)
         bm = min(512, round_up(m, 256))
         bn = largest_divisor_tile(n, cap=2048)
     return bm, bn, bk
@@ -209,7 +216,7 @@ def w6_matmul(
             interpret=interpret,
         )
 
-    abm, abn, abk = _pick_blocks(m, n, k)
+    abm, abn, abk = _pick_blocks(m, n, k, exact_int=True)
     bm = block_m or abm
     bn = block_n or abn
     bk = block_k or abk

@@ -376,6 +376,72 @@ class Engine:
         when its conditioning was satisfied. Count-based penalties are not
         supported here (window positions would need evolving counts).
         """
+        if self.mesh is None:
+            verify = lambda ids, cache_t, start: self._spec_forward(
+                params, ids, cache_t, start
+            )
+            return self._spec_loop_body(
+                verify, logits0, cache, buf, prompt_len, key,
+                k, max_new, stop_ids, max_ngram, sampling,
+            )
+
+        # mesh: the whole draft/verify/accept while_loop runs INSIDE
+        # shard_map (same structure as _decode_loop's mesh path) — each rank
+        # carries its local cache/param shards, the per-layer psums ride
+        # ICI, and the scalar accept/stop logic runs rank-redundantly
+        from jax.sharding import PartitionSpec as P
+
+        from flexq_tpu.parallel.tp import _local_cfg, param_specs, tp_forward_local
+
+        mesh = self.mesh
+        assert mesh.shape.get("data", 1) == 1, "spec mode: dp=1 (B=1 loop)"
+        lcfg = _local_cfg(self.cfg, mesh.shape["model"])
+        specs = param_specs(params)
+        quant = len(cache) == 4
+        head_ax = "model" if self.cfg.num_kv_heads >= mesh.shape["model"] else None
+        kv_spec = P(None, None, head_ax, None, None)
+        ks_spec = P(None, None, head_ax, None)
+        cache_specs = (kv_spec, kv_spec) + ((ks_spec, ks_spec) if quant else ())
+
+        def mesh_body(params, logits0, buf, prompt_len, key, *cache_t):
+            def verify(ids, cache_i, start):
+                b, c = ids.shape
+                positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
+                qi = start + jnp.arange(c)[:, None]
+                ki = jnp.arange(self.max_seq_len)[None, :]
+                mask = jnp.where(
+                    ki <= qi, 0.0, jnp.finfo(jnp.float32).min
+                )[None, None]
+                logits, pieces = tp_forward_local(
+                    params, self.cfg, lcfg, self.policy, ids,
+                    kv=("dense8" if quant else "dense",) + tuple(cache_i),
+                    positions=positions, cache_pos=start, mask=mask,
+                )
+                return logits, pieces
+
+            buf, length, steps, acc, cache_o = self._spec_loop_body(
+                verify, logits0, cache_t, buf, prompt_len, key,
+                k, max_new, stop_ids, max_ngram, sampling,
+            )
+            return (buf, length, steps, acc) + tuple(cache_o)
+
+        fn = jax.shard_map(
+            mesh_body,
+            mesh=mesh,
+            in_specs=(specs, P(), P(), P(), P()) + cache_specs,
+            out_specs=(P(), P(), P(), P()) + cache_specs,
+            check_vma=False,
+        )
+        out = fn(params, logits0, buf, jnp.int32(prompt_len), key, *cache)
+        return out[0], out[1], out[2], out[3], out[4:]
+
+    def _spec_loop_body(
+        self, verify, logits0, cache, buf, prompt_len, key,
+        k: int, max_new: int, stop_ids, max_ngram: int,
+        sampling: SamplingParams,
+    ):
+        """The fused spec while_loop; ``verify`` runs one [1, 1+k] window
+        forward and returns (logits [1, 1+k, V], new cache pieces)."""
         from flexq_tpu.serve.speculative import ngram_draft_device
 
         stop_arr = jnp.asarray(sorted(set(stop_ids)), jnp.int32)
@@ -402,11 +468,10 @@ class Engine:
             draft = ngram_draft_device(buf, length, k, max_ngram)
             last = jax.lax.dynamic_index_in_dim(buf, length - 1, keepdims=False)
             ids = jnp.concatenate([last[None], draft])[None]  # [1, 1+k]
+            logits_w, cache = verify(ids, cache, length - 1)
             if sampling.greedy:
-                targets, cache = self._spec_verify(params, ids, cache, length - 1)
-                t = targets[0]  # [1+k]
+                t = jnp.argmax(logits_w[0], axis=-1).astype(jnp.int32)  # [1+k]
             else:
-                logits_w, cache = self._spec_forward(params, ids, cache, length - 1)
                 proc = process_logits(
                     logits_w[0].astype(jnp.float32), sampling
                 )  # rows = window positions (independent given the draft)
@@ -457,7 +522,10 @@ class Engine:
             # exact sampling (emitted tokens are the model's own samples;
             # count penalties unsupported in sampled mode)
             assert not return_logprobs, "logprobs unsupported in spec mode"
-            assert self.mesh is None, "spec mode is single-device (B=1 loop)"
+            if self.mesh is not None:
+                # fused spec loop runs under the mesh (shard_map around the
+                # while_loop); dp must be 1 since spec is a B=1 loop
+                assert self.mesh.shape.get("data", 1) == 1, "spec mode: dp=1"
             from flexq_tpu.serve.speculative import generate_speculative
 
             return generate_speculative(

