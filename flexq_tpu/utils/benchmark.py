@@ -61,12 +61,32 @@ def bench_fn(
         float(run(args))
         return time.perf_counter() - t0
 
-    deltas = []
-    for _ in range(reps):
-        t_lo = timed(run_lo)
-        t_hi = timed(run_hi)
-        deltas.append((t_hi - t_lo) / (hi_iters - lo_iters))
-    return max(sorted(deltas)[len(deltas) // 2], 1e-9)
+    def med(v):
+        return sorted(v)[len(v) // 2]
+
+    # Median the lo and hi POPULATIONS separately, then difference the
+    # medians. Per-pair deltas (the old statistic) are fragile: one axon
+    # stall on a single lo run makes that pair's delta <= 0, and with few
+    # reps the median collapses to ~0 — observed as "0us / 52770x" entries
+    # that poison the headline average. A stall inflates one sample of one
+    # population; the population median shrugs it off.
+    los, his = [], []
+    for _ in range(reps):  # interleaved: tunnel drift hits both populations
+        los.append(timed(run_lo))
+        his.append(timed(run_hi))
+    delta = med(his) - med(los)
+    if delta <= 0:
+        # pathological stall pattern: one fresh round of samples
+        for _ in range(reps):
+            los.append(timed(run_lo))
+            his.append(timed(run_hi))
+        delta = med(his) - med(los)
+    if delta <= 0:
+        # give up on the marginal estimate; report the absolute per-iter
+        # time of the big loop (includes dispatch overhead: conservative,
+        # can only UNDERSTATE a speedup, never fabricate one)
+        return med(his) / hi_iters
+    return delta / (hi_iters - lo_iters)
 
 
 def bandwidth_gbs(nbytes: int, seconds: float) -> float:
