@@ -42,7 +42,11 @@ def main():
         print(f"lm_head quantized at W{head_bits}", flush=True)
     cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
-    for kv_dtype, tag in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
+    kv_kinds = ((jnp.bfloat16, "bf16"), (jnp.int8, "int8"))
+    if os.environ.get("FLEXQ_BENCH_KV") == "int8":
+        # 13B: bf16 B=4 caches + W6 weights exceed the 16 GB chip
+        kv_kinds = ((jnp.int8, "int8"),)
+    for kv_dtype, tag in kv_kinds:
         eng = Engine(qparams, cfg, policy, max_seq_len=2048, kv_dtype=kv_dtype)
         for b in (1, 4):
             prompts = [[1] * 128 for _ in range(b)]
