@@ -57,6 +57,7 @@ def main():
                 iters=100 if quick else 300,
                 reps=3 if quick else 7,
             )
+            fb_q = bench_fn.last_fallback
             xb = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
             wb = jnp.asarray(wq, jnp.bfloat16)
             t_b = bench_fn(
@@ -65,10 +66,17 @@ def main():
                 iters=100 if quick else 300,
                 reps=3 if quick else 7,
             )
+            fb_b = bench_fn.last_fallback
             sp = t_b / t_q
             speedups.append(sp)
+            note = ""
+            if fb_b:  # baseline overstated -> ratio inflated: flag loudly
+                note = " [FALLBACK on bf16 side: ratio may be inflated]"
+            elif fb_q:  # candidate overstated -> ratio understated: benign
+                note = " [fallback on w6 side: ratio conservative]"
             details.append(
                 f"M={m} K={k} N={n}: w6 {t_q*1e6:.0f}us bf16 {t_b*1e6:.0f}us {sp:.2f}x"
+                + note
             )
             print(details[-1], file=sys.stderr, flush=True)
 

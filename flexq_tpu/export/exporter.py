@@ -142,11 +142,22 @@ def export_checkpoint(
     else:
         raise ValueError(policy_name)
     if head_bits:
-        # quantized lm_head (exceeds parity — the reference's stays fp16);
-        # weight-only policies keep the head input at 16-bit too
-        policy = policy.with_head(
-            head_bits, abits=16 if policy.no_act_quant else 8
-        )
+        if cfg.tie_word_embeddings:
+            # no lm_head tensor exists to export (serving falls back to
+            # embed.T); recording head bits in meta.json would claim a
+            # quantized head that was never written
+            import warnings
+
+            warnings.warn(
+                "--head-bits ignored: model ties word embeddings, so there "
+                "is no separate lm_head tensor to quantize/export"
+            )
+        else:
+            # quantized lm_head (exceeds parity — the reference's stays
+            # fp16); weight-only policies keep the head input at 16-bit too
+            policy = policy.with_head(
+                head_bits, abits=16 if policy.no_act_quant else 8
+            )
 
     os.makedirs(out_dir, exist_ok=True)
 

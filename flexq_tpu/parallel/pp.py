@@ -176,6 +176,8 @@ def forward_serve_pp(
         key = ("prefill", mesh, cfg, _pp_policy_key(policy), m, ids.shape,
                jax.tree_util.tree_structure(params))
         if key not in _PP_FN_CACHE:
+            if len(_PP_FN_CACHE) >= 64:  # bound a long-lived process's cache
+                _PP_FN_CACHE.clear()
             _PP_FN_CACHE[key] = jax.jit(fn)
         fn = _PP_FN_CACHE[key]
     return fn(params, ids)
@@ -287,6 +289,8 @@ def decode_step_pp(
         key = ("decode", mesh, cfg, _pp_policy_key(policy), ids.shape,
                kv_k.shape, str(kv_k.dtype), jax.tree_util.tree_structure(params))
         if key not in _PP_FN_CACHE:
+            if len(_PP_FN_CACHE) >= 64:  # bound a long-lived process's cache
+                _PP_FN_CACHE.clear()
             _PP_FN_CACHE[key] = jax.jit(fn)
         fn = _PP_FN_CACHE[key]
     logits, kv_k, kv_v = fn(params, ids, kv_k, kv_v, jnp.asarray(cache_pos, jnp.int32))

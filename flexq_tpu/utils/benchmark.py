@@ -48,6 +48,7 @@ def bench_fn(
     The marginal baseline uses iters/5 (not 1) so that ±ms round-trip noise
     is divided by a large iteration delta — essential for sub-100µs kernels.
     """
+    bench_fn.last_fallback = False
     args = tuple(args)
     lo_iters, hi_iters = max(1, iters // 5), iters
     run_lo = _make_loop(fn, lo_iters)
@@ -82,11 +83,27 @@ def bench_fn(
             his.append(timed(run_hi))
         delta = med(his) - med(los)
     if delta <= 0:
-        # give up on the marginal estimate; report the absolute per-iter
-        # time of the big loop (includes dispatch overhead: conservative,
-        # can only UNDERSTATE a speedup, never fabricate one)
+        # Give up on the marginal estimate; report the absolute per-iter
+        # time of the big loop (includes dispatch overhead). NOTE: this
+        # OVERSTATES the measured fn's time — conservative when it fires on
+        # the candidate kernel, but if it fires on the BASELINE side of a
+        # ratio the ratio is inflated. Flag it so harnesses (bench.py) can
+        # exclude or annotate the shape instead of silently mixing marginal
+        # and absolute estimates into one average.
+        bench_fn.last_fallback = True
+        print(
+            "bench_fn: marginal estimate failed (persistent stall); "
+            "falling back to absolute per-iter time",
+            file=__import__("sys").stderr,
+            flush=True,
+        )
         return med(his) / hi_iters
     return delta / (hi_iters - lo_iters)
+
+
+# True when the most recent bench_fn call used the absolute-time fallback
+# instead of the marginal estimate; callers reset it before measuring.
+bench_fn.last_fallback = False
 
 
 def bandwidth_gbs(nbytes: int, seconds: float) -> float:
