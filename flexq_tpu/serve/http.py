@@ -621,6 +621,12 @@ def main():
         help="reuse identical prompt-prefix pages across requests (paged only)",
     )
     ap.add_argument(
+        "--fused-tick", type=int, default=8,
+        help="decode steps fused into one device dispatch when every active "
+             "slot is decoding (0 = per-token ticks); bounds admission "
+             "latency to fused_tick steps",
+    )
+    ap.add_argument(
         "--tokenizer", default=None,
         help="local HF tokenizer dir for the /v1 text endpoints "
              "(default: byte-level fallback)",
@@ -680,6 +686,7 @@ def main():
         prefill_chunk=args.prefill_chunk,
         prefix_cache=args.prefix_cache,
         mesh=mesh,
+        fused_tick=args.fused_tick,
     )
     import jax as _jax
 

@@ -28,7 +28,7 @@ import numpy as np
 from flexq_tpu.config import ModelConfig, QuantPolicy
 from flexq_tpu.models.quantized import forward_serve
 from flexq_tpu.serve.engine import prefill_mask
-from flexq_tpu.serve.sampling import SamplingParams, process_logits, sample
+from flexq_tpu.serve.sampling import NEG_INF, SamplingParams, process_logits, sample
 
 
 def _cache_spec(cfg, mesh, scales: bool = False, batch_ax=None):
@@ -130,6 +130,7 @@ class BatchScheduler:
         prefill_chunk: Optional[int] = None,
         mesh=None,
         prefix_cache: bool = False,
+        fused_tick: int = 0,
     ):
         # mesh => multi-device serving: params TP-sharded (column/row split),
         # KV cache / page pool (values AND int8 scales) sharded on the
@@ -235,6 +236,18 @@ class BatchScheduler:
         else:
             self._step_jit = jax.jit(self._step_fn, donate_argnums=(2, 3))
         self._prefill_cache: Dict[int, Any] = {}
+        # fused multi-step decode ticks: when every active slot is decoding
+        # (no prefill chunk pending, no beam group) and all share one
+        # SamplingParams, run `fused_tick` decode steps inside ONE on-device
+        # lax.while_loop per host tick — per-slot eos/budget masking on
+        # device, up to fused_tick tokens surfaced per slot per dispatch.
+        # This brings the Engine fused loop's ~0.8 ms/step dispatch saving
+        # (CLAUDE.md measured) to continuous batching; the reference's decode
+        # loop likewise never re-enters host code per token (Llama.cc:970).
+        # 0 disables (exact per-token admission granularity).
+        self.fused_tick = int(fused_tick)
+        assert self.fused_tick >= 0
+        self._fused_cache: Dict[Any, Any] = {}
 
     # ---- jitted pieces -------------------------------------------------
     def _forward(self, params, ids, cache, positions, cache_pos, mask=None,
@@ -281,6 +294,193 @@ class BatchScheduler:
             params, ids, cache, positions[:, None], positions, table=table
         )
         return logits[:, 0], kv
+
+    # ---- fused multi-step decode tick ----------------------------------
+    def _fused_loop_body(
+        self, step_fwd, last, cache, positions, active, eos_ids, remaining,
+        gen0, key, counts, k_steps: int, sampling: SamplingParams,
+        use_counts: bool, logprobs: bool,
+    ):
+        """K decode steps in one lax.while_loop (early exit when every row
+        is finished). Per-row semantics mirror the stepwise host tick
+        exactly: forward(last, pos) -> sample -> record -> pos+1, with eos
+        and remaining-budget stops masked per slot on device. Finished (and
+        inactive) rows keep stepping but their tokens stay -1 and their KV
+        writes land in masked/garbage territory, same as the stepwise
+        path's inactive slots. Under dp>1 all arrays here are the LOCAL
+        data shard."""
+        b = last.shape[0]
+        rows = jnp.arange(b)
+        tokens0 = jnp.full((b, k_steps), -1, jnp.int32)
+        lps0 = jnp.zeros((b, k_steps), jnp.float32)
+        finished0 = ~active
+
+        def cond(st):
+            return (st[0] < k_steps) & ~jnp.all(st[7])
+
+        def body(st):
+            i, last, cache, pos, key, counts, nrec, finished, tokens, lps = st
+            logits, cache = step_fwd(last, cache, pos)
+            logits = logits.astype(jnp.float32)
+            proc = process_logits(
+                logits, sampling,
+                token_counts=counts if use_counts else None,
+            )
+            if sampling.min_length > 0:
+                # per-row eos column (process_logits' min-length gate takes
+                # one static eos; slots may differ)
+                ban = (gen0 + nrec) < sampling.min_length
+                cur = proc[rows, eos_ids]
+                proc = proc.at[rows, eos_ids].set(jnp.where(ban, NEG_INF, cur))
+            key, sub = jax.random.split(key)
+            nxt = sample(proc, sampling, sub)
+            record = ~finished
+            tokens = tokens.at[:, i].set(jnp.where(record, nxt, -1))
+            if logprobs:
+                lp = jax.nn.log_softmax(proc, axis=-1)[rows, nxt]
+                lps = lps.at[:, i].set(jnp.where(record, lp, 0.0))
+            nrec = nrec + record.astype(jnp.int32)
+            finished = finished | (
+                record & ((nxt == eos_ids) | (nrec >= remaining))
+            )
+            if use_counts:
+                counts = counts.at[rows, nxt].add(record.astype(jnp.int32))
+            # `last` tracks the most recent RECORDED token per row, so the
+            # host reads the next tick's feed token straight off the device
+            last = jnp.where(record[:, None], nxt[:, None], last)
+            return (
+                i + 1, last, cache, pos + 1, key, counts, nrec, finished,
+                tokens, lps,
+            )
+
+        st = (
+            jnp.int32(0), last, cache, positions, key, counts,
+            jnp.zeros((b,), jnp.int32), finished0, tokens0, lps0,
+        )
+        st = jax.lax.while_loop(cond, body, st)
+        return st[8], st[9], st[1], st[2]  # tokens, lps, last, cache
+
+    def _fused_fn(self, k_steps: int, sampling: SamplingParams,
+                  use_counts: bool, logprobs: bool):
+        """Jitted fused-tick callable, cached per static config. Uniform
+        signature: fn(params, last, cache, positions, active, eos_ids,
+        remaining, gen0, key, counts, table) ->
+        (tokens [S,K], lps [S,K], last [S,1], cache)."""
+        key_t = (k_steps, sampling, use_counts, logprobs)
+        fn = self._fused_cache.get(key_t)
+        if fn is not None:
+            return fn
+        if self.mesh is not None:
+            fn = self._build_fused_mesh(k_steps, sampling, use_counts, logprobs)
+        else:
+
+            def run(params, last, cache, positions, active, eos_ids,
+                    remaining, gen0, key, counts, table):
+                if self.paged:
+                    def step_fwd(lt, c, p):
+                        logits, kv = self._forward(
+                            params, lt, c, p[:, None], p, table=table
+                        )
+                        return logits[:, 0], kv
+                else:
+                    def step_fwd(lt, c, p):
+                        ki = jnp.arange(self.max_seq_len)[None, None, None, :]
+                        mask = jnp.where(
+                            ki <= p[:, None, None, None], 0.0, NEG_INF
+                        )
+                        logits, kv = self._forward(
+                            params, lt, c, p[:, None], p, mask=mask
+                        )
+                        return logits[:, 0], kv
+
+                return self._fused_loop_body(
+                    step_fwd, last, cache, positions, active, eos_ids,
+                    remaining, gen0, key, counts, k_steps, sampling,
+                    use_counts, logprobs,
+                )
+
+            fn = jax.jit(run, donate_argnums=(2,))
+        self._fused_cache[key_t] = fn
+        return fn
+
+    def _build_fused_mesh(self, k_steps: int, sampling: SamplingParams,
+                          use_counts: bool, logprobs: bool):
+        """Fused tick under the mesh: shard_map around the while_loop (the
+        same structure as Engine._decode_loop's mesh path) — per-layer psums
+        ride ICI inside the loop, sampling runs rank-redundantly on gathered
+        logits, and dp>1 shards the slot axis of every per-slot array."""
+        from jax.sharding import PartitionSpec as P
+
+        from flexq_tpu.parallel.tp import _local_cfg, param_specs, tp_forward_local
+
+        mesh = self.mesh
+        lcfg = _local_cfg(self.cfg, mesh.shape["model"])
+        specs = param_specs(self.params)
+        quant = self.quantized
+        paged = self.paged
+        data_ax = "data" if self._dp > 1 else None
+        head_ax = (
+            "model" if self.cfg.num_kv_heads >= mesh.shape["model"] else None
+        )
+        kv_batch = None if paged else data_ax  # pool batch dim = pages
+        kv_spec = P(None, kv_batch, head_ax, None, None)
+        ks_spec = P(None, kv_batch, head_ax, None)
+        cache_specs = (kv_spec, kv_spec) + ((ks_spec, ks_spec) if quant else ())
+        vec, mat = P(data_ax), P(data_ax, None)
+
+        def body(params, last, positions, active, eos_ids, remaining, gen0,
+                 key, counts, table, *cache):
+            if data_ax is not None:
+                # decorrelate sampling across data shards (see engine.py)
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+            def step_fwd(lt, c, p):
+                if paged:
+                    kv_t = ("paged8" if quant else "paged",) + tuple(c) + (table,)
+                    mask = None
+                else:
+                    kv_t = ("dense8" if quant else "dense",) + tuple(c)
+                    ki = jnp.arange(self.max_seq_len)[None, None, None, :]
+                    mask = jnp.where(
+                        ki <= p[:, None, None, None], 0.0, NEG_INF
+                    )
+                logits, pieces = tp_forward_local(
+                    params, self.cfg, lcfg, self.policy, lt, kv=kv_t,
+                    positions=p[:, None], cache_pos=p, mask=mask,
+                )
+                return logits[:, 0], tuple(pieces)
+
+            tokens, lps, last, cache_o = self._fused_loop_body(
+                step_fwd, last, tuple(cache), positions, active, eos_ids,
+                remaining, gen0, key, counts, k_steps, sampling,
+                use_counts, logprobs,
+            )
+            return (tokens, lps, last) + tuple(cache_o)
+
+        smfn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                specs, mat, vec, vec, vec, vec, vec, P(),
+                mat if use_counts else P(), P(),
+            ) + cache_specs,
+            out_specs=(mat, mat, mat) + cache_specs,
+            check_vma=False,
+        )
+        n_cache = len(cache_specs)
+        jfn = jax.jit(
+            smfn, donate_argnums=tuple(range(10, 10 + n_cache))
+        )
+
+        def run(params, last, cache, positions, active, eos_ids, remaining,
+                gen0, key, counts, table):
+            out = jfn(
+                params, last, positions, active, eos_ids, remaining, gen0,
+                key, counts, table, *cache,
+            )
+            return out[0], out[1], out[2], out[3:]
+
+        return run
 
     def _prefill_one(self, prompt: List[int]):
         """B=1 prefill -> (last logits [V], small kv cache state).
@@ -767,6 +967,10 @@ class BatchScheduler:
     def _record(self, i: int, slot: _Slot, tok: int):
         slot.generated.append(tok)
         self.last_tokens = self.last_tokens.at[i, 0].set(tok)
+        self._finish_check(i, slot, tok)
+
+    def _finish_check(self, i: int, slot: _Slot, tok: int):
+        """Complete slot i if `tok` (already appended) ends its request."""
         if tok == slot.eos_id or len(slot.prior) + len(slot.generated) >= slot.max_new:
             self.done[slot.req_id] = slot.prior + slot.generated
             if slot.want_logprobs:
@@ -791,6 +995,113 @@ class BatchScheduler:
                 self._release_slot_pages(i)
             self.slots[i] = _Slot()
 
+    def _fusible(self, active: List[int]) -> bool:
+        """The fused multi-step tick applies when every active slot is a
+        plain decode with one shared SamplingParams (per-slot eos/budget are
+        handled on device; differing sampling configs would need per-row
+        params plumbed through process_logits — rare enough to fall back)."""
+        if self.fused_tick < 2 or self.beam_groups:
+            return False
+        s0 = self.slots[active[0]].sampling
+        return all(self.slots[i].sampling == s0 for i in active[1:])
+
+    def _fused_step(self, active: List[int]) -> None:
+        """Run up to `fused_tick` decode steps in one device dispatch."""
+        k_steps = self.fused_tick
+        if self.paged:
+            # preallocate every page the K steps might write (writes at
+            # pos .. pos+K-1); a slot that finishes early wastes at most one
+            # page, reclaimed when the slot completes
+            ps = self.pool.page_size
+            max_blocks = self.ptable.table.shape[1]
+            for i in list(active):
+                if self.slots[i].req_id is None:
+                    continue
+                needed = min(
+                    (self.slots[i].pos + k_steps - 1) // ps + 1, max_blocks
+                )
+                while self.ptable.num_blocks[i] < needed:
+                    try:
+                        page = self._alloc(1)[0]
+                    except MemoryError:
+                        if not self._preempt():
+                            raise
+                        if self.slots[i].req_id is None:
+                            break
+                        continue
+                    self.ptable.append(i, page)
+            active = [
+                i for i in active
+                if self.slots[i].req_id is not None
+                and self.slots[i].phase == "decode"
+            ]
+            if not active:
+                return
+        sampling = self.slots[active[0]].sampling
+        use_counts = (
+            sampling.repetition_penalty != 1.0
+            or sampling.presence_penalty != 0.0
+            or sampling.frequency_penalty != 0.0
+        )
+        logprobs = any(self.slots[i].want_logprobs for i in active)
+        s = self.num_slots
+        positions = np.zeros(s, np.int32)
+        act = np.zeros(s, bool)
+        eos = np.zeros(s, np.int32)
+        remaining = np.ones(s, np.int32)
+        gen0 = np.zeros(s, np.int32)
+        for i in active:
+            sl = self.slots[i]
+            positions[i] = sl.pos
+            act[i] = True
+            eos[i] = sl.eos_id
+            gen0[i] = len(sl.prior) + len(sl.generated)
+            remaining[i] = max(1, sl.max_new - int(gen0[i]))
+        counts = jnp.zeros((), jnp.int32)
+        if use_counts:
+            c = np.zeros((s, self.cfg.vocab_size), np.int32)
+            for i in active:
+                for t in self.slots[i].prompt + self.slots[i].generated:
+                    c[i, t] += 1
+            counts = jnp.asarray(c)
+        self._key, sub = jax.random.split(self._key)
+        if self.paged:
+            cache = self.pool.state()
+            table = self.ptable.device_table()
+        else:
+            cache = (
+                (self.kv_k, self.kv_v, self.kv_ks, self.kv_vs)
+                if self.quantized
+                else (self.kv_k, self.kv_v)
+            )
+            table = jnp.zeros((), jnp.int32)
+        fn = self._fused_fn(k_steps, sampling, use_counts, logprobs)
+        tokens, lps, last, cache = fn(
+            self.params, self.last_tokens, cache, jnp.asarray(positions),
+            jnp.asarray(act), jnp.asarray(eos), jnp.asarray(remaining),
+            jnp.asarray(gen0), sub, counts, table,
+        )
+        if self.paged:
+            self.pool.set_state(cache)
+        elif self.quantized:
+            self.kv_k, self.kv_v, self.kv_ks, self.kv_vs = cache
+        else:
+            self.kv_k, self.kv_v = cache
+        self.last_tokens = last
+        tok_np = np.asarray(tokens)
+        lp_np = np.asarray(lps) if logprobs else None
+        for i in active:
+            slot = self.slots[i]
+            for j in range(k_steps):
+                t = int(tok_np[i, j])
+                if t < 0 or slot.req_id is None:
+                    break
+                slot.pos += 1
+                slot.generated.append(t)
+                if slot.want_logprobs and lp_np is not None:
+                    slot.lps.append(float(lp_np[i, j]))
+                self._finish_check(i, slot, t)
+
     def step(self) -> Dict[int, List[int]]:
         """Admit pending requests, run one decode tick, return finished.
 
@@ -808,7 +1119,11 @@ class BatchScheduler:
             i for i, s in enumerate(self.slots)
             if s.req_id is not None and s.phase == "decode"
         ]
-        if active:
+        if active and not prefilling and self._fusible(active):
+            # fused multi-step tick: prefilling slots force the per-token
+            # path so admission latency stays one-chunk-bounded
+            self._fused_step(active)
+        elif active:
             if self.paged:
                 ps = self.pool.page_size
                 for i in active:
