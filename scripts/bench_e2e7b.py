@@ -36,6 +36,9 @@ _MODEL_DIMS = {
     "7b": (4096, 11008, 32, 32, 32),
     "13b": (5120, 13824, 40, 40, 40),  # BASELINE config 3 scale
     "8b": (4096, 14336, 32, 32, 8),  # LLaMA-3-8B (GQA) — config 4 scale
+    "opt-13b": (5120, 20480, 40, 40, 40),  # OPT-13B (ffn = 4h)
+    "opt-30b": (7168, 28672, 48, 56, 56),  # OPT-30B (reference kernel shapes)
+    "tiny": (256, 1024, 2, 4, 4),  # CPU smoke-testing of bench scripts
 }
 
 
