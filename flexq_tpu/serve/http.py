@@ -370,8 +370,6 @@ def _make_handler(service: SchedulerService, tokenizer=None,
             sampling params are ignored, like FT's beam layers)."""
             if bool(req.get("stream", False)):
                 raise ValueError("stream unsupported with beam search")
-            if want_lp:
-                raise ValueError("logprobs unsupported with beam search")
             alpha = float(req.get("length_penalty", 1.0))
             timeout = float(req.get("timeout", 600))
             subs = []
@@ -381,12 +379,12 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                 ptoks += len(ids)
                 rid = service.submit(ids, SamplingParams(), max_new, eos_id,
                                      beam_width=k, n_best=n,
-                                     length_penalty=alpha)
+                                     length_penalty=alpha, logprobs=want_lp)
                 subs.append((rid, ids, text))
             choices, ctoks, idx = [], 0, 0
             for rid, ids, text in subs:
                 _, nbest = service.wait_nbest(rid, timeout)
-                for toks, score in nbest[:n]:
+                for toks, score, lps in nbest[:n]:
                     ctoks += len(toks)
                     toks, finish = self._finish(toks, eos_id, max_new)
                     out = tokenizer.decode(toks)
@@ -394,14 +392,22 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     if cut is not None:
                         out, finish = out[:cut], "stop"
                         toks = _cut_token_ids(tokenizer, toks, cut)
+                    if lps is not None:
+                        lps = lps[: len(toks)]
                     if echo:
                         out = (
                             text if text is not None else tokenizer.decode(ids)
                         ) + out
-                    choices.append({
+                    ch = {
                         "index": idx, "text": out, "finish_reason": finish,
                         "token_ids": toks, "beam_score": score,
-                    })
+                    }
+                    if lps is not None:
+                        ch["logprobs"] = {
+                            "token_logprobs": lps,
+                            "tokens": [tokenizer.decode([t]) for t in toks],
+                        }
+                    choices.append(ch)
                     idx += 1
             return {
                 "id": f"cmpl-{subs[0][0]}", "object": "text_completion",
@@ -506,7 +512,7 @@ def _make_handler(service: SchedulerService, tokenizer=None,
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-            except (ValueError, TypeError) as e:
+            except (ValueError, TypeError, AssertionError) as e:
                 self._send(400, {"error": str(e)})
                 return
             if self.path == "/v1/completions":
@@ -514,7 +520,7 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     resp = self._openai_completions(req)
                     if resp is not None:
                         self._send(200, resp)
-                except (KeyError, ValueError, TypeError) as e:
+                except (KeyError, ValueError, TypeError, AssertionError) as e:
                     self._send(400, {"error": {"message": str(e),
                                                "type": "invalid_request_error"}})
                 except TimeoutError as e:
@@ -525,7 +531,7 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     resp = self._openai_chat(req)
                     if resp is not None:
                         self._send(200, resp)
-                except (KeyError, ValueError, TypeError) as e:
+                except (KeyError, ValueError, TypeError, AssertionError) as e:
                     self._send(400, {"error": {"message": str(e),
                                                "type": "invalid_request_error"}})
                 except TimeoutError as e:
@@ -558,7 +564,10 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     )
                     self._send(200, {
                         "request_id": rid, "tokens": toks,
-                        "nbest": [{"tokens": t, "score": s} for t, s in nbest],
+                        "nbest": [
+                            {"tokens": t, "score": s}
+                            for t, s, _ in nbest
+                        ],
                     })
                     return
                 rid = service.submit(
@@ -576,7 +585,7 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     resp["logprobs"] = lps
                     resp["cum_logprob"] = sum(lps)
                 self._send(200, resp)
-            except (KeyError, ValueError, TypeError) as e:
+            except (KeyError, ValueError, TypeError, AssertionError) as e:
                 self._send(400, {"error": str(e)})
             except TimeoutError as e:
                 self._send(504, {"error": str(e)})

@@ -145,6 +145,34 @@ class PagePool:
             out += (gat(self.scale_k, scratch[2], idx), gat(self.scale_v, scratch[3], idx))
         return out
 
+    def copy_pages(self, src: Sequence[int], dst: Sequence[int]) -> None:
+        """pool[:, dst[i]] = pool[:, src[i]] for all buffers — the paged
+        beam-search copy-on-divergence primitive (one donated dispatch for
+        all pairs, vs the dense path's whole-row reorder which moves
+        max_len/page_size times more data per beam)."""
+        import functools
+
+        if not src:
+            return
+        key = ("copy", len(src))
+        if not hasattr(self, "_copy_jit"):
+            self._copy_jit = {}
+        if key not in self._copy_jit:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def cp(pool, s, d):
+                return pool.at[:, d].set(pool[:, s], unique_indices=True)
+
+            self._copy_jit[key] = cp
+        cp = self._copy_jit[key]
+        s = jnp.asarray(src, jnp.int32)
+        d = jnp.asarray(dst, jnp.int32)
+        self.pool_k = cp(self.pool_k, s, d)
+        self.pool_v = cp(self.pool_v, s, d)
+        if self.quantized:
+            self.scale_k = cp(self.scale_k, s, d)
+            self.scale_v = cp(self.scale_v, s, d)
+
     def state(self) -> Tuple:
         if self.quantized:
             return (self.pool_k, self.pool_v, self.scale_k, self.scale_v)

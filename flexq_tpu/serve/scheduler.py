@@ -110,6 +110,10 @@ class _BeamGroup:
     scores: np.ndarray  # [k] f32 cumulative log-probs
     finished: np.ndarray  # [k] bool
     histories: List[List[int]]  # [k] token lists (pads after finish)
+    # per-beam per-token logprobs (threaded through parents like histories);
+    # the pad continuation of a frozen beam contributes 0.0
+    want_logprobs: bool = False
+    lps: List[List[float]] = dataclasses.field(default_factory=list)
 
 
 class BatchScheduler:
@@ -618,8 +622,9 @@ class BatchScheduler:
         from `prior` + the new generation."""
         cands = [
             i for i, s in enumerate(self.slots)
-            if i != exclude and s.req_id is not None
-        ]
+            if i != exclude and s.req_id is not None and not s.beam
+        ]  # beam lanes are never preempted: re-prefilling one lane cannot
+        # reconstruct the group's diverged KV mid-search
         if not cands:
             return False
         i = max(cands, key=lambda j: self.slots[j].req_id)
@@ -691,15 +696,15 @@ class BatchScheduler:
         length_penalty: float = 1.0,
     ) -> int:
         """``beam_width > 1`` runs the request as beam search across
-        beam_width slots (dense cache only: paged beams would need
-        copy-on-write page forking on reorder); the best hypothesis lands
-        in the normal result and the ranked n_best list in done_nbest."""
+        beam_width slots; the best hypothesis lands in the normal result
+        and the ranked n_best list in done_nbest (entries are
+        (tokens, score, logprobs-or-None)). Dense beams reorder KV rows;
+        paged beams share pages with copy-on-divergence of the current
+        block only (FT's cache_indir analogue at page granularity)."""
         req_id = next(self._req_counter)
         assert len(prompt) + max_new_tokens <= self.max_seq_len
         if beam_width > 1:
-            assert not self.paged, "beam search requires the dense cache (v1)"
             assert beam_width <= self.num_slots, (beam_width, self.num_slots)
-            assert not logprobs, "logprobs unsupported with beam search"
         self.pending.append(
             _Pending(req_id, list(prompt), sampling, max_new_tokens, eos_id,
                      want_logprobs=logprobs, beam_width=beam_width,
@@ -737,9 +742,22 @@ class BatchScheduler:
         # once (FIFO preserved: if not enough slots are free, everything
         # behind the beam request waits too)
         while self.pending and self.pending[0].beam_width > 1:
+            req = self.pending[0]
             free = [i for i, s in enumerate(self.slots) if s.req_id is None]
-            if len(free) < self.pending[0].beam_width:
+            if len(free) < req.beam_width:
                 return
+            if self.paged:
+                # worst-case budget: shared prompt pages + each beam's
+                # private generation span (incl. a straddled partial block)
+                ps = self.pool.page_size
+                plen = len(req.prompt)
+                per_beam = (plen + req.max_new - 1) // ps - plen // ps + 1
+                need = self.pool.pages_for(plen) + req.beam_width * per_beam
+                avail = self.pool.free_pages + (
+                    self.registry.reclaimable if self.registry is not None else 0
+                )
+                if avail < need:
+                    return
             self._admit_beam(self.pending.popleft(), free)
         for i, slot in enumerate(self.slots):
             if slot.req_id is not None or not self.pending:
@@ -829,13 +847,34 @@ class BatchScheduler:
 
     def _admit_beam(self, req: _Pending, free: List[int]):
         """Prefill once, seed beam_width slots with identical prompt KV,
-        expand the first top-k tokens (serve/beam.py's first expansion)."""
+        expand the first top-k tokens (serve/beam.py's first expansion).
+        Paged mode writes the prompt pages ONCE and maps them into every
+        beam's table (prefix sharing); the block the first decode step will
+        write is privatized per beam before any write happens."""
         k = req.beam_width
         idx = free[:k]
         plen = len(req.prompt)
         logits, kv1 = self._prefill_one(req.prompt)
+        if self.paged:
+            # shared prompt pages for the whole group (written once). Beam
+            # pages stay OUT of the prefix registry: their contents diverge
+            # from the prompt-hash chain the moment decode writes start.
+            while True:
+                try:
+                    pages = self._alloc(self.pool.pages_for(plen))
+                    break
+                except MemoryError:
+                    if not self._preempt():
+                        raise
+            region = tuple(kv1 if self.quantized else kv1[:2])
+            self.pool.insert_prefill(
+                pages, region[0], region[1], plen, *region[2:]
+            )
+            for i in idx:
+                self.ptable.assign(i, pages)
         for i in idx:
-            self._insert_scratch(i, kv1, plen)
+            if not self.paged:
+                self._insert_scratch(i, kv1, plen)
             s = self.slots[i]
             s.req_id = req.req_id
             s.beam = True
@@ -849,15 +888,21 @@ class BatchScheduler:
         first_np = np.asarray(first)
         for j, i in enumerate(idx):
             self.last_tokens = self.last_tokens.at[i, 0].set(int(first_np[j]))
+        scores_np = np.asarray(scores, np.float32)
         g = _BeamGroup(
             req_id=req.req_id, slots=idx, k=k, n_best=req.n_best,
             eos_id=req.eos_id, max_new=req.max_new,
             length_penalty=req.length_penalty,
-            scores=np.asarray(scores, np.float32),
+            scores=scores_np,
             finished=first_np == req.eos_id,
             histories=[[int(t)] for t in first_np],
+            want_logprobs=req.want_logprobs,
+            lps=[[float(s)] for s in scores_np],
         )
         self.beam_groups[req.req_id] = g
+        if self.paged:
+            # first decode write lands at pos=plen
+            self._privatize_beam_blocks(g, plen)
         self._maybe_finish_beam(g)
 
     def _beam_advance(self, g: _BeamGroup, logits: jax.Array):
@@ -883,17 +928,29 @@ class BatchScheduler:
         g.histories = [
             g.histories[int(p)] + [int(t)] for p, t in zip(parent, token)
         ]
+        new_scores = fetched[g.k:].astype(np.float32)
+        # token logprob = score delta vs the parent (0.0 for a frozen pad)
+        g.lps = [
+            g.lps[int(p)] + [float(new_scores[j]) - float(g.scores[int(p)])]
+            for j, p in enumerate(parent)
+        ]
         g.finished = np.asarray(
             [bool(g.finished[int(p)]) or int(t) == g.eos_id
              for p, t in zip(parent, token)]
         )
-        g.scores = fetched[g.k:].astype(np.float32)
-        self._reorder_slots(
-            [g.slots[int(p)] for p in parent], g.slots
-        )
+        g.scores = new_scores
+        if self.paged:
+            self._reorder_beam_paged(g, [int(p) for p in parent])
+        else:
+            self._reorder_slots(
+                [g.slots[int(p)] for p in parent], g.slots
+            )
         for j, i in enumerate(g.slots):
             self.last_tokens = self.last_tokens.at[i, 0].set(int(token[j]))
             self.slots[i].pos += 1
+        if self.paged:
+            # next decode write position (pos was just incremented)
+            self._privatize_beam_blocks(g, self.slots[g.slots[0]].pos)
         self._maybe_finish_beam(g)
 
     def _reorder_slots(self, src: List[int], dst: List[int]):
@@ -921,6 +978,70 @@ class BatchScheduler:
             self.kv_ks = self._reorder_jit(self.kv_ks, s, d)
             self.kv_vs = self._reorder_jit(self.kv_vs, s, d)
 
+    def _beam_page_rc(self, g: _BeamGroup) -> Dict[int, int]:
+        """How many of the group's slots map each (non-garbage) page. The
+        page tables are authoritative; recounting k*blocks host ints per
+        step is noise next to the device work."""
+        rc: Dict[int, int] = {}
+        for i in g.slots:
+            for p in self.ptable.table[i, : self.ptable.num_blocks[i]]:
+                if p:
+                    rc[int(p)] = rc.get(int(p), 0) + 1
+        return rc
+
+    def _reorder_beam_paged(self, g: _BeamGroup, parent: List[int]):
+        """Page-table reorder: beam j adopts its parent's table (sharing the
+        parent's pages) — the paged analogue of FT's cache_indir parent
+        chasing (decoder_masked_multihead_attention), with no KV copied
+        here at all; divergence is handled by `_privatize_beam_blocks`.
+        Pages no longer referenced by any beam return to the pool."""
+        if parent == list(range(g.k)):
+            return
+        before = self._beam_page_rc(g)
+        olds = {
+            i: (self.ptable.table[i].copy(), int(self.ptable.num_blocks[i]))
+            for i in g.slots
+        }
+        for j, p in enumerate(parent):
+            src, dst = g.slots[p], g.slots[j]
+            self.ptable.table[dst] = olds[src][0]
+            self.ptable.num_blocks[dst] = olds[src][1]
+        after = self._beam_page_rc(g)
+        dropped = [p for p in before if p not in after]
+        self.pool.free(dropped)
+
+    def _privatize_beam_blocks(self, g: _BeamGroup, next_pos: int):
+        """Ensure the block the next decode write (at `next_pos`) lands in
+        is private to each beam: copy-on-divergence of ONE page per beam
+        that shares it (dense beams instead copy whole max_len rows). A
+        block boundary needs nothing — step()'s allocator appends fresh
+        private pages."""
+        if all(g.finished) or len(g.histories[0]) >= g.max_new:
+            return  # group completes before another write happens
+        ps = self.pool.page_size
+        blk = next_pos // ps
+        rc = self._beam_page_rc(g)
+        src, dst = [], []
+        for i in g.slots:
+            if blk >= int(self.ptable.num_blocks[i]):
+                continue  # boundary: appended privately by the step allocator
+            p = int(self.ptable.table[i, blk])
+            if p == 0 or rc.get(p, 0) <= 1:
+                continue
+            while True:
+                try:
+                    newp = self._alloc(1)[0]
+                    break
+                except MemoryError:
+                    if not self._preempt():
+                        raise
+            rc[p] -= 1
+            rc[newp] = 1
+            self.ptable.table[i, blk] = newp
+            src.append(p)
+            dst.append(newp)
+        self.pool.copy_pages(src, dst)
+
     def _maybe_finish_beam(self, g: _BeamGroup):
         if not (all(g.finished) or len(g.histories[0]) >= g.max_new):
             return
@@ -931,10 +1052,18 @@ class BatchScheduler:
                 toks = toks[: toks.index(g.eos_id) + 1]
             ln = max(len(toks), 1)
             norm = ((5.0 + ln) / 6.0) ** g.length_penalty  # GNMT
-            hyps.append((toks, float(g.scores[j]) / norm))
+            lps = g.lps[j][: len(toks)] if g.want_logprobs else None
+            hyps.append((toks, float(g.scores[j]) / norm, lps))
         hyps.sort(key=lambda h: -h[1])
         self.done[g.req_id] = hyps[0][0]
         self.done_nbest[g.req_id] = hyps[: max(g.n_best, 1)]
+        if g.want_logprobs:
+            self.done_logprobs[g.req_id] = hyps[0][2]
+        if self.paged:
+            freed = set(self._beam_page_rc(g))
+            for i in g.slots:
+                self.ptable.release(i)
+            self.pool.free(freed)
         for i in g.slots:
             self.slots[i] = _Slot()
         del self.beam_groups[g.req_id]

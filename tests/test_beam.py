@@ -111,8 +111,8 @@ def test_scheduler_beam_matches_standalone(setup):
     out = sched.run()
     assert out[rid] == want[0][0], (out[rid], want)
     got_nbest = sched.done_nbest[rid]
-    assert [t for t, _ in got_nbest] == [t for t, _ in want]
-    for (_, s_got), (_, s_want) in zip(got_nbest, want):
+    assert [t for t, _, _ in got_nbest] == [t for t, _ in want]
+    for (_, s_got, _), (_, s_want) in zip(got_nbest, want):
         assert abs(s_got - s_want) < 1e-4
 
 
@@ -199,3 +199,178 @@ def test_http_best_of_beam(setup):
     finally:
         service.shutdown()
         server.shutdown()
+
+
+def test_scheduler_beam_paged_matches_dense(setup):
+    """Paged beam (page-table reorder + copy-on-divergence of the current
+    block) must produce exactly the dense beam's hypotheses, and return
+    every page to the pool when the group finishes."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    prompt = [1, 5, 9, 2]
+    dense = BatchScheduler(qparams, cfg, policy, num_slots=4, max_seq_len=256,
+                           kv_dtype=jnp.float32)
+    rd = dense.add_request(prompt, max_new_tokens=6, eos_id=2,
+                           beam_width=3, n_best=3)
+    want = dense.run()[rd]
+    want_nbest = dense.done_nbest[rd]
+
+    paged = BatchScheduler(qparams, cfg, policy, num_slots=4, max_seq_len=256,
+                           kv_dtype=jnp.float32, paged=True, page_size=128)
+    rp = paged.add_request(prompt, max_new_tokens=6, eos_id=2,
+                          beam_width=3, n_best=3)
+    got = paged.run()[rp]
+    assert got == want
+    assert [t for t, _, _ in paged.done_nbest[rp]] == [t for t, _, _ in want_nbest]
+    for (_, sg, _), (_, sw, _) in zip(paged.done_nbest[rp], want_nbest):
+        assert abs(sg - sw) < 1e-4
+    assert paged.pool.free_pages == paged.pool.num_pages - 1
+
+
+def test_scheduler_beam_paged_page_divergence(setup):
+    """Long enough generation to cross a page boundary mid-beam: shared
+    prompt pages + per-beam private tails must stay consistent (page_size
+    128 with prompt 126 puts the first decode writes inside the shared
+    page, exercising copy-on-divergence immediately)."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    prompt = [(i * 7) % 250 for i in range(126)]
+    dense = BatchScheduler(qparams, cfg, policy, num_slots=3, max_seq_len=256,
+                           kv_dtype=jnp.float32)
+    rd = dense.add_request(prompt, max_new_tokens=8, eos_id=-1, beam_width=2)
+    want = dense.run()[rd]
+
+    paged = BatchScheduler(qparams, cfg, policy, num_slots=3, max_seq_len=256,
+                           kv_dtype=jnp.float32, paged=True, page_size=128)
+    rp = paged.add_request(prompt, max_new_tokens=8, eos_id=-1, beam_width=2)
+    got = paged.run()[rp]
+    assert got == want
+    assert paged.pool.free_pages == paged.pool.num_pages - 1
+
+
+def test_scheduler_beam_paged_int8_kv(setup):
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    prompt = [1, 5, 9, 2]
+    dense = BatchScheduler(qparams, cfg, policy, num_slots=3, max_seq_len=256,
+                           kv_dtype=jnp.int8)
+    rd = dense.add_request(prompt, max_new_tokens=6, eos_id=-1, beam_width=2)
+    want = dense.run()[rd]
+    paged = BatchScheduler(qparams, cfg, policy, num_slots=3, max_seq_len=256,
+                           kv_dtype=jnp.int8, paged=True, page_size=128)
+    rp = paged.add_request(prompt, max_new_tokens=6, eos_id=-1, beam_width=2)
+    assert paged.run()[rp] == want
+    assert paged.pool.free_pages == paged.pool.num_pages - 1
+
+
+def test_beam_logprobs(setup):
+    """Beam + logprobs: per-token logprobs of the winning hypothesis must
+    sum to its raw joint log-probability (verified against sequential
+    full-forward scoring)."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    prompt = [1, 5, 9]
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=3, max_seq_len=32,
+                           kv_dtype=jnp.float32)
+    rid = sched.add_request(prompt, max_new_tokens=5, eos_id=-1,
+                            beam_width=2, n_best=2, logprobs=True)
+    toks = sched.run()[rid]
+    lps = sched.done_logprobs[rid]
+    assert len(lps) == len(toks)
+    want = _seq_logprob(qparams, cfg, policy, prompt, toks)
+    assert abs(sum(lps) - want) < 1e-3
+    # n-best entries carry their own aligned logprob lists
+    for t, _, l in sched.done_nbest[rid]:
+        assert l is not None and len(l) == len(t)
+
+
+def test_http_beam_on_paged_prefix_server(setup):
+    """best_of on the README-recommended --paged --prefix-cache server must
+    serve (this was an uncaught-AssertionError 500 in round 2)."""
+    import json
+    import urllib.request
+
+    from flexq_tpu.serve.http import serve_background
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams, eng = setup
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=4, max_seq_len=256,
+                           kv_dtype=jnp.float32, paged=True, page_size=128,
+                           prefix_cache=True)
+    server, service, port = serve_background(sched)
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    try:
+        r = post("/v1/completions",
+                 {"prompt": [1, 5, 9], "max_tokens": 5, "eos_id": -1,
+                  "n": 2, "best_of": 3, "logprobs": 1})
+        assert len(r["choices"]) == 2
+        assert r["choices"][0]["beam_score"] >= r["choices"][1]["beam_score"]
+        assert len(r["choices"][0]["logprobs"]["token_logprobs"]) == \
+            len(r["choices"][0]["token_ids"])
+        # oversized beam now a clean 400, not an uncaught 500
+        import urllib.error
+        try:
+            post("/v1/completions",
+                 {"prompt": [1, 5, 9], "max_tokens": 5, "best_of": 64})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        service.shutdown()
+        server.shutdown()
+
+
+def test_scheduler_beam_under_mesh():
+    """Dense beam group on a tp=2 mesh matches the single-mesh... rather:
+    mesh beam == same-mesh non-beam invariants; exact target: beam on the
+    tp=2 mesh matches beam on tp=1 run under the SAME compilation family
+    is not guaranteed (near-tie argmax, CLAUDE.md) — so compare tp=2 vs
+    tp=2 determinism plus hypothesis-count/score ordering."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from flexq_tpu.parallel.tp import make_mesh
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    torch.manual_seed(0)
+    cfg_hf = LlamaConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg_hf).eval()
+    mcfg = config_from_hf(m.config)
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(
+        from_hf_llama(m, dtype=jnp.float32), mcfg, policy, dtype=jnp.float32
+    )
+    mesh = make_mesh(tp=2, dp=1)
+
+    def run_once():
+        sched = BatchScheduler(qparams, mcfg, policy, num_slots=3,
+                               max_seq_len=64, kv_dtype=jnp.float32, mesh=mesh)
+        rid = sched.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1,
+                                beam_width=2, n_best=2)
+        out = sched.run()[rid]
+        return out, sched.done_nbest[rid]
+
+    out1, nb1 = run_once()
+    out2, nb2 = run_once()
+    assert out1 == out2
+    assert [t for t, _, _ in nb1] == [t for t, _, _ in nb2]
+    assert nb1[0][1] >= nb1[1][1]
+    assert len(out1) == 5
