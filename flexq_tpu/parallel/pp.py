@@ -48,26 +48,35 @@ def stack_layers(layers) -> Any:
 
 
 def shard_params_pp(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Stack per-layer trees on a leading `pipe`-sharded axis; every other
+    entry (embed, norms, OPT pos_embed, packed/bf16 lm_head) replicates."""
     stacked = {
-        "embed": params["embed"],
-        "final_norm": params["final_norm"],
-        "layers_stacked": stack_layers(params["layers"]),
+        k: v for k, v in params.items() if k != "layers"
     }
-    if "lm_head" in params:
-        stacked["lm_head"] = params["lm_head"]
+    stacked["layers_stacked"] = stack_layers(params["layers"])
     specs = {
-        "embed": P(),
-        "final_norm": jax.tree_util.tree_map(lambda _: P(), params["final_norm"]),
-        "layers_stacked": jax.tree_util.tree_map(
-            lambda _: P("pipe"), stacked["layers_stacked"]
-        ),
+        k: jax.tree_util.tree_map(lambda _: P(), v)
+        for k, v in stacked.items()
+        if k != "layers_stacked"
     }
-    if "lm_head" in params:
-        # packed quantized heads are dicts of planes/scales: replicate each
-        specs["lm_head"] = jax.tree_util.tree_map(lambda _: P(), params["lm_head"])
+    specs["layers_stacked"] = jax.tree_util.tree_map(
+        lambda _: P("pipe"), stacked["layers_stacked"]
+    )
     return jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), stacked, specs
     )
+
+
+def _pp_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    specs = {
+        k: jax.tree_util.tree_map(lambda _: P(), v)
+        for k, v in params.items()
+        if k != "layers_stacked"
+    }
+    specs["layers_stacked"] = jax.tree_util.tree_map(
+        lambda _: P("pipe"), params["layers_stacked"]
+    )
+    return specs
 
 
 # Compiled-step caches: rebuilding shard_map per call would re-trace every
@@ -152,21 +161,7 @@ def forward_serve_pp(
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            {
-                "embed": P(),
-                "final_norm": jax.tree_util.tree_map(
-                    lambda _: P(), params["final_norm"]
-                ),
-                **(
-                    {"lm_head": P()} if "lm_head" in params else {}
-                ),
-                "layers_stacked": jax.tree_util.tree_map(
-                    lambda _: P("pipe"), params["layers_stacked"]
-                ),
-            },
-            P(),
-        ),
+        in_specs=(_pp_param_specs(params), P()),
         out_specs=P(),
         check_vma=False,
     )
@@ -190,6 +185,140 @@ def shard_cache_pp(mesh: Mesh, *arrays):
     )
 
 
+def serve_step_pp(
+    params: Dict[str, Any],  # output of shard_params_pp
+    cfg: ModelConfig,
+    policy: QuantPolicy,
+    ids: jax.Array,  # [B, L] (prefill) or [B, 1] (decode)
+    mesh: Mesh,
+    kv: Tuple,  # (k, v) or (k, v, ks, vs); [L, B, KVH, S, D(/-)] P("pipe")
+    cache_pos,  # scalar int32: first write position
+    last_only: bool = False,  # head over the last position only (serving)
+):
+    """One pipelined SERVING forward over the pipe mesh — prefill ([B, L]
+    writing the cache at 0..L-1) and decode ([B, 1] at cache_pos) share
+    this; int8 KV passes (k, v, ks, vs); OPT models route through
+    opt_layer_serve with position embeddings added at stage 0.
+
+    The reference serves with pipeline_para through the full engine: per
+    layer-range rank, boundary ftNcclSend/Recv of the hidden state and a
+    final-stage lm_head + broadcast (Llama.cc:970-1240,
+    LlamaDecoder.cc:285-296,453-462; OPT: ParallelGptDecoder.cc:382-524).
+    Here each stage scans its local layer slab (updating its local cache
+    shard), hands the activation on with ppermute over ICI, and the last
+    stage's logits are psum-broadcast. Serial across stages per step — the
+    same latency shape as the reference; TP for latency, PP for capacity.
+
+    Returns (logits [B, L|1, V], new kv tuple).
+    """
+    pp = mesh.shape["pipe"]
+    nl_local = cfg.num_layers // pp
+    b, l = ids.shape
+    quant = len(kv) == 4
+    is_opt = cfg.arch == "opt"
+
+    def body(params, ids, pos, *kv_t):
+        my_stage = jax.lax.axis_index("pipe")
+        positions = pos + jnp.broadcast_to(jnp.arange(l), (b, l))
+        if is_opt:
+            cos = sin = None
+        else:
+            cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        s_max = kv_t[0].shape[3]
+        qi = pos + jnp.arange(l)[:, None]
+        ki = jnp.arange(s_max)[None, :]
+        mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        lengths = jnp.broadcast_to(pos, (b,)) + l
+
+        def run_stage(x, *kv_s):
+            def layer_body(carry, inp):
+                x, *kv_c = carry
+                lp, i = inp
+                kvi = tuple(kv_c) + (i,)
+                if is_opt:
+                    from flexq_tpu.models.quantized import opt_layer_serve
+
+                    x, new_kv = opt_layer_serve(
+                        lp, cfg, policy, x, mask, kv=kvi, cache_pos=pos,
+                        lengths=lengths,
+                    )
+                else:
+                    x, new_kv = llama_layer_serve(
+                        lp, cfg, policy, x, cos, sin, mask,
+                        kv=kvi, cache_pos=pos, lengths=lengths,
+                    )
+                return (x,) + tuple(new_kv), None
+
+            idx = jnp.arange(nl_local)
+            out, _ = jax.lax.scan(
+                layer_body, (x,) + tuple(kv_s), (params["layers_stacked"], idx)
+            )
+            return out
+
+        x0 = params["embed"][ids]
+        if is_opt:
+            from flexq_tpu.models.opt import POS_OFFSET
+
+            x0 = x0 + params["pos_embed"][positions + POS_OFFSET]
+        x = jnp.where(
+            my_stage == 0, x0, jnp.zeros_like(x0)
+        )
+        final = jnp.zeros_like(x)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+        for t in range(pp):
+            active = my_stage == t
+            out = jax.lax.cond(
+                active,
+                run_stage,
+                lambda x, *kv_s: (x,) + tuple(kv_s),
+                x, *kv_t,
+            )
+            x2, kv_t = out[0], out[1:]
+            if t == pp - 1:
+                final = x2  # only valid on the last stage
+            else:
+                x = jax.lax.ppermute(x2, "pipe", perm)
+
+        if last_only:
+            final = final[:, -1:]
+        if is_opt:
+            from flexq_tpu.models.opt import layernorm
+
+            h = layernorm(
+                final, params["final_norm"]["g"], params["final_norm"]["b"],
+                cfg.norm_eps,
+            )
+        else:
+            h = rmsnorm(final, params["final_norm"], cfg.norm_eps)
+        from flexq_tpu.models.quantized import apply_lm_head
+
+        logits = apply_lm_head(params, cfg, policy, h)
+        logits = jax.lax.psum(
+            jnp.where(my_stage == pp - 1, logits, jnp.zeros_like(logits)), "pipe"
+        )
+        return (logits,) + tuple(kv_t)
+
+    kv_specs = (P("pipe"),) * len(kv)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_pp_param_specs(params), P(), P()) + kv_specs,
+        out_specs=(P(),) + kv_specs,
+        check_vma=False,
+    )
+    if not isinstance(ids, jax.core.Tracer):
+        key = ("serve", mesh, cfg, _pp_policy_key(policy), ids.shape,
+               last_only, kv[0].shape, str(kv[0].dtype), len(kv),
+               jax.tree_util.tree_structure(params))
+        if key not in _PP_FN_CACHE:
+            if len(_PP_FN_CACHE) >= 64:  # bound a long-lived process's cache
+                _PP_FN_CACHE.clear()
+            _PP_FN_CACHE[key] = jax.jit(fn)
+        fn = _PP_FN_CACHE[key]
+    out = fn(params, ids, jnp.asarray(cache_pos, jnp.int32), *kv)
+    return out[0], tuple(out[1:])
+
+
 def decode_step_pp(
     params: Dict[str, Any],  # output of shard_params_pp
     cfg: ModelConfig,
@@ -200,98 +329,8 @@ def decode_step_pp(
     kv_v: jax.Array,
     cache_pos: jax.Array,  # scalar int32
 ):
-    """One pipelined decode step with a layer-sharded KV cache.
-
-    The reference's decode PP (Llama.cc:970-1240): each step the activation
-    hops stage boundaries (ftNcclSend/Recv, LlamaDecoder.cc:285-296) and the
-    last stage samples. Here each stage scans its local layer slab (updating
-    its local cache shard at cache_pos) and hands the hidden state to the
-    next stage with ppermute; the last stage's logits are psum-broadcast.
-    Serial across stages per token — the same latency shape as the
-    reference; use TP for latency, PP for fitting more layers (SURVEY §2.4).
-
-    Returns (logits [B, 1, V], (kv_k, kv_v)).
-    """
-    pp = mesh.shape["pipe"]
-    nl_local = cfg.num_layers // pp
-    b = ids.shape[0]
-
-    def body(params, ids, kv_k, kv_v, pos):
-        my_stage = jax.lax.axis_index("pipe")
-        positions = jnp.broadcast_to(pos, (b, 1))
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-        s_max = kv_k.shape[3]
-        ki = jnp.arange(s_max)[None, :]
-        mask = jnp.where(ki <= pos, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-        lengths = jnp.broadcast_to(pos, (b,)) + 1
-
-        def run_stage(x, kvk, kvv):
-            def layer_body(carry, inp):
-                x, kvk, kvv = carry
-                lp, i = inp
-                x, new_kv = llama_layer_serve(
-                    lp, cfg, policy, x, cos, sin, mask,
-                    kv=(kvk, kvv, i), cache_pos=pos, lengths=lengths,
-                )
-                return (x, new_kv[0], new_kv[1]), None
-
-            idx = jnp.arange(nl_local)
-            (x, kvk, kvv), _ = jax.lax.scan(
-                layer_body, (x, kvk, kvv), (params["layers_stacked"], idx)
-            )
-            return x, kvk, kvv
-
-        x = jnp.where(
-            my_stage == 0,
-            params["embed"][ids],
-            jnp.zeros((b, 1, cfg.hidden_size), params["embed"].dtype),
-        )
-        final = jnp.zeros_like(x)
-        perm = [(i, (i + 1) % pp) for i in range(pp)]
-        for t in range(pp):
-            active = my_stage == t
-            x2, kv_k, kv_v = jax.lax.cond(
-                active,
-                run_stage,
-                lambda x, kvk, kvv: (x, kvk, kvv),
-                x, kv_k, kv_v,
-            )
-            if t == pp - 1:
-                final = x2  # only valid on the last stage
-            else:
-                x = jax.lax.ppermute(x2, "pipe", perm)
-
-        h = rmsnorm(final, params["final_norm"], cfg.norm_eps)
-        from flexq_tpu.models.quantized import apply_lm_head
-
-        logits = apply_lm_head(params, cfg, policy, h)
-        logits = jax.lax.psum(
-            jnp.where(my_stage == pp - 1, logits, jnp.zeros_like(logits)), "pipe"
-        )
-        return logits, kv_k, kv_v
-
-    param_specs = {
-        "embed": P(),
-        "final_norm": jax.tree_util.tree_map(lambda _: P(), params["final_norm"]),
-        **({"lm_head": P()} if "lm_head" in params else {}),
-        "layers_stacked": jax.tree_util.tree_map(
-            lambda _: P("pipe"), params["layers_stacked"]
-        ),
-    }
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(param_specs, P(), P("pipe"), P("pipe"), P()),
-        out_specs=(P(), P("pipe"), P("pipe")),
-        check_vma=False,
+    """One pipelined decode step (bf16 dense KV) — see serve_step_pp."""
+    logits, kv = serve_step_pp(
+        params, cfg, policy, ids, mesh, (kv_k, kv_v), cache_pos
     )
-    if not isinstance(ids, jax.core.Tracer):
-        key = ("decode", mesh, cfg, _pp_policy_key(policy), ids.shape,
-               kv_k.shape, str(kv_k.dtype), jax.tree_util.tree_structure(params))
-        if key not in _PP_FN_CACHE:
-            if len(_PP_FN_CACHE) >= 64:  # bound a long-lived process's cache
-                _PP_FN_CACHE.clear()
-            _PP_FN_CACHE[key] = jax.jit(fn)
-        fn = _PP_FN_CACHE[key]
-    logits, kv_k, kv_v = fn(params, ids, kv_k, kv_v, jnp.asarray(cache_pos, jnp.int32))
-    return logits, (kv_k, kv_v)
+    return logits, kv

@@ -55,6 +55,7 @@ class Engine:
         prefill_bf16_threshold: int = 64,
         prefill_chunk: Optional[int] = None,
         mesh=None,
+        pp_mesh=None,
     ):
         # mesh => multi-chip serving: params TP-sharded, KV cache (values and
         # int8 scales) sharded on the kv-head axis, prefill/decode routed
@@ -64,7 +65,19 @@ class Engine:
         # host dispatch, same as single-chip. A `data` mesh axis shards the
         # batch (requires b % dp == 0).
         self.mesh = mesh
-        if mesh is not None:
+        # pp_mesh => pipeline-parallel serving (reference pipeline_para
+        # through the full engine, Llama.cc:970-1240 / ParallelGptDecoder):
+        # per-layer params stacked + sharded over the `pipe` axis, prefill
+        # and decode both through serve_step_pp (stage-serial ppermute
+        # hops). Decode runs the stepwise host loop — PP latency is set by
+        # the pp boundary hops, not host dispatch; use TP for latency.
+        self.pp_mesh = pp_mesh
+        if pp_mesh is not None:
+            assert mesh is None, "pp_mesh and mesh are mutually exclusive (v1)"
+            from flexq_tpu.parallel.pp import shard_params_pp
+
+            params = shard_params_pp(params, pp_mesh)
+        elif mesh is not None:
             from flexq_tpu.parallel.tp import shard_params
 
             params = shard_params(params, mesh)
@@ -78,11 +91,19 @@ class Engine:
         # prompts at/above this many tokens take the W6A16 prefill path
         # (compute-bound: bf16 MXU beats exact-int; see w6_matmul_bf16)
         self.prefill_bf16_threshold = prefill_bf16_threshold
-        self._prefill_jit = jax.jit(
-            self._prefill, static_argnames=("prompt_len",), donate_argnums=(2,)
-        )
-        self._step_jit = jax.jit(self._decode_step, donate_argnums=(2,))
-        self._prefill_chunk_jit = jax.jit(self._prefill_chunk, donate_argnums=(2,))
+        if pp_mesh is not None:
+            # serve_step_pp caches its own jitted shard_map per static config
+            # (an engine-level outer jit would nest it inside a trace and
+            # disable that cache — see tp.py's nested-jit note)
+            self._prefill_jit = self._pp_prefill
+            self._step_jit = self._pp_decode_step
+            self._prefill_chunk_jit = self._pp_prefill_chunk
+        else:
+            self._prefill_jit = jax.jit(
+                self._prefill, static_argnames=("prompt_len",), donate_argnums=(2,)
+            )
+            self._step_jit = jax.jit(self._decode_step, donate_argnums=(2,))
+            self._prefill_chunk_jit = jax.jit(self._prefill_chunk, donate_argnums=(2,))
         self._loop_jit = jax.jit(
             self._decode_loop,
             static_argnames=("sampling", "eos_id", "stop_ids", "max_new", "logprobs"),
@@ -94,6 +115,33 @@ class Engine:
             static_argnames=("k", "max_new", "stop_ids", "max_ngram", "sampling"),
             donate_argnums=(2,),
         )
+
+    # ---- pipeline-parallel step wrappers (eager; serve_step_pp caches) --
+    def _pp_prefill(self, params, ids, cache, prompt_len: int):
+        from flexq_tpu.parallel.pp import serve_step_pp
+
+        logits, kv = serve_step_pp(
+            params, self.cfg, self.policy, ids, self.pp_mesh, cache,
+            jnp.int32(0), last_only=True,
+        )
+        return logits[:, 0], kv
+
+    def _pp_prefill_chunk(self, params, ids, cache, start):
+        from flexq_tpu.parallel.pp import serve_step_pp
+
+        logits, kv = serve_step_pp(
+            params, self.cfg, self.policy, ids, self.pp_mesh, cache,
+            start, last_only=True,
+        )
+        return logits[:, 0], kv
+
+    def _pp_decode_step(self, params, ids, cache, pos):
+        from flexq_tpu.parallel.pp import serve_step_pp
+
+        logits, kv = serve_step_pp(
+            params, self.cfg, self.policy, ids, self.pp_mesh, cache, pos,
+        )
+        return logits[:, 0], kv
 
     def _kv_shape(self, batch: int) -> Tuple[int, ...]:
         c = self.cfg
@@ -121,7 +169,11 @@ class Engine:
         if self.quantized_cache:
             sshape = shape[:-1]
             cache += (jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
-        if self.mesh is not None:
+        if self.pp_mesh is not None:
+            from flexq_tpu.parallel.pp import shard_cache_pp
+
+            cache = shard_cache_pp(self.pp_mesh, *cache)
+        elif self.mesh is not None:
             sh, ssh = self._cache_sharding(), self._cache_sharding(scales=True)
             cache = tuple(
                 jax.device_put(x, ssh if x.ndim == 4 else sh) for x in cache
@@ -517,6 +569,11 @@ class Engine:
         not supported in mode="spec"). Return value order:
         out [, logprobs] [, stats].
         """
+        if self.pp_mesh is not None:
+            assert mode != "spec", "speculative decoding unsupported under PP"
+            # PP decode is stage-serial ppermute hops; the stepwise loop's
+            # host dispatch is not the critical path there
+            mode = "step"
         if mode == "spec":
             # draft-and-verify (serve/speculative.py): exact greedy, or
             # exact sampling (emitted tokens are the model's own samples;
