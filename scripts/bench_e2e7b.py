@@ -107,6 +107,63 @@ def synth_llama7b_quantized(policy, seed: int = 0):
     return cfg, params
 
 
+def synth_opt_quantized(policy, seed: int = 0):
+    """Synthetic OPT at opt-13b/opt-30b scale (FLEXQ_BENCH_MODEL), quantized
+    layer by layer on device (same memory discipline as the llama synth).
+    OPT layers: biased q/k/v/o + fc1/fc2, LayerNorm g/b pairs, learned
+    position embeddings (reference multi_gpu_gpt / ParallelGptDecoder)."""
+    from flexq_tpu.models.quantized import quantize_linear
+
+    h, f, nl, nh, nkv = _MODEL_DIMS[os.environ.get("FLEXQ_BENCH_MODEL", "opt-13b")]
+    cfg = ModelConfig.opt(
+        vocab_size=50272,
+        hidden_size=h,
+        intermediate_size=f,
+        num_layers=nl,
+        num_heads=nh,
+        max_seq_len=MAX_LEN,
+    )
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, cfg.num_layers + 4)
+    ffn_pad = f + ((-f) % 1024)
+    shapes = {
+        "q_proj": (h, h), "k_proj": (h, h), "v_proj": (h, h), "o_proj": (h, h),
+        "fc1": (h, f), "fc2": (f, h),
+    }
+    layers = []
+    for i in range(cfg.num_layers):
+        ks = jax.random.split(keys[i], len(shapes))
+        ql = {
+            "input_norm": {"g": jnp.ones((h,), jnp.bfloat16),
+                           "b": jnp.zeros((h,), jnp.bfloat16)},
+            "post_norm": {"g": jnp.ones((h,), jnp.bfloat16),
+                          "b": jnp.zeros((h,), jnp.bfloat16)},
+        }
+        for (name, (kk, nn)), sk in zip(shapes.items(), ks):
+            dense = jax.random.normal(sk, (kk, nn), jnp.bfloat16) * 0.02
+            spec = policy.weight_spec(name)
+            q = quantize_linear(
+                dense, spec, k_pad_to=ffn_pad if name == "fc2" else None
+            )
+            bdim = ffn_pad if name == "fc1" else nn
+            q["b"] = jnp.zeros((bdim,), jnp.bfloat16)
+            ql[name] = jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), q
+            )
+            del dense
+        layers.append(ql)
+        print(f"  layer {i+1}/{cfg.num_layers} quantized", flush=True)
+    params = {
+        "embed": jax.random.normal(keys[-3], (cfg.vocab_size, h), jnp.bfloat16) * 0.02,
+        "pos_embed": jax.random.normal(keys[-4], (MAX_LEN + 2, h), jnp.bfloat16) * 0.02,
+        "final_norm": {"g": jnp.ones((h,), jnp.bfloat16),
+                       "b": jnp.zeros((h,), jnp.bfloat16)},
+        "lm_head": jax.random.normal(keys[-2], (h, cfg.vocab_size), jnp.bfloat16) * 0.02,
+        "layers": layers,
+    }
+    return cfg, params
+
+
 def make_cache(cfg, b, dtype):
     shape = (cfg.num_layers, b, cfg.num_kv_heads, MAX_LEN, cfg.head_dim)
     k = jnp.zeros(shape, dtype)

@@ -22,7 +22,7 @@ import numpy as np
 from flexq_tpu.config import QuantPolicy
 from flexq_tpu.serve.engine import Engine
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_e2e7b import synth_llama7b_quantized  # noqa: E402
+from bench_e2e7b import synth_llama7b_quantized, synth_opt_quantized  # noqa: E402
 
 
 
@@ -30,17 +30,26 @@ def main():
     import jax
 
     print("devices:", jax.devices(), flush=True)
+    is_opt = os.environ.get("FLEXQ_BENCH_MODEL", "7b").startswith("opt")
+    arch = "opt" if is_opt else "llama"
     wbits = os.environ.get("FLEXQ_BENCH_WBITS")
     if wbits == "4":
-        policy = QuantPolicy.uniform("llama", wbits=4, abits=8)
+        policy = QuantPolicy.uniform(arch, wbits=4, abits=8)
         print("policy: uniform W4A8", flush=True)
+    elif is_opt:
+        # reference OPT sensitivity policy: q/k/v acts 8-bit (int_opt_layer)
+        policy = QuantPolicy.opt_flex()
+        print("policy: opt_flex W6", flush=True)
     else:
         policy = QuantPolicy.llama_flex()
     head_bits = int(os.environ.get("FLEXQ_BENCH_HEAD", "0"))
     if head_bits:  # packed vocab GEMM (QuantPolicy.with_head)
         policy = policy.with_head(head_bits, abits=8)
         print(f"lm_head quantized at W{head_bits}", flush=True)
-    cfg, qparams = synth_llama7b_quantized(policy)
+    if is_opt:
+        cfg, qparams = synth_opt_quantized(policy)
+    else:
+        cfg, qparams = synth_llama7b_quantized(policy)
     results = {}
     kv_kinds = ((jnp.bfloat16, "bf16"), (jnp.int8, "int8"))
     if os.environ.get("FLEXQ_BENCH_KV") == "int8":

@@ -167,15 +167,31 @@ def main():
         print(f"[{tag}] compiling ...", flush=True)
         t0 = time.perf_counter()
         for i in range(2):
-            sched.add_request(prompts[i], max_new_tokens=gen, eos_id=-1)
+            # max_new is host state, not a compile key: 8 tokens warm every
+            # program the measured runs use
+            sched.add_request(prompts[i], max_new_tokens=8, eos_id=-1)
         sched.run()
         print(f"[{tag}] warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
-        sat = run_saturated(sched, prompts, gen, min(4, slots))
+        # 64 tokens/slot is enough for a stable ms/token and keeps the
+        # slow per-token-tick baseline bounded (~611 ms/token on axon)
+        sat = run_saturated(sched, prompts, min(gen, 64), min(4, slots))
         results[f"{tag}_saturated_B4"] = sat
         print(f"[{tag}] saturated: {sat}", flush=True)
 
+        capacity_req_s = sat["tok_s"] / gen * (slots / sat["batch"])
         for load in loads:
+            if load > 0.9 * capacity_req_s:
+                # >90% of measured capacity: the queue diverges and the run
+                # time is unbounded (the per-token-tick config saturates at
+                # ~1/100th of the fused tick's throughput on axon)
+                print(f"[{tag}] load {load}/s skipped (capacity "
+                      f"~{capacity_req_s:.2f} req/s)", flush=True)
+                results[f"{tag}_load{load}"] = {
+                    "offered_req_s": load, "skipped": "exceeds capacity",
+                    "capacity_req_s": round(capacity_req_s, 2),
+                }
+                continue
             r = run_load(sched, workloads[load], prompts, gen)
             r["offered_req_s"] = load
             results[f"{tag}_load{load}"] = r
