@@ -182,7 +182,8 @@ def _cache_update(ck, cv, k, v, li, cache_pos):
     Step k/v arrive as [B, L, KVH, D] and are transposed in-flight.
 
     Scalar cache_pos: single dynamic_update_slice (prefill or uniform decode).
-    Vector cache_pos [B]: per-slot scatter (continuous batching, L==1).
+    Vector cache_pos [B]: per-row scatter — L==1 (continuous batching) or an
+    L-token window at each row's own start (batched speculative verify).
     """
     k = k.astype(ck.dtype)  # cache dtype is authoritative (e.g. bf16 cache
     v = v.astype(cv.dtype)  # under an f32 model)
@@ -191,12 +192,20 @@ def _cache_update(ck, cv, k, v, li, cache_pos):
         vt = v.transpose(0, 2, 1, 3)[None]
         ck = jax.lax.dynamic_update_slice(ck, kt, (li, 0, 0, cache_pos, 0))
         cv = jax.lax.dynamic_update_slice(cv, vt, (li, 0, 0, cache_pos, 0))
-    else:
+    elif k.shape[1] == 1:
         b = k.shape[0]
         rows = jnp.arange(b)
         # k[:, 0] is [B, KVH, D]; scatter each row at its own position
         ck = ck.at[li, rows, :, cache_pos].set(k[:, 0], unique_indices=True)
         cv = cv.at[li, rows, :, cache_pos].set(v[:, 0], unique_indices=True)
+    else:
+        b, l = k.shape[:2]
+        rows = jnp.arange(b)[:, None]
+        pos = cache_pos[:, None] + jnp.arange(l)[None, :]  # [B, L]
+        # advanced indices split by the ':' slice put the [B, L] group
+        # first: target block is [B, L, KVH, D] == k's layout
+        ck = ck.at[li, rows, :, pos].set(k, unique_indices=True)
+        cv = cv.at[li, rows, :, pos].set(v, unique_indices=True)
     return ck, cv
 
 
@@ -262,10 +271,16 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
         vst = vs.transpose(0, 2, 1)[None]
         cks = jax.lax.dynamic_update_slice(cks, kst, (li, 0, 0, cache_pos))
         cvs = jax.lax.dynamic_update_slice(cvs, vst, (li, 0, 0, cache_pos))
-    else:
+    elif k.shape[1] == 1:
         rows = jnp.arange(k.shape[0])
         cks = cks.at[li, rows, :, cache_pos].set(ks[:, 0], unique_indices=True)
         cvs = cvs.at[li, rows, :, cache_pos].set(vs[:, 0], unique_indices=True)
+    else:
+        b, l = k.shape[:2]
+        rows = jnp.arange(b)[:, None]
+        pos = cache_pos[:, None] + jnp.arange(l)[None, :]
+        cks = cks.at[li, rows, :, pos].set(ks, unique_indices=True)
+        cvs = cvs.at[li, rows, :, pos].set(vs, unique_indices=True)
     return (ck, cv, cks, cvs), ("quant", ck, cks, cv, cvs, li)
 
 

@@ -252,15 +252,18 @@ class Engine:
         `_prefill_chunk` (writes K/V at start..start+c-1, causal attention
         over the cache) but returns the greedy argmax target of EVERY window
         position so the host can verify the drafted tokens
-        (serve/speculative.py). Argmax stays on device: fetching [c, vocab]
-        logits through the axon tunnel costs ~30ms/step, the [B, c] int32
-        targets are ~free."""
+        (serve/speculative.py). ``start`` may be a scalar or a per-row [B]
+        vector (batched spec: rows' accepted lengths diverge). Argmax stays
+        on device: fetching [c, vocab] logits through the axon tunnel costs
+        ~30ms/step, the [B, c] int32 targets are ~free."""
         b, c = ids.shape
-        positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
-        qi = start + jnp.arange(c)[:, None]
-        ki = jnp.arange(self.max_seq_len)[None, :]
-        mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-        return self._fwd(params, ids, cache, positions, start, mask)
+        sv = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
+        positions = sv[:, None] + jnp.arange(c)[None, :]
+        ki = jnp.arange(self.max_seq_len)[None, None, None, :]
+        mask = jnp.where(
+            ki <= positions[:, None, :, None], 0.0, jnp.finfo(jnp.float32).min
+        )
+        return self._fwd(params, ids, cache, positions, sv, mask)
 
     def _spec_verify(self, params, ids, cache, start):
         logits, kv = self._spec_forward(params, ids, cache, start)
@@ -417,9 +420,11 @@ class Engine:
         round-trips per step (the host spec loop pays a ~30-40ms tunnel fetch
         per step; this loop fetches once at the end).
 
-        buf is the token history (prompt at [0, prompt_len)); generated
-        tokens land at buf[prompt_len:length]. B=1 (per-row acceptance
-        lengths diverge under batching).
+        buf is the token history [B, LB] (prompts at [:, 0:prompt_len));
+        row r's generated tokens land at buf[r, prompt_len:length[r]].
+        Batched: every row drafts/verifies in the same [B, 1+k] window
+        forward at its OWN start position (vector cache_pos scatter);
+        finished rows keep re-verifying in place (m=0) until all finish.
 
         Non-greedy sampling is EXACT for the deterministic n-gram drafts:
         the emitted tokens are the model's own samples at each window
@@ -458,16 +463,17 @@ class Engine:
         def mesh_body(params, logits0, buf, prompt_len, key, *cache_t):
             def verify(ids, cache_i, start):
                 b, c = ids.shape
-                positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
-                qi = start + jnp.arange(c)[:, None]
-                ki = jnp.arange(self.max_seq_len)[None, :]
+                sv = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
+                positions = sv[:, None] + jnp.arange(c)[None, :]
+                ki = jnp.arange(self.max_seq_len)[None, None, None, :]
                 mask = jnp.where(
-                    ki <= qi, 0.0, jnp.finfo(jnp.float32).min
-                )[None, None]
+                    ki <= positions[:, None, :, None], 0.0,
+                    jnp.finfo(jnp.float32).min,
+                )
                 logits, pieces = tp_forward_local(
                     params, self.cfg, lcfg, self.policy, ids,
                     kv=("dense8" if quant else "dense",) + tuple(cache_i),
-                    positions=positions, cache_pos=start, mask=mask,
+                    positions=positions, cache_pos=sv, mask=mask,
                 )
                 return logits, pieces
 
@@ -492,56 +498,67 @@ class Engine:
         k: int, max_new: int, stop_ids, max_ngram: int,
         sampling: SamplingParams,
     ):
-        """The fused spec while_loop; ``verify`` runs one [1, 1+k] window
-        forward and returns (logits [1, 1+k, V], new cache pieces)."""
+        """The fused spec while_loop; ``verify`` runs one [B, 1+k] window
+        forward and returns (logits [B, 1+k, V], new cache pieces)."""
         from flexq_tpu.serve.speculative import ngram_draft_device
 
+        b, lb = buf.shape
+        rows = jnp.arange(b)
         stop_arr = jnp.asarray(sorted(set(stop_ids)), jnp.int32)
         if sampling.greedy:
-            first = jnp.argmax(logits0[0]).astype(jnp.int32)
+            first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)  # [B]
         else:
             key, sub = jax.random.split(key)
             first = sample(
                 process_logits(logits0.astype(jnp.float32), sampling),
                 sampling, sub,
-            )[0]
-        buf = jax.lax.dynamic_update_index_in_dim(buf, first, prompt_len, 0)
-        length0 = prompt_len + 1
-        finished0 = jnp.isin(first, stop_arr)
+            )
+        buf = buf.at[rows, prompt_len].set(first)
+        length0 = jnp.full((b,), prompt_len + 1, jnp.int32)
+        finished0 = jnp.isin(first, stop_arr) | (max_new <= 1)
         steps0 = jnp.int32(0)
         acc0 = jnp.int32(0)
 
         def cond(state):
             cache, buf, length, finished, steps, acc, key = state
-            return ~finished & (length - prompt_len < max_new)
+            return ~jnp.all(finished)
 
         def body(state):
             cache, buf, length, finished, steps, acc, key = state
-            draft = ngram_draft_device(buf, length, k, max_ngram)
-            last = jax.lax.dynamic_index_in_dim(buf, length - 1, keepdims=False)
-            ids = jnp.concatenate([last[None], draft])[None]  # [1, 1+k]
+            draft = jax.vmap(
+                lambda r, ln: ngram_draft_device(r, ln, k, max_ngram)
+            )(buf, length)  # [B, k]
+            last = buf[rows, length - 1]
+            ids = jnp.concatenate([last[:, None], draft], axis=1)  # [B, 1+k]
             logits_w, cache = verify(ids, cache, length - 1)
             if sampling.greedy:
-                t = jnp.argmax(logits_w[0], axis=-1).astype(jnp.int32)  # [1+k]
+                t = jnp.argmax(logits_w, axis=-1).astype(jnp.int32)  # [B, 1+k]
             else:
+                # rows = window positions (independent given the draft)
                 proc = process_logits(
-                    logits_w[0].astype(jnp.float32), sampling
-                )  # rows = window positions (independent given the draft)
+                    logits_w.reshape(b * (k + 1), -1).astype(jnp.float32),
+                    sampling,
+                )
                 key, sub = jax.random.split(key)
-                t = jax.random.categorical(sub, proc, axis=-1).astype(jnp.int32)
-            accept = jnp.cumprod((draft == t[:k]).astype(jnp.int32))
-            n_acc = jnp.sum(accept)
+                t = jax.random.categorical(sub, proc, axis=-1).astype(
+                    jnp.int32
+                ).reshape(b, k + 1)
+            accept = jnp.cumprod((draft == t[:, :k]).astype(jnp.int32), axis=1)
+            n_acc = jnp.sum(accept, axis=1)  # [B]
             lim = n_acc + 1  # accepted drafts + the bonus token
-            j = jnp.arange(k + 1, dtype=jnp.int32)
-            is_stop = jnp.isin(t, stop_arr) & (j < lim)
-            stop_idx = jnp.min(jnp.where(is_stop, j, k + 1))
+            j = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+            is_stop = jnp.isin(t, stop_arr) & (j < lim[:, None])
+            stop_idx = jnp.min(jnp.where(is_stop, j, k + 1), axis=1)
             m = jnp.minimum(lim, stop_idx + 1)
             m = jnp.minimum(m, max_new - (length - prompt_len))
-            finished = (stop_idx < lim) | (length - prompt_len + m >= max_new)
-            # write all k+1 targets: slots beyond m are overwritten by the
-            # next step's window (same invariant as the KV-cache writes)
-            buf = jax.lax.dynamic_update_slice(buf, t, (length,))
-            return (cache, buf, length + m, finished, steps + 1, acc + n_acc, key)
+            new_fin = (stop_idx < lim) | (length - prompt_len + m >= max_new)
+            acc = acc + jnp.sum(jnp.where(finished, 0, n_acc))
+            m = jnp.where(finished, 0, m)  # finished rows hold position
+            finished = finished | new_fin
+            # write all k+1 targets per row: slots beyond m are overwritten
+            # by the next step's window (same invariant as the KV writes)
+            buf = buf.at[rows[:, None], length[:, None] + j].set(t)
+            return (cache, buf, length + m, finished, steps + 1, acc, key)
 
         state = (cache, buf, length0, finished0, steps0, acc0, key)
         cache, buf, length, _, steps, acc, _ = jax.lax.while_loop(cond, body, state)

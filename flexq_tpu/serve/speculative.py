@@ -136,9 +136,9 @@ def generate_speculative(
     emit t_0..t_n_acc (the model's own next token after the accept point is
     the free "bonus"). Between 1 and k+1 tokens per forward.
 
-    B=1 only (the latency-critical case): per-row acceptance lengths diverge
-    under batching, which needs per-slot cache positions — that lives in the
-    continuous-batching scheduler, not the fixed-batch engine.
+    Batched (fused loop): each row drafts and verifies at its OWN position
+    (per-row cache_pos scatter); rows that finish hold position until the
+    batch drains. The host (fused=False) path stays B=1.
     """
     import time
 
@@ -155,8 +155,11 @@ def generate_speculative(
             and sampling.min_length == 0
         ), "count/length penalties unsupported in sampled speculative mode"
     prompts = [list(p) for p in prompt_ids]
-    assert len(prompts) == 1, "speculative decoding: B=1 (use scheduler for batches)"
-    l = len(prompts[0])
+    bsz = len(prompts)
+    assert fused or bsz == 1, "host spec loop: B=1 (fused loop batches)"
+    lens = {len(p) for p in prompts}
+    assert len(lens) == 1, "spec decoding requires equal-length prompts"
+    l = lens.pop()
     assert l + max_new_tokens + k <= engine.max_seq_len, (
         "speculative window may overshoot: need prompt + max_new + k <= max_seq_len"
     )
@@ -164,7 +167,7 @@ def generate_speculative(
     stats = SpecStats()
     t0 = time.perf_counter()
     ids = jnp.asarray(np.asarray(prompts, np.int32))
-    cache = engine.new_cache(1)
+    cache = engine.new_cache(bsz)
     if engine.prefill_chunk and l > engine.prefill_chunk:
         logits, cache = engine.prefill_chunked(ids, cache, engine.prefill_chunk)
     else:
@@ -183,8 +186,8 @@ def generate_speculative(
         # one host dispatch + one buffer fetch for the entire generation
         t1 = time.perf_counter()
         lb = l + max_new_tokens + k + 1
-        buf = jnp.zeros((lb,), jnp.int32).at[:l].set(
-            jnp.asarray(prompts[0], jnp.int32)
+        buf = jnp.zeros((bsz, lb), jnp.int32).at[:, :l].set(
+            jnp.asarray(prompts, jnp.int32)
         )
         buf, length, steps, acc, cache = engine._spec_loop_jit(
             engine.params, logits, cache, buf, jnp.int32(l),
@@ -192,16 +195,20 @@ def generate_speculative(
             k=k, max_new=max_new_tokens, stop_ids=tuple(sorted(stop_set)),
             max_ngram=max_ngram, sampling=sampling,
         )
-        length = int(length)
-        out = [int(t) for t in np.asarray(buf)[l:length]]
+        length_np = np.asarray(length)
+        buf_np = np.asarray(buf)
+        outs = [
+            [int(t) for t in buf_np[r, l : int(length_np[r])]]
+            for r in range(bsz)
+        ]
         stats.steps = int(steps)
-        stats.drafted = stats.steps * k
+        stats.drafted = stats.steps * k * bsz
         stats.accepted = int(acc)
-        stats.generated = len(out)
+        stats.generated = sum(len(o) for o in outs)
         stats.decode_s = time.perf_counter() - t1
         if return_stats:
-            return [out], stats
-        return [out]
+            return outs, stats
+        return outs
 
     out: List[int] = [first]
     history.append(first)

@@ -68,6 +68,27 @@ def test_tp_matches_single_device(quantized, tp, dp):
     assert (got.argmax(-1) == want.argmax(-1)).mean() >= 0.95
 
 
+@pytest.mark.parametrize("tp,dp", [(2, 1), (4, 2)])
+def test_tp_matches_jitted_single_device_tight(quantized, tp, dp):
+    """Compiled-vs-compiled exact invariant backing the fuzzy test above:
+    when BOTH sides are jitted programs (no eager-vs-compiled fusion
+    noise), TP must match the single-device forward to f32-ulp level
+    (observed ~5e-7) with argmax equal EVERYWHERE — a real TP regression
+    (wrong psum placement, shard off-by-one) cannot hide inside this
+    tolerance the way it could inside the 95%-within-2e-4 allowance."""
+    cfg, policy, qparams = quantized
+    mesh = make_mesh(tp=tp, dp=dp)
+    sharded = shard_params(qparams, mesh)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (dp, 6)))
+
+    want = np.asarray(
+        jax.jit(lambda p, i: forward_serve(p, cfg, policy, i)[0])(qparams, ids)
+    )
+    got = np.asarray(forward_serve_tp(sharded, cfg, policy, ids, mesh)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
 def test_tp_with_kv_cache(quantized):
     cfg, policy, qparams = quantized
     tp = 4

@@ -148,3 +148,71 @@ def test_spec_sampled_mode():
                         mode="spec", sampling=sp, seed=8)
     # different seed should (overwhelmingly) differ on a 12-token sample
     assert out3[0] != out1[0] or stats.accepted >= 0
+
+
+def test_spec_batched_matches_plain_greedy():
+    """B>1 fused spec: every row must equal its own plain greedy chain even
+    when rows' acceptance lengths diverge (repetitive vs random prompts)."""
+    eng = tiny_engine()
+    prompts = [[1, 5, 9, 12, 8, 2], [3, 3, 3, 3, 3, 3], [7, 1, 7, 1, 7, 1]]
+    want = [
+        eng.generate([p], max_new_tokens=10, eos_id=-1, mode="step")[0]
+        for p in prompts
+    ]
+    got, stats = generate_speculative(
+        eng, prompts, max_new_tokens=10, k=3, eos_id=-1, return_stats=True
+    )
+    assert got == want, (got, want)
+    assert stats.generated == sum(len(r) for r in want)
+
+
+def test_spec_batched_eos_divergence():
+    """Rows finishing at different times (per-row eos) drain correctly."""
+    eng = tiny_engine()
+    prompts = [[1, 5, 9, 12], [9, 12, 1, 5]]
+    # find each row's first greedy token and use row 0's as the shared eos:
+    # row 0 stops immediately, row 1 runs to budget (unless it emits it too)
+    solo = [
+        eng.generate([p], max_new_tokens=8, eos_id=-1, mode="step")[0]
+        for p in prompts
+    ]
+    eos = solo[0][0]
+    want = [
+        eng.generate([p], max_new_tokens=8, eos_id=eos, mode="step")[0]
+        for p in prompts
+    ]
+    got = generate_speculative(eng, prompts, max_new_tokens=8, k=3, eos_id=eos)
+    assert got == want, (got, want)
+
+
+def test_spec_batched_under_mesh():
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 2:
+        _pytest.skip("needs 2 virtual devices")
+    from flexq_tpu.parallel.tp import make_mesh
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg).eval()
+    mcfg = config_from_hf(m.config)
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(
+        from_hf_llama(m, dtype=jnp.float32), mcfg, policy, dtype=jnp.float32
+    )
+    mesh = make_mesh(tp=2, dp=1)
+    eng = Engine(qparams, mcfg, policy, max_seq_len=64, kv_dtype=jnp.float32,
+                 mesh=mesh)
+    prompts = [[1, 5, 9, 12], [3, 3, 3, 3]]
+    out = eng.generate(prompts, max_new_tokens=6, eos_id=-1, mode="spec")
+    # mesh-vs-mesh determinism + correct shape (mesh-vs-single-device greedy
+    # equality does not hold across differently-compiled programs on tiny
+    # random models; see CLAUDE.md spec gotcha)
+    out2 = eng.generate(prompts, max_new_tokens=6, eos_id=-1, mode="spec")
+    assert out == out2
+    assert all(len(r) == 6 for r in out)
