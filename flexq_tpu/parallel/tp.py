@@ -290,13 +290,13 @@ def forward_serve_tp(
     quant = kv_k_scale is not None
     have_cache = kv_k is not None
     b = ids.shape[0]
-    if paged:
-        # pages are written per batch row; replicating the pool across a
-        # data axis would fork its replicas
-        assert dp == 1, "paged TP requires dp=1 (page ids are global)"
     data_ax = "data" if dp > 1 and b % dp == 0 else None
     head_ax = "model" if cfg.num_kv_heads >= tp else None
-    kv_batch = None if paged else data_ax  # pool batch dim = pages, replicated
+    # dense: slot axis shards over data. Paged with dp>1: the pool's PAGE
+    # axis shards over data (per-data-shard pool partitions; the scheduler
+    # localizes table entries so each rank indexes its own shard) and the
+    # table's slot axis shards alongside ids/cache_pos.
+    kv_batch = data_ax
     kv_spec = P(None, kv_batch, head_ax, None, None) if have_cache else P()
     ks_spec = P(None, kv_batch, head_ax, None) if quant else P()
     have_pos = positions is not None
@@ -363,7 +363,8 @@ def forward_serve_tp(
             mesh=mesh,
             in_specs=(
                 specs, P(data_ax, None), kv_spec, kv_spec, ks_spec,
-                ks_spec, P(), pos_spec, cp_spec, mask_spec,
+                ks_spec, P(data_ax, None) if paged else P(),
+                pos_spec, cp_spec, mask_spec,
             ),
             out_specs=(
                 P(data_ax, None, None), kv_spec, kv_spec, ks_spec, ks_spec

@@ -38,11 +38,22 @@ class PagePool:
         page_size: int,
         head_dim: int,
         dtype=jnp.bfloat16,
+        partitions: int = 1,
     ):
+        """``partitions`` > 1 splits the page space into data-parallel
+        shards: partition d owns global ids [d*P/dp, (d+1)*P/dp) and the
+        pool's page axis is sharded over the `data` mesh axis. Page-table
+        entries are localized (global % pages_per_partition) before going
+        on device, so each rank's in-shard_map lookups index its LOCAL pool
+        shard — this is what lifts the round-2 "paged TP requires dp=1"
+        restriction (global page ids would fork data-replicated pools)."""
         assert page_size % 128 == 0, "page size must be a multiple of 128"
+        assert num_pages % partitions == 0, (num_pages, partitions)
         shape = (num_layers, num_pages, kv_heads, page_size, head_dim)
         self.page_size = page_size
         self.num_pages = num_pages
+        self.partitions = partitions
+        self.pages_per_partition = num_pages // partitions
         self.quantized = dtype == jnp.int8
         self.pool_k = jnp.zeros(shape, dtype)
         self.pool_v = jnp.zeros(shape, dtype)
@@ -51,20 +62,40 @@ class PagePool:
             self.scale_v = jnp.zeros(shape[:-1], jnp.float32)
         else:
             self.scale_k = self.scale_v = None
-        self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        ppp = self.pages_per_partition
+        self._free: List[List[int]] = [
+            list(range((d + 1) * ppp - 1, d * ppp - 1, -1))
+            for d in range(partitions)
+        ]
 
     @property
     def free_pages(self) -> int:
-        return len(self._free)
+        return sum(len(f) for f in self._free)
 
-    def alloc(self, n: int = 1) -> List[int]:
-        if len(self._free) < n:
-            raise MemoryError(f"page pool exhausted ({n} wanted, {len(self._free)} free)")
-        return [self._free.pop() for _ in range(n)]
+    def free_in(self, part: int) -> int:
+        return len(self._free[part])
+
+    def alloc(self, n: int = 1, part: int = 0) -> List[int]:
+        """Allocate n pages from partition `part` (global ids)."""
+        free = self._free[part]
+        if len(free) < n:
+            raise MemoryError(
+                f"page pool exhausted ({n} wanted, {len(free)} free in "
+                f"partition {part})"
+            )
+        return [free.pop() for _ in range(n)]
 
     def free(self, pages) -> None:
         for p in pages:
-            self._free.append(int(p))
+            self._free[int(p) // self.pages_per_partition].append(int(p))
+
+    def localize(self, table: np.ndarray) -> np.ndarray:
+        """Global page-id table -> per-rank local ids (identity at dp=1).
+        Unmapped entries (0) localize to 0 = every partition's own garbage
+        page (partitions reserve local page 0 at scheduler init)."""
+        if self.partitions == 1:
+            return table
+        return table % self.pages_per_partition
 
     def pages_for(self, num_tokens: int) -> int:
         return -(-max(num_tokens, 1) // self.page_size)

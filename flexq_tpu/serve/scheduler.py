@@ -33,8 +33,9 @@ from flexq_tpu.serve.sampling import NEG_INF, SamplingParams, process_logits, sa
 
 def _cache_spec(cfg, mesh, scales: bool = False, batch_ax=None):
     """Sharding for KV buffers: [L, B|P, KVH, S(, D)]. ``batch_ax`` shards
-    the slot dim over `data` (dense cache, dp>1); page pools keep it
-    replicated (page ids are global). ``scales`` drops the head_dim axis."""
+    axis 1 over `data`: the slot dim of a dense cache, or a page pool's
+    page axis (per-data-shard pool partitions, localized tables).
+    ``scales`` drops the head_dim axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     head_ax = "model" if cfg.num_kv_heads >= mesh.shape["model"] else None
@@ -140,18 +141,24 @@ class BatchScheduler:
         # KV cache / page pool (values AND int8 scales) sharded on the
         # kv-head axis, every scheduler step a shard_map TP forward
         # (parallel/tp.py). dp>1 additionally shards the slot dim of the
-        # dense cache over `data` (paged pools stay dp=1: page ids are
-        # global, so data-replicating the pool would fork its replicas).
+        # dense cache — or the page axis of a paged pool (per-data-shard
+        # partitions with localized page ids) — over `data`.
         self.mesh = mesh
         self._dp = 1 if mesh is None else mesh.shape.get("data", 1)
         if mesh is not None:
             from flexq_tpu.parallel.tp import shard_params
 
-            if paged:
-                assert self._dp == 1, "paged scheduler TP requires dp=1"
-            else:
-                assert num_slots % self._dp == 0, (
-                    f"num_slots {num_slots} must divide by dp {self._dp}"
+            assert num_slots % self._dp == 0, (
+                f"num_slots {num_slots} must divide by dp {self._dp}"
+            )
+            if paged and self._dp > 1:
+                # per-data-shard page pools: the pool's page axis and the
+                # table's slot axis shard over `data`; each shard's slots
+                # allocate only from its own partition and table entries
+                # are localized before dispatch (PagePool docstring)
+                assert not prefix_cache, (
+                    "prefix_cache requires dp=1 (reuse would be "
+                    "partition-local; pages cannot cross data shards)"
                 )
             params = shard_params(params, mesh)
         self.params = params
@@ -189,24 +196,28 @@ class BatchScheduler:
 
             assert max_seq_len % page_size == 0
             if num_pages is None:
-                num_pages = num_slots * (max_seq_len // page_size) + 1
+                num_pages = num_slots * (max_seq_len // page_size) + self._dp
+            num_pages += (-num_pages) % self._dp  # equal partitions
             self.pool = PagePool(
                 cfg.num_layers, num_pages, cfg.num_kv_heads, page_size,
-                cfg.head_dim, dtype=kv_dtype,
+                cfg.head_dim, dtype=kv_dtype, partitions=self._dp,
             )
             if mesh is not None:
-                sh = _cache_spec(cfg, mesh)
+                page_ax = "data" if self._dp > 1 else None
+                sh = _cache_spec(cfg, mesh, batch_ax=page_ax)
                 self.pool.pool_k = jax.device_put(self.pool.pool_k, sh)
                 self.pool.pool_v = jax.device_put(self.pool.pool_v, sh)
                 if self.quantized:
-                    ssh = _cache_spec(cfg, mesh, scales=True)
+                    ssh = _cache_spec(cfg, mesh, scales=True, batch_ax=page_ax)
                     self.pool.scale_k = jax.device_put(self.pool.scale_k, ssh)
                     self.pool.scale_v = jax.device_put(self.pool.scale_v, ssh)
             self.ptable = PageTable(num_slots, max_seq_len // page_size)
-            # page 0 is the garbage page: inactive slots (table all-zero)
-            # decode junk into it without corrupting live pages
-            garbage = self.pool.alloc(1)
-            assert garbage == [0]
+            # local page 0 of every partition is that shard's garbage page:
+            # inactive slots (table all-zero) decode junk into it without
+            # corrupting live pages
+            for d in range(self._dp):
+                garbage = self.pool.alloc(1, part=d)
+                assert garbage == [d * self.pool.pages_per_partition]
             self.kv_k = self.kv_v = None
         else:
             shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_seq_len, cfg.head_dim)
@@ -426,7 +437,9 @@ class BatchScheduler:
         head_ax = (
             "model" if self.cfg.num_kv_heads >= mesh.shape["model"] else None
         )
-        kv_batch = None if paged else data_ax  # pool batch dim = pages
+        # dense: slots over data; paged dp>1: per-data-shard pool partitions
+        # (page axis over data, localized tables — see PagePool)
+        kv_batch = data_ax
         kv_spec = P(None, kv_batch, head_ax, None, None)
         ks_spec = P(None, kv_batch, head_ax, None)
         cache_specs = (kv_spec, kv_spec) + ((ks_spec, ks_spec) if quant else ())
@@ -466,7 +479,8 @@ class BatchScheduler:
             mesh=mesh,
             in_specs=(
                 specs, mat, vec, vec, vec, vec, vec, P(),
-                mat if use_counts else P(), P(),
+                mat if use_counts else P(),
+                mat if paged else P(),
             ) + cache_specs,
             out_specs=(mat, mat, mat) + cache_specs,
             check_vma=False,
@@ -598,11 +612,15 @@ class BatchScheduler:
             tok = self._sample_one(logits[0, (plen - 1) - start], slot)
             self._record(i, slot, tok)
 
-    def _alloc(self, n: int) -> List[int]:
+    def _part_of(self, i: int) -> int:
+        """Data-shard partition owning slot i (slots shard contiguously)."""
+        return i // (self.num_slots // self._dp)
+
+    def _alloc(self, n: int, part: int = 0) -> List[int]:
         """Pool alloc that reclaims LRU retained prefix pages under pressure."""
-        if self.registry is not None and self.pool.free_pages < n:
-            self.pool.free(self.registry.evict(n - self.pool.free_pages))
-        return self.pool.alloc(n)
+        if self.registry is not None and self.pool.free_in(part) < n:
+            self.pool.free(self.registry.evict(n - self.pool.free_in(part)))
+        return self.pool.alloc(n, part=part)
 
     def _release_slot_pages(self, i: int) -> None:
         s = self.slots[i]
@@ -613,16 +631,19 @@ class BatchScheduler:
             pages = self.registry.release(pages)
         self.pool.free(pages)
 
-    def _preempt(self, exclude: Optional[int] = None) -> bool:
+    def _preempt(self, exclude: Optional[int] = None,
+                 part: Optional[int] = None) -> bool:
         """Evict the youngest other request back to the pending queue
         (recompute-style preemption, what vLLM does when the pool runs dry;
         the reference's static batch simply cannot run out mid-flight).
         Its pages free immediately; on re-admission it prefills
         prompt+generated-so-far and the final output is stitched together
-        from `prior` + the new generation."""
+        from `prior` + the new generation. ``part`` restricts candidates to
+        one data shard's slots (its pool partition is the one that ran dry)."""
         cands = [
             i for i, s in enumerate(self.slots)
             if i != exclude and s.req_id is not None and not s.beam
+            and (part is None or self._part_of(i) == part)
         ]  # beam lanes are never preempted: re-prefilling one lane cannot
         # reconstruct the group's diverged KV mid-search
         if not cands:
@@ -646,12 +667,15 @@ class BatchScheduler:
             shared = slot.shared_pages if slot is not None else []
             pfx = slot.prefix_len if slot is not None else 0
             ps = self.pool.page_size
+            part = self._part_of(i)
             while True:
                 try:
-                    new_pages = self._alloc(self.pool.pages_for(plen) - len(shared))
+                    new_pages = self._alloc(
+                        self.pool.pages_for(plen) - len(shared), part
+                    )
                     break
                 except MemoryError:
-                    if not self._preempt(exclude=i):
+                    if not self._preempt(exclude=i, part=part):
                         raise
             region = tuple(
                 x[:, :, :, pfx:] for x in (kv1 if self.quantized else kv1[:2])
@@ -705,6 +729,11 @@ class BatchScheduler:
         assert len(prompt) + max_new_tokens <= self.max_seq_len
         if beam_width > 1:
             assert beam_width <= self.num_slots, (beam_width, self.num_slots)
+            if self.paged:
+                assert self._dp == 1, (
+                    "paged beam requires dp=1: lanes share pages, which "
+                    "cannot span data-shard pool partitions"
+                )
         self.pending.append(
             _Pending(req_id, list(prompt), sampling, max_new_tokens, eos_id,
                      want_logprobs=logprobs, beam_width=beam_width,
@@ -766,7 +795,7 @@ class BatchScheduler:
                 break  # FIFO: a beam request is next; admit it next tick
             req = self.pending.popleft()
             if self.paged:
-                avail = self.pool.free_pages + (
+                avail = self.pool.free_in(self._part_of(i)) + (
                     self.registry.reclaimable if self.registry is not None else 0
                 )
                 # charge only the REMAINING generation budget: a preempted
@@ -1149,11 +1178,12 @@ class BatchScheduler:
                 needed = min(
                     (self.slots[i].pos + k_steps - 1) // ps + 1, max_blocks
                 )
+                part = self._part_of(i)
                 while self.ptable.num_blocks[i] < needed:
                     try:
-                        page = self._alloc(1)[0]
+                        page = self._alloc(1, part)[0]
                     except MemoryError:
-                        if not self._preempt():
+                        if not self._preempt(part=part):
                             raise
                         if self.slots[i].req_id is None:
                             break
@@ -1196,7 +1226,7 @@ class BatchScheduler:
         self._key, sub = jax.random.split(self._key)
         if self.paged:
             cache = self.pool.state()
-            table = self.ptable.device_table()
+            table = jnp.asarray(self.pool.localize(self.ptable.table))
         else:
             cache = (
                 (self.kv_k, self.kv_v, self.kv_ks, self.kv_vs)
@@ -1260,13 +1290,14 @@ class BatchScheduler:
                         continue  # preempted by an earlier slot's allocation
                     # the write at pos may open a new logical block
                     needed = self.slots[i].pos // ps + 1
+                    part = self._part_of(i)
                     while self.ptable.num_blocks[i] < needed:
                         try:
-                            page = self._alloc(1)[0]
+                            page = self._alloc(1, part)[0]
                         except MemoryError:
-                            # youngest request overall yields — possibly
-                            # this very slot (then it skips the step)
-                            if not self._preempt():
+                            # youngest request in this partition yields —
+                            # possibly this very slot (then it skips the step)
+                            if not self._preempt(part=part):
                                 raise
                             if self.slots[i].req_id is None:
                                 break
@@ -1291,7 +1322,7 @@ class BatchScheduler:
             if self.paged:
                 logits, state = self._step_jit(
                     self.params, self.last_tokens, self.pool.state(), positions,
-                    self.ptable.device_table(),
+                    jnp.asarray(self.pool.localize(self.ptable.table)),
                 )
                 self.pool.set_state(state)
             else:

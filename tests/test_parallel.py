@@ -601,3 +601,53 @@ def test_engine_spec_decode_tp_matches_single_device(quantized):
                   mesh=mesh)
     got8 = eng8.generate(prompt, max_new_tokens=8, eos_id=-1, mode="spec")
     assert got8 == want8, (got8, want8)
+
+
+def test_paged_scheduler_dp2(quantized):
+    """Paged continuous batching on a tp=2 x dp=2 mesh: per-data-shard page
+    pools (page axis sharded over `data`, localized tables) must generate
+    exactly what the same mesh's DENSE dp=2 scheduler generates — this
+    lifts round 2's 'paged TP requires dp=1' restriction."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams = quantized
+    mesh = make_mesh(tp=2, dp=2)
+    prompts = [[3, 14, 15, 9], [7, 7], [100, 2, 30, 4], [5, 5, 5]]
+    budgets = [6, 4, 5, 3]
+
+    def run(**kw):
+        sched = BatchScheduler(qparams, cfg, policy, num_slots=4,
+                               max_seq_len=256, kv_dtype=jnp.float32,
+                               mesh=mesh, **kw)
+        rids = [sched.add_request(p, max_new_tokens=n, eos_id=-1)
+                for p, n in zip(prompts, budgets)]
+        out = sched.run()
+        return [out[r] for r in rids], sched
+
+    want, _ = run()
+    got, paged = run(paged=True, page_size=128)
+    assert got == want, (got, want)
+    # every partition drained back to its garbage-page-only state
+    ppp = paged.pool.pages_per_partition
+    for d in range(paged.pool.partitions):
+        assert paged.pool.free_in(d) == ppp - 1
+
+
+def test_paged_scheduler_dp2_int8_fused_tick(quantized):
+    """Paged dp=2 with int8 KV and the fused multi-step tick."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams = quantized
+    mesh = make_mesh(tp=2, dp=2)
+    prompts = [[3, 14, 15, 9], [7, 7]]
+
+    def run(**kw):
+        sched = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                               max_seq_len=256, kv_dtype=jnp.int8,
+                               mesh=mesh, paged=True, **kw)
+        rids = [sched.add_request(p, max_new_tokens=5, eos_id=-1)
+                for p in prompts]
+        out = sched.run()
+        return [out[r] for r in rids]
+
+    assert run(fused_tick=3) == run()
