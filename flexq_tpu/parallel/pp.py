@@ -192,7 +192,7 @@ def serve_step_pp(
     ids: jax.Array,  # [B, L] (prefill) or [B, 1] (decode)
     mesh: Mesh,
     kv: Tuple,  # (k, v) or (k, v, ks, vs); [L, B, KVH, S, D(/-)] P("pipe")
-    cache_pos,  # scalar int32: first write position
+    cache_pos,  # int32 first write position: scalar, or [B] per-slot
     last_only: bool = False,  # head over the last position only (serving)
 ):
     """One pipelined SERVING forward over the pipe mesh — prefill ([B, L]
@@ -219,16 +219,18 @@ def serve_step_pp(
 
     def body(params, ids, pos, *kv_t):
         my_stage = jax.lax.axis_index("pipe")
-        positions = pos + jnp.broadcast_to(jnp.arange(l), (b, l))
+        sv = jnp.broadcast_to(pos, (b,))  # per-slot starts (scalar bcast)
+        positions = sv[:, None] + jnp.broadcast_to(jnp.arange(l), (b, l))
         if is_opt:
             cos = sin = None
         else:
             cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
         s_max = kv_t[0].shape[3]
-        qi = pos + jnp.arange(l)[:, None]
-        ki = jnp.arange(s_max)[None, :]
-        mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
-        lengths = jnp.broadcast_to(pos, (b,)) + l
+        ki = jnp.arange(s_max)[None, None, None, :]
+        mask = jnp.where(
+            ki <= positions[:, None, :, None], 0.0, jnp.finfo(jnp.float32).min
+        )
+        lengths = sv + l
 
         def run_stage(x, *kv_s):
             def layer_body(carry, inp):

@@ -650,6 +650,9 @@ def main():
     # the same jitted steps so cross-process collectives rendezvous.
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
     ap.add_argument("--dp", type=int, default=1, help="data-parallel ways")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages (layer-sharded serving; "
+                         "exclusive with --tp/--dp)")
     ap.add_argument("--coordinator", default=None,
                     help="host:port of the jax.distributed coordinator")
     ap.add_argument("--num-processes", type=int, default=None)
@@ -659,11 +662,17 @@ def main():
     args = ap.parse_args()
 
     mesh = None
+    pp_mesh = None
     if args.coordinator is not None:
         from flexq_tpu.parallel.distributed import initialize
 
         initialize(args.coordinator, args.num_processes, args.process_id)
-    if args.tp * args.dp > 1:
+    if args.pp > 1:
+        assert args.tp == args.dp == 1, "--pp is exclusive with --tp/--dp (v1)"
+        from flexq_tpu.parallel.pp import make_pipe_mesh
+
+        pp_mesh = make_pipe_mesh(pp=args.pp)
+    elif args.tp * args.dp > 1:
         from flexq_tpu.parallel.distributed import process_mesh
 
         mesh = process_mesh(tp=args.tp, dp=args.dp)
@@ -695,7 +704,8 @@ def main():
         prefill_chunk=args.prefill_chunk,
         prefix_cache=args.prefix_cache,
         mesh=mesh,
-        fused_tick=args.fused_tick,
+        fused_tick=0 if pp_mesh is not None else args.fused_tick,
+        pp_mesh=pp_mesh,
     )
     import jax as _jax
 

@@ -136,6 +136,7 @@ class BatchScheduler:
         mesh=None,
         prefix_cache: bool = False,
         fused_tick: int = 0,
+        pp_mesh=None,
     ):
         # mesh => multi-device serving: params TP-sharded (column/row split),
         # KV cache / page pool (values AND int8 scales) sharded on the
@@ -144,6 +145,19 @@ class BatchScheduler:
         # dense cache — or the page axis of a paged pool (per-data-shard
         # partitions with localized page ids) — over `data`.
         self.mesh = mesh
+        # pp_mesh => pipeline-parallel continuous batching: stacked layer
+        # params + the dense cache's layer axis sharded over `pipe`, every
+        # tick one serve_step_pp (stage-serial ppermute hops; reference
+        # Llama.cc:970-1240 decode-PP through the engine). Dense cache only;
+        # fused ticks stay off (PP latency is boundary hops, not dispatch).
+        self.pp_mesh = pp_mesh
+        if pp_mesh is not None:
+            assert mesh is None, "pp_mesh and mesh are mutually exclusive (v1)"
+            assert not paged and not prefix_cache, "PP scheduler: dense cache"
+            assert fused_tick == 0, "fused ticks unsupported under PP"
+            from flexq_tpu.parallel.pp import shard_params_pp
+
+            params = shard_params_pp(params, pp_mesh)
         self._dp = 1 if mesh is None else mesh.shape.get("data", 1)
         if mesh is not None:
             from flexq_tpu.parallel.tp import shard_params
@@ -235,6 +249,16 @@ class BatchScheduler:
                     ssh = _cache_spec(cfg, mesh, scales=True, batch_ax=batch_ax)
                     self.kv_ks = jax.device_put(self.kv_ks, ssh)
                     self.kv_vs = jax.device_put(self.kv_vs, ssh)
+            elif pp_mesh is not None:
+                from flexq_tpu.parallel.pp import shard_cache_pp
+
+                self.kv_k, self.kv_v = shard_cache_pp(
+                    pp_mesh, self.kv_k, self.kv_v
+                )
+                if self.quantized:
+                    self.kv_ks, self.kv_vs = shard_cache_pp(
+                        pp_mesh, self.kv_ks, self.kv_vs
+                    )
         self.slots = [_Slot() for _ in range(num_slots)]
         self.pending: Deque[_Pending] = deque()
         self.done: Dict[int, List[int]] = {}
@@ -273,6 +297,15 @@ class BatchScheduler:
             if len(cache) == 4
             else {}
         )
+        if self.pp_mesh is not None:
+            from flexq_tpu.parallel.pp import serve_step_pp
+
+            # serve_step_pp derives per-slot positions and masks from
+            # cache_pos itself (scalar prefill start or [S] decode vector)
+            return serve_step_pp(
+                params, self.cfg, self.policy, ids, self.pp_mesh,
+                tuple(cache), cache_pos,
+            )
         if self.mesh is not None:
             from flexq_tpu.parallel.tp import forward_serve_tp
 

@@ -79,6 +79,9 @@ def run_load(sched, arrivals, prompts, gen: int):
             continue
         done = sched.step()
         now = time.perf_counter() - t0
+        if int(now) % 30 == 0 and abs(now - int(now)) < 0.02:
+            print(f"    load t={now:.0f}s done={len([s for s in state.values() if 'done' in s])}",
+                  flush=True)
         if pending_first:
             for s in sched.slots:
                 if s.req_id in pending_first and (s.generated or s.prior):
@@ -122,8 +125,13 @@ def run_saturated(sched, prompts, gen: int, batch: int):
         if not sched.has_work:
             break
     t0 = time.perf_counter()
+    ticks = 0
     while sched.has_work:
         done.update(sched.step())
+        ticks += 1
+        if ticks % 16 == 0:  # axon stall forensics: show liveness
+            print(f"    sat tick {ticks} @ {time.perf_counter()-t0:.1f}s",
+                  flush=True)
     dt = time.perf_counter() - t0
     toks = sum(len(done[r]) for r in rids if r in done)
     return {

@@ -148,3 +148,48 @@ def test_pp_sampling_and_logprobs(llama):
                             sampling=sp, seed=7, return_logprobs=True)
     assert got == want
     np.testing.assert_allclose(glps, wlps, rtol=1e-4, atol=1e-5)
+
+
+def test_scheduler_pp_matches_single_device(llama):
+    """Continuous batching over a pipe mesh: per-slot decode ticks through
+    serve_step_pp must reproduce the single-device scheduler's streams."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams = llama
+    mesh = _pp_mesh(2)
+    prompts = [[3, 14, 15, 9], [7, 7], [100, 2, 30, 4]]
+    budgets = [6, 4, 5]
+
+    def run(**kw):
+        sched = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                               max_seq_len=48, kv_dtype=jnp.float32, **kw)
+        rids = [sched.add_request(p, max_new_tokens=n, eos_id=-1)
+                for p, n in zip(prompts, budgets)]
+        out = sched.run()
+        return [out[r] for r in rids]
+
+    want = run()
+    got = run(pp_mesh=mesh)
+    assert got == want, (got, want)
+
+
+def test_scheduler_pp_int8_chunked(llama):
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    cfg, policy, qparams = llama
+    mesh = _pp_mesh(2)
+    prompt = [int(x) for x in np.random.default_rng(1).integers(0, 256, 10)]
+
+    def run(**kw):
+        sched = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                               max_seq_len=48, kv_dtype=jnp.int8,
+                               prefill_chunk=4, **kw)
+        rid = sched.add_request(prompt, max_new_tokens=5, eos_id=-1,
+                                logprobs=True)
+        out = sched.run()
+        return out[rid], sched.done_logprobs[rid]
+
+    want, wlps = run()
+    got, glps = run(pp_mesh=mesh)
+    assert got == want
+    np.testing.assert_allclose(glps, wlps, rtol=1e-4, atol=1e-5)
