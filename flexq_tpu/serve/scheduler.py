@@ -1256,6 +1256,11 @@ class BatchScheduler:
                 for t in self.slots[i].prompt + self.slots[i].generated:
                     c[i, t] += 1
             counts = jnp.asarray(c)
+        import os as _os
+        import time as _time
+
+        dbg = _os.environ.get("FLEXQ_SCHED_DEBUG")
+        t0 = _time.perf_counter()
         self._key, sub = jax.random.split(self._key)
         if self.paged:
             cache = self.pool.state()
@@ -1268,11 +1273,13 @@ class BatchScheduler:
             )
             table = jnp.zeros((), jnp.int32)
         fn = self._fused_fn(k_steps, sampling, use_counts, logprobs)
+        t1 = _time.perf_counter()
         tokens, lps, last, cache = fn(
             self.params, self.last_tokens, cache, jnp.asarray(positions),
             jnp.asarray(act), jnp.asarray(eos), jnp.asarray(remaining),
             jnp.asarray(gen0), sub, counts, table,
         )
+        t2 = _time.perf_counter()
         if self.paged:
             self.pool.set_state(cache)
         elif self.quantized:
@@ -1281,6 +1288,13 @@ class BatchScheduler:
             self.kv_k, self.kv_v = cache
         self.last_tokens = last
         tok_np = np.asarray(tokens)
+        if dbg:
+            print(
+                f"[fused_tick] prep {(t1-t0)*1e3:.1f}ms dispatch "
+                f"{(t2-t1)*1e3:.1f}ms fetch "
+                f"{(_time.perf_counter()-t2)*1e3:.1f}ms",
+                flush=True,
+            )
         lp_np = np.asarray(lps) if logprobs else None
         for i in active:
             slot = self.slots[i]
