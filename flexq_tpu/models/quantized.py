@@ -192,20 +192,23 @@ def _cache_update(ck, cv, k, v, li, cache_pos):
         vt = v.transpose(0, 2, 1, 3)[None]
         ck = jax.lax.dynamic_update_slice(ck, kt, (li, 0, 0, cache_pos, 0))
         cv = jax.lax.dynamic_update_slice(cv, vt, (li, 0, 0, cache_pos, 0))
-    elif k.shape[1] == 1:
-        b = k.shape[0]
-        rows = jnp.arange(b)
-        # k[:, 0] is [B, KVH, D]; scatter each row at its own position
-        ck = ck.at[li, rows, :, cache_pos].set(k[:, 0], unique_indices=True)
-        cv = cv.at[li, rows, :, cache_pos].set(v[:, 0], unique_indices=True)
     else:
+        # Per-row writes as B unrolled dynamic_update_slices, NOT one
+        # gather/scatter: XLA TPU lowers a scatter whose indexed dims
+        # straddle a sliced middle dim to a serialized path measured at
+        # ~230 ms/step on the 7B cache (scripts/bench_vector_step.py) —
+        # 40x the engine's scalar-position slice write. B slice-writes of
+        # [1, 1, KVH, L, D] are in-place and ~free.
         b, l = k.shape[:2]
-        rows = jnp.arange(b)[:, None]
-        pos = cache_pos[:, None] + jnp.arange(l)[None, :]  # [B, L]
-        # advanced indices split by the ':' slice put the [B, L] group
-        # first: target block is [B, L, KVH, D] == k's layout
-        ck = ck.at[li, rows, :, pos].set(k, unique_indices=True)
-        cv = cv.at[li, rows, :, pos].set(v, unique_indices=True)
+        kt = jnp.swapaxes(k, 1, 2)[:, None]  # [B, 1, KVH, L, D]
+        vt = jnp.swapaxes(v, 1, 2)[:, None]
+        for r in range(b):
+            ck = jax.lax.dynamic_update_slice(
+                ck, kt[r][None], (li, r, 0, cache_pos[r], 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, vt[r][None], (li, r, 0, cache_pos[r], 0)
+            )
     return ck, cv
 
 
@@ -251,11 +254,23 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
         rows = jnp.arange(b)
         pages = table[rows, pos // ps]  # [B]
         offs = pos % ps
-        pk = pk.at[li, pages, :, offs].set(kq[:, 0], unique_indices=True)
-        pv = pv.at[li, pages, :, offs].set(vq[:, 0], unique_indices=True)
+        # unrolled per-row slice writes (see _cache_update: the scatter
+        # form serializes on TPU); page index per row is a traced scalar
+        for r in range(b):
+            pk = jax.lax.dynamic_update_slice(
+                pk, kq[r, 0][None, None, :, None], (li, pages[r], 0, offs[r], 0)
+            )
+            pv = jax.lax.dynamic_update_slice(
+                pv, vq[r, 0][None, None, :, None], (li, pages[r], 0, offs[r], 0)
+            )
         if kv[0] == "paged8":
-            sk = sk.at[li, pages, :, offs].set(ks[:, 0], unique_indices=True)
-            sv = sv.at[li, pages, :, offs].set(vs[:, 0], unique_indices=True)
+            for r in range(b):
+                sk = jax.lax.dynamic_update_slice(
+                    sk, ks[r, 0][None, None, :, None], (li, pages[r], 0, offs[r])
+                )
+                sv = jax.lax.dynamic_update_slice(
+                    sv, vs[r, 0][None, None, :, None], (li, pages[r], 0, offs[r])
+                )
             return (pk, pv, sk, sv), ("paged8", pk, pv, sk, sv, table, li)
         return (pk, pv), ("paged", pk, pv, table, li)
     if len(kv) == 3:
@@ -271,16 +286,19 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
         vst = vs.transpose(0, 2, 1)[None]
         cks = jax.lax.dynamic_update_slice(cks, kst, (li, 0, 0, cache_pos))
         cvs = jax.lax.dynamic_update_slice(cvs, vst, (li, 0, 0, cache_pos))
-    elif k.shape[1] == 1:
-        rows = jnp.arange(k.shape[0])
-        cks = cks.at[li, rows, :, cache_pos].set(ks[:, 0], unique_indices=True)
-        cvs = cvs.at[li, rows, :, cache_pos].set(vs[:, 0], unique_indices=True)
     else:
+        # unrolled per-row slice writes (see _cache_update: the scatter
+        # form serializes on TPU)
         b, l = k.shape[:2]
-        rows = jnp.arange(b)[:, None]
-        pos = cache_pos[:, None] + jnp.arange(l)[None, :]
-        cks = cks.at[li, rows, :, pos].set(ks, unique_indices=True)
-        cvs = cvs.at[li, rows, :, pos].set(vs, unique_indices=True)
+        kst = jnp.swapaxes(ks, 1, 2)[:, None]  # [B, 1, KVH, L]
+        vst = jnp.swapaxes(vs, 1, 2)[:, None]
+        for r in range(b):
+            cks = jax.lax.dynamic_update_slice(
+                cks, kst[r][None], (li, r, 0, cache_pos[r])
+            )
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vst[r][None], (li, r, 0, cache_pos[r])
+            )
     return (ck, cv, cks, cvs), ("quant", ck, cks, cv, cvs, li)
 
 

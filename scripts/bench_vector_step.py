@@ -44,11 +44,13 @@ def main():
     ids = jnp.asarray(rng.integers(10, 31000, (b, 1)), jnp.int32)
     pos = 256
 
-    def fwd(positions, cache_pos, mask):
+    # params/cache passed as ARGS: closure capture would bake gigabytes of
+    # constants into the program and break the remote compile (CLAUDE.md)
+    def fwd(params, cache, positions, cache_pos, mask):
         logits, _ = forward_serve(
-            qparams, cfg, policy, ids, positions=positions,
-            kv_k=ck, kv_v=cv, kv_k_scale=cks, kv_v_scale=cvs,
-            cache_pos=cache_pos, mask=mask,
+            params, cfg, policy, ids, positions=positions,
+            kv_k=cache[0], kv_v=cache[1], kv_k_scale=cache[2],
+            kv_v_scale=cache[3], cache_pos=cache_pos, mask=mask,
         )
         return logits
 
@@ -60,21 +62,33 @@ def main():
         0.0, NEG,
     )  # [B,1,1,S]
 
+    import time
+
+    fwd_jit = jax.jit(fwd)
     variants = {
-        "A_scalar_scalar": lambda: fwd(
+        "A_scalar_scalar": (
             jnp.broadcast_to(jnp.int32(pos), (b, 1)), jnp.int32(pos), mask_u
         ),
-        "B_vecmask_scalarwrite": lambda: fwd(
-            posv[:, None], jnp.int32(pos), mask_v
-        ),
-        "C_scalarmask_vecwrite": lambda: fwd(
+        "B_vecmask_scalarwrite": (posv[:, None], jnp.int32(pos), mask_v),
+        "C_scalarmask_vecwrite": (
             jnp.broadcast_to(jnp.int32(pos), (b, 1)), posv, mask_u
         ),
-        "D_vector_vector": lambda: fwd(posv[:, None], posv, mask_v),
+        "D_vector_vector": (posv[:, None], posv, mask_v),
     }
-    for name, f in variants.items():
-        t = bench_fn(lambda _x: f() + _x * 0, (jnp.float32(0),), iters=30, reps=5)
-        print(f"{name}: {t*1e3:.2f} ms/step", flush=True)
+    # per-call wall time with a value fetch (fine at the 6-230ms signal
+    # scale; the in-graph-loop harness's giant programs crash the remote
+    # compile service on this model size)
+    cache = (ck, cv, cks, cvs)
+    for name, args in variants.items():
+        float(jnp.max(fwd_jit(qparams, cache, *args)))  # compile + warm
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(jnp.max(fwd_jit(qparams, cache, *args)))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        print(f"{name}: {ts[len(ts)//2]*1e3:.2f} ms/step (min {ts[0]*1e3:.2f})",
+              flush=True)
 
 
 if __name__ == "__main__":
