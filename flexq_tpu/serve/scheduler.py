@@ -1130,6 +1130,80 @@ class BatchScheduler:
             self.slots[i] = _Slot()
         del self.beam_groups[g.req_id]
 
+    def _sample_batch(self, idx: List[int], logits) -> List[Tuple[int, Optional[float]]]:
+        """Sample the given slots' next tokens with ONE device dispatch and
+        ONE host fetch per sampling-param group — per-slot eager chains
+        cost ~35 ms/slot/tick through the axon tunnel and dominated the
+        per-token tick (bench_sched_parts). Greedy results are identical
+        to _sample_one's (same process_logits math per row)."""
+        if not idx:
+            return []
+        out: Dict[int, Tuple[int, Optional[float]]] = {}
+        groups: Dict[Any, List[int]] = {}
+        for i in idx:
+            groups.setdefault(self.slots[i].sampling, []).append(i)
+        for sp, members in groups.items():
+            use_counts = (
+                sp.repetition_penalty != 1.0
+                or sp.presence_penalty != 0.0
+                or sp.frequency_penalty != 0.0
+            )
+            want_lp = any(self.slots[i].want_logprobs for i in members)
+            g = len(members)
+            counts = jnp.zeros((), jnp.int32)
+            if use_counts:
+                c = np.zeros((g, self.cfg.vocab_size), np.int32)
+                for j, i in enumerate(members):
+                    for t in self.slots[i].prompt + self.slots[i].generated:
+                        c[j, t] += 1
+                counts = jnp.asarray(c)
+            eos = np.asarray([self.slots[i].eos_id for i in members], np.int32)
+            gen0 = np.asarray(
+                [len(self.slots[i].prior) + len(self.slots[i].generated)
+                 for i in members],
+                np.int32,
+            )
+            self._key, sub = jax.random.split(self._key)
+            fn = self._sample_batch_fn(g, sp, use_counts, want_lp)
+            res = np.asarray(fn(
+                logits, jnp.asarray(members, jnp.int32), counts,
+                jnp.asarray(eos), jnp.asarray(gen0), sub,
+            ))
+            for j, i in enumerate(members):
+                out[i] = (
+                    int(res[0, j]), float(res[1, j]) if want_lp else None
+                )
+        return [out[i] for i in idx]
+
+    def _sample_batch_fn(self, g: int, sp: SamplingParams, use_counts: bool,
+                         want_lp: bool):
+        key_t = ("sample", g, sp, use_counts, want_lp)
+        fn = self._fused_cache.get(key_t)
+        if fn is not None:
+            return fn
+
+        def f(logits, rows, counts, eos, gen0, key):
+            lr = logits[rows].astype(jnp.float32)
+            proc = process_logits(
+                lr, sp, token_counts=counts if use_counts else None
+            )
+            if sp.min_length > 0:
+                r = jnp.arange(g)
+                ban = gen0 < sp.min_length
+                cur = proc[r, eos]
+                proc = proc.at[r, eos].set(jnp.where(ban, NEG_INF, cur))
+            toks = sample(proc, sp, key)
+            lp = (
+                jax.nn.log_softmax(proc, axis=-1)[jnp.arange(g), toks]
+                if want_lp
+                else jnp.zeros((g,), jnp.float32)
+            )
+            return jnp.stack([toks.astype(jnp.float32), lp])
+
+        fn = jax.jit(f)
+        self._fused_cache[key_t] = fn
+        return fn
+
     def _sample_one(self, logits_row: jax.Array, slot: _Slot) -> int:
         counts = np.zeros((1, self.cfg.vocab_size), np.int32)
         for t in slot.prompt + slot.generated:
@@ -1385,18 +1459,30 @@ class BatchScheduler:
                     self.kv_k, self.kv_v, self.kv_ks, self.kv_vs = cache
                 else:
                     self.kv_k, self.kv_v = cache
-            logits_np = logits  # device array; sampled per active slot
             # beam groups consume their slots' rows jointly (top-k over
-            # k*vocab + KV row reorder); regular slots sample independently
+            # k*vocab + KV row reorder); regular slots batch-sample in one
+            # dispatch per sampling group
             for g in list(self.beam_groups.values()):
-                self._beam_advance(g, logits_np)
-            for i in active:
+                self._beam_advance(g, logits)
+            plain = [
+                i for i in active
+                if not self.slots[i].beam and self.slots[i].req_id is not None
+            ]
+            results = self._sample_batch(plain, logits)
+            upd_idx, upd_tok = [], []
+            for i, (tok, lp) in zip(plain, results):
                 slot = self.slots[i]
-                if slot.beam or slot.req_id is None:
-                    continue  # handled by its beam group (or group finished)
                 slot.pos += 1
-                tok = self._sample_one(logits_np[i], slot)
-                self._record(i, slot, tok)
+                if slot.want_logprobs and lp is not None:
+                    slot.lps.append(lp)
+                slot.generated.append(tok)
+                upd_idx.append(i)
+                upd_tok.append(tok)
+                self._finish_check(i, slot, tok)
+            if upd_idx:  # one batched last_tokens update (not one op/slot)
+                self.last_tokens = self.last_tokens.at[
+                    jnp.asarray(upd_idx, jnp.int32), 0
+                ].set(jnp.asarray(upd_tok, jnp.int32))
         finished, self.done = self.done, {}
         return finished
 
