@@ -54,13 +54,32 @@ def main():
     iters = 100 if quick else 250
     reps = 3 if quick else 5
     ms = (8,) if quick else (1, 2, 4, 8)
+    only = os.environ.get("FLEXQ_MATRIX_MODELS")
+    shapes = [s for s in SHAPES if only is None or s[0] in only.split(",")]
+
+    HBM_PEAK = 819e9  # v5e; implied BW above ~1.2x peak = timing artifact
+
+    def plausible(t, nbytes):
+        return nbytes / max(t, 1e-9) < 1.2 * HBM_PEAK
+
+    def measure(fn, args, nbytes):
+        """bench_fn with a physical sanity gate: an axon stall can slip a
+        tiny positive delta past the marginal statistic (observed 0.7us on
+        a 33 MB-read kernel = 24 TB/s); retry, else flag."""
+        for _ in range(3):
+            t = bench_fn(fn, args, iters=iters, reps=reps)
+            if bench_fn.last_fallback:
+                return t, True
+            if plausible(t, nbytes):
+                return t, False
+        return t, True
 
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     rows = []
     print("| model | gemm | M | K | N | bf16 µs | W6A8 µs | W4A8 µs | W6 vs bf16 | W4 vs bf16 |")
     print("|---|---|---|---|---|---|---|---|---|---|")
-    for model, gemm, k, n in SHAPES:
+    for model, gemm, k, n in shapes:
         wq = rng.integers(-32, 32, (k, n)).astype(np.int8)
         hi, lo = pack6(jnp.asarray(wq))
         q4 = pack4(jnp.asarray(np.clip(wq, -8, 7)))
@@ -70,18 +89,15 @@ def main():
             xq = jnp.asarray(rng.integers(-128, 128, (m, k)), jnp.int8)
             xs = jnp.asarray(rng.uniform(0.01, 0.1, (m, k // G)), jnp.float32)
             xb = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
-            t6 = bench_fn(
+            t6, fb6 = measure(
                 lambda a, b, c, d, e: w6_matmul(a, b, c, d, e, out_dtype=jnp.bfloat16),
-                (xq, xs, hi, lo, ws), iters=iters, reps=reps,
+                (xq, xs, hi, lo, ws), k * n * 6 // 8,
             )
-            fb6 = bench_fn.last_fallback
-            t4 = bench_fn(
+            t4, fb4 = measure(
                 lambda a, b, c, d: w4_matmul(a, b, c, d, out_dtype=jnp.bfloat16),
-                (xq, xs, q4, ws), iters=iters, reps=reps,
+                (xq, xs, q4, ws), k * n // 2,
             )
-            fb4 = bench_fn.last_fallback
-            tb = bench_fn(lambda x, w: x @ w, (xb, wb), iters=iters, reps=reps)
-            fbb = bench_fn.last_fallback
+            tb, fbb = measure(lambda x, w: x @ w, (xb, wb), k * n * 2)
             row = {
                 "model": model, "gemm": gemm, "M": m, "K": k, "N": n,
                 "bf16_us": round(tb * 1e6, 1),
