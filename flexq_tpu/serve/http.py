@@ -458,12 +458,17 @@ def _make_handler(service: SchedulerService, tokenizer=None,
             chat = mode == "chat.completion.chunk"
             rid_tag = f"chatcmpl-{rid}" if chat else f"cmpl-{rid}"
 
-            def emit(delta, finish):
+            def emit(delta, finish, token_ids=None):
                 if chat:
                     d = {"role": "assistant", "content": delta} if delta else {}
                     choice = {"index": 0, "delta": d, "finish_reason": finish}
                 else:
                     choice = {"index": 0, "text": delta, "finish_reason": finish}
+                if token_ids:
+                    # id-level streaming: raw-token clients (and tokenizers
+                    # that cannot render an id as text yet) still see every
+                    # new token the tick produced
+                    choice["token_ids"] = token_ids
                 chunk = {"id": rid_tag, "object": mode,
                          "created": int(time.time()), "model": model_name,
                          "choices": [choice]}
@@ -471,6 +476,7 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                 self.wfile.flush()
 
             sent_text, finish = "", None
+            sent_toks = 0
             deadline = time.monotonic() + 600
             try:
                 while finish is None and time.monotonic() < deadline:
@@ -480,6 +486,7 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     cut = _first_stop_hit(text, stops)
                     if cut is not None:
                         text, finish = text[:cut], "stop"
+                        clean = _cut_token_ids(tokenizer, clean, cut)
                         service.cancel(rid)
                     elif done:
                         finish = fin
@@ -489,9 +496,11 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                         # them early would corrupt text ('�' for a split
                         # multi-byte char) or leak past the stop cut
                         text = text[: _stream_safe_len(text, stops)]
-                    if len(text) > len(sent_text):
-                        emit(text[len(sent_text):], None)
+                    new_toks = clean[sent_toks:] if len(clean) > sent_toks else []
+                    if len(text) > len(sent_text) or new_toks:
+                        emit(text[len(sent_text):], None, token_ids=new_toks)
                         sent_text = text
+                        sent_toks = len(clean)
                     if finish is None:
                         time.sleep(0.005)
                 emit("", finish or "length")

@@ -141,6 +141,71 @@ def run_saturated(sched, prompts, gen: int, batch: int):
     }
 
 
+def run_http_load(port, arrivals, prompts, gen: int):
+    """Drive the REAL HTTP server (serve/http.py) with Poisson arrivals:
+    one thread per request POSTs /v1/completions with stream=true; TTFT is
+    the first SSE data chunk's wall time. Measures what a network client
+    sees (scheduler + service thread + HTTP + SSE framing)."""
+    import threading
+    import urllib.request
+
+    results = []
+    lock = threading.Lock()
+    t0 = time.perf_counter()
+
+    def one(arrival, prompt):
+        delay = arrival - (time.perf_counter() - t0)
+        if delay > 0:
+            time.sleep(delay)
+        start = time.perf_counter() - t0
+        body = json.dumps({
+            "prompt": [prompt], "max_tokens": gen, "eos_id": -1,
+            "stream": True,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        first = done = None
+        ntok = 0
+        with urllib.request.urlopen(req, timeout=600) as r:
+            for line in r:
+                if line.startswith(b"data:"):
+                    now = time.perf_counter() - t0
+                    if b"[DONE]" in line:
+                        done = now
+                        break
+                    if first is None:
+                        first = now
+                    ntok += 1
+        with lock:
+            results.append((start, first, done, ntok))
+
+    threads = [
+        threading.Thread(target=one, args=(a, prompts[i]), daemon=True)
+        for i, a in enumerate(arrivals)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    elapsed = time.perf_counter() - t0
+    ttft = np.asarray([f - s for s, f, d, n in results if f is not None])
+    lat = np.asarray([d - s for s, f, d, n in results if d is not None])
+    # eos=-1 => every completed request generated exactly `gen` tokens
+    # (SSE events may batch several tokens per poll under fused ticks)
+    toks = sum(gen for _, _, d, _ in results if d is not None)
+    return {
+        "requests": len(results),
+        "elapsed_s": round(elapsed, 2),
+        "tok_s": round(toks / elapsed, 1),
+        "ttft_p50_ms": round(float(np.percentile(ttft, 50)) * 1e3, 1),
+        "ttft_p99_ms": round(float(np.percentile(ttft, 99)) * 1e3, 1),
+        "latency_p50_s": round(float(np.percentile(lat, 50)), 2),
+        "latency_p99_s": round(float(np.percentile(lat, 99)), 2),
+    }
+
+
 def main():
     import jax
 
@@ -188,6 +253,26 @@ def main():
         print(f"[{tag}] saturated: {sat}", flush=True)
 
         capacity_req_s = sat["tok_s"] / gen * (slots / sat["batch"])
+        if os.environ.get("FLEXQ_SERVE_HTTP"):
+            # drive the real HTTP server instead of the scheduler directly
+            # (one server per config; loads run back-to-back against it)
+            from flexq_tpu.serve.http import serve_background
+            from flexq_tpu.serve.tokenizer import load_tokenizer
+
+            server, service, port = serve_background(
+                sched, "127.0.0.1", 0, tokenizer=load_tokenizer(None)
+            )
+            for load in loads:
+                if load > 0.9 * capacity_req_s:
+                    print(f"[{tag}] http load {load}/s skipped", flush=True)
+                    continue
+                r = run_http_load(port, workloads[load], prompts, gen)
+                r["offered_req_s"] = load
+                results[f"{tag}_http_load{load}"] = r
+                print(f"[{tag}] http load {load}/s: {r}", flush=True)
+            service.shutdown()
+            server.shutdown()
+            continue
         for load in loads:
             if load > 0.9 * capacity_req_s:
                 # >90% of measured capacity: the queue diverges and the run
