@@ -62,6 +62,7 @@ class SchedulerService:
         self._results: Dict[int, List[int]] = {}
         self._poll_idle_s = poll_idle_s
         self._stop = False
+        self._waiting_ops = 0  # submit/cancel callers waiting on the lock
         self._t0 = time.monotonic()
         self._requests_done = 0
         self._tokens_out = 0
@@ -87,20 +88,29 @@ class SchedulerService:
                         ev = self._events.get(rid)
                         if ev is not None:
                             ev.set()
-            if not had_work:
+            if self._waiting_ops:
+                # back-to-back re-acquisition starves submit/cancel callers
+                # (threading.Lock is not fair): yield for one beat so a
+                # waiting admission gets in before the next tick
+                time.sleep(0.001)
+            elif not had_work:
                 time.sleep(self._poll_idle_s)
 
     def submit(self, prompt, sampling: SamplingParams, max_new: int, eos_id: int,
                logprobs: bool = False, beam_width: int = 1, n_best: int = 1,
                length_penalty: float = 1.0) -> int:
-        with self._lock:
-            rid = self.scheduler.add_request(
-                prompt, sampling=sampling, max_new_tokens=max_new, eos_id=eos_id,
-                logprobs=logprobs, beam_width=beam_width, n_best=n_best,
-                length_penalty=length_penalty,
-            )
-            self._events[rid] = threading.Event()
-        return rid
+        self._waiting_ops += 1
+        try:
+            with self._lock:
+                rid = self.scheduler.add_request(
+                    prompt, sampling=sampling, max_new_tokens=max_new, eos_id=eos_id,
+                    logprobs=logprobs, beam_width=beam_width, n_best=n_best,
+                    length_penalty=length_penalty,
+                )
+                self._events[rid] = threading.Event()
+            return rid
+        finally:
+            self._waiting_ops -= 1
 
     def wait(self, rid: int, timeout: Optional[float] = None) -> List[int]:
         toks, _ = self.wait_full(rid, timeout)
@@ -126,19 +136,37 @@ class SchedulerService:
 
     def peek(self, rid: int):
         """(tokens so far, finished?) without consuming the result —
-        the polling primitive behind SSE streaming."""
-        with self._lock:
-            if rid in self._results:
-                return list(self._results[rid][0]), True
-            for s in self.scheduler.slots:
-                if s.req_id == rid:
-                    return list(s.prior) + list(s.generated), False
-            return [], False  # still pending admission
+        the polling primitive behind SSE streaming.
+
+        LOCK-FREE by design: streaming handlers poll this every ~5 ms, and
+        contending with the worker's back-to-back ticks delayed chunks by
+        whole generations (the lock is not fair). Every read here is a
+        benign race under the GIL: generated/prior are append-only lists
+        (list() snapshots atomically), slot objects are swapped atomically
+        on reset, and a request finishing between the two checks is caught
+        by the second _results lookup."""
+        res = self._results.get(rid)
+        if res is not None:
+            return list(res[0]), True
+        for s in self.scheduler.slots:
+            if s.req_id == rid:
+                return list(s.prior) + list(s.generated), False
+        res = self._results.get(rid)  # finished between the two checks
+        if res is not None:
+            return list(res[0]), True
+        return [], False  # still pending admission
 
     def cancel(self, rid: int):
         """Best-effort early stop (client disconnected / stop string hit).
         Pending requests are dropped immediately; a decoding slot has its
         budget clamped so it finishes on the next recorded token."""
+        self._waiting_ops += 1
+        try:
+            self._cancel_locked(rid)
+        finally:
+            self._waiting_ops -= 1
+
+    def _cancel_locked(self, rid: int):
         with self._lock:
             dropped = self.scheduler.cancel(rid)
             if dropped is not None:  # was still pending: surface the result
