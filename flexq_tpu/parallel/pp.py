@@ -315,7 +315,11 @@ def serve_step_pp(
         if key not in _PP_FN_CACHE:
             if len(_PP_FN_CACHE) >= 64:  # bound a long-lived process's cache
                 _PP_FN_CACHE.clear()
-            _PP_FN_CACHE[key] = jax.jit(fn)
+            # donate the cache: without it every PP decode step double-
+            # buffers the full KV (PP exists to FIT bigger models)
+            _PP_FN_CACHE[key] = jax.jit(
+                fn, donate_argnums=tuple(range(3, 3 + len(kv)))
+            )
         fn = _PP_FN_CACHE[key]
     out = fn(params, ids, jnp.asarray(cache_pos, jnp.int32), *kv)
     return out[0], tuple(out[1:])

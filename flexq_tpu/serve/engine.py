@@ -477,21 +477,21 @@ class Engine:
                 )
                 return logits, pieces
 
-            buf, length, steps, acc, cache_o = self._spec_loop_body(
+            buf, length, steps, acc, drafted, cache_o = self._spec_loop_body(
                 verify, logits0, cache_t, buf, prompt_len, key,
                 k, max_new, stop_ids, max_ngram, sampling,
             )
-            return (buf, length, steps, acc) + tuple(cache_o)
+            return (buf, length, steps, acc, drafted) + tuple(cache_o)
 
         fn = jax.shard_map(
             mesh_body,
             mesh=mesh,
             in_specs=(specs, P(), P(), P(), P()) + cache_specs,
-            out_specs=(P(), P(), P(), P()) + cache_specs,
+            out_specs=(P(), P(), P(), P(), P()) + cache_specs,
             check_vma=False,
         )
         out = fn(params, logits0, buf, jnp.int32(prompt_len), key, *cache)
-        return out[0], out[1], out[2], out[3], out[4:]
+        return out[0], out[1], out[2], out[3], out[4], out[5:]
 
     def _spec_loop_body(
         self, verify, logits0, cache, buf, prompt_len, key,
@@ -518,13 +518,14 @@ class Engine:
         finished0 = jnp.isin(first, stop_arr) | (max_new <= 1)
         steps0 = jnp.int32(0)
         acc0 = jnp.int32(0)
+        drafted0 = jnp.int32(0)
 
         def cond(state):
-            cache, buf, length, finished, steps, acc, key = state
+            cache, buf, length, finished, steps, acc, drafted, key = state
             return ~jnp.all(finished)
 
         def body(state):
-            cache, buf, length, finished, steps, acc, key = state
+            cache, buf, length, finished, steps, acc, drafted, key = state
             draft = jax.vmap(
                 lambda r, ln: ngram_draft_device(r, ln, k, max_ngram)
             )(buf, length)  # [B, k]
@@ -545,6 +546,9 @@ class Engine:
                 ).reshape(b, k + 1)
             accept = jnp.cumprod((draft == t[:, :k]).astype(jnp.int32), axis=1)
             n_acc = jnp.sum(accept, axis=1)  # [B]
+            # drafted counts only rows still decoding (a finished row held
+            # in place would deflate the reported acceptance rate)
+            drafted = drafted + k * jnp.sum(jnp.where(finished, 0, 1))
             lim = n_acc + 1  # accepted drafts + the bonus token
             j = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
             is_stop = jnp.isin(t, stop_arr) & (j < lim[:, None])
@@ -558,11 +562,15 @@ class Engine:
             # write all k+1 targets per row: slots beyond m are overwritten
             # by the next step's window (same invariant as the KV writes)
             buf = buf.at[rows[:, None], length[:, None] + j].set(t)
-            return (cache, buf, length + m, finished, steps + 1, acc, key)
+            return (
+                cache, buf, length + m, finished, steps + 1, acc, drafted, key
+            )
 
-        state = (cache, buf, length0, finished0, steps0, acc0, key)
-        cache, buf, length, _, steps, acc, _ = jax.lax.while_loop(cond, body, state)
-        return buf, length, steps, acc, cache
+        state = (cache, buf, length0, finished0, steps0, acc0, drafted0, key)
+        cache, buf, length, _, steps, acc, drafted, _ = jax.lax.while_loop(
+            cond, body, state
+        )
+        return buf, length, steps, acc, drafted, cache
 
     def generate(
         self,

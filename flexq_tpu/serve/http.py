@@ -63,6 +63,7 @@ class SchedulerService:
         self._poll_idle_s = poll_idle_s
         self._stop = False
         self._waiting_ops = 0  # submit/cancel callers waiting on the lock
+        self._ops_lock = threading.Lock()  # += is not atomic across threads
         self._t0 = time.monotonic()
         self._requests_done = 0
         self._tokens_out = 0
@@ -71,23 +72,71 @@ class SchedulerService:
         self._worker.start()
 
     def _run(self):
+        fail_streak = 0
         while not self._stop:
-            with self._lock:
-                had_work = self.scheduler.has_work
-                if had_work:
-                    finished = self.scheduler.step()
-                    self._steps += 1
-                    lps = getattr(self.scheduler, "done_logprobs", {})
-                    nbs = getattr(self.scheduler, "done_nbest", {})
-                    for rid, toks in finished.items():
-                        self._results[rid] = (
-                            toks, lps.pop(rid, None), nbs.pop(rid, None)
-                        )
-                        self._requests_done += 1
-                        self._tokens_out += len(toks)
-                        ev = self._events.get(rid)
-                        if ev is not None:
-                            ev.set()
+            had_work = False
+            try:
+                with self._lock:
+                    had_work = self.scheduler.has_work
+                    if had_work:
+                        finished = self.scheduler.step()
+                        self._steps += 1
+                        lps = getattr(self.scheduler, "done_logprobs", {})
+                        nbs = getattr(self.scheduler, "done_nbest", {})
+                        for rid, toks in finished.items():
+                            self._results[rid] = (
+                                toks, lps.pop(rid, None), nbs.pop(rid, None)
+                            )
+                            self._requests_done += 1
+                            self._tokens_out += len(toks)
+                            ev = self._events.get(rid)
+                            if ev is not None:
+                                ev.set()
+                fail_streak = 0
+            except Exception:
+                # a dead worker thread would hang every current and future
+                # request until timeout — degrade instead of dying. The
+                # reachable case is pool exhaustion with only beam lanes
+                # left (beams are never preempted): shed the youngest beam
+                # group and keep ticking.
+                import traceback
+
+                traceback.print_exc()
+                fail_streak += 1
+                with self._lock:
+                    shed = getattr(self.scheduler, "shed_beam", lambda: False)()
+                if not shed and fail_streak >= 5:
+                    # persistent failure: surface partial results so
+                    # clients unblock, then drop the stuck work
+                    with self._lock:
+                        for s in list(self.scheduler.slots):
+                            if s.req_id is not None:
+                                self._results[s.req_id] = (
+                                    list(s.prior) + list(s.generated),
+                                    None, None,
+                                )
+                                ev = self._events.get(s.req_id)
+                                if ev is not None:
+                                    ev.set()
+                        for pnd in list(self.scheduler.pending):
+                            self._results[pnd.req_id] = (
+                                list(pnd.prior), None, None
+                            )
+                            ev = self._events.get(pnd.req_id)
+                            if ev is not None:
+                                ev.set()
+                        self.scheduler.pending.clear()
+                        for i in range(len(self.scheduler.slots)):
+                            if getattr(self.scheduler, "paged", False):
+                                try:
+                                    self.scheduler._release_slot_pages(i)
+                                except Exception:
+                                    pass  # page leak beats a dead server
+                            self.scheduler.slots[i] = type(
+                                self.scheduler.slots[i]
+                            )()
+                    fail_streak = 0
+                time.sleep(0.05)
             if self._waiting_ops:
                 # back-to-back re-acquisition starves submit/cancel callers
                 # (threading.Lock is not fair): yield for one beat so a
@@ -99,7 +148,8 @@ class SchedulerService:
     def submit(self, prompt, sampling: SamplingParams, max_new: int, eos_id: int,
                logprobs: bool = False, beam_width: int = 1, n_best: int = 1,
                length_penalty: float = 1.0) -> int:
-        self._waiting_ops += 1
+        with self._ops_lock:
+            self._waiting_ops += 1
         try:
             with self._lock:
                 rid = self.scheduler.add_request(
@@ -110,7 +160,8 @@ class SchedulerService:
                 self._events[rid] = threading.Event()
             return rid
         finally:
-            self._waiting_ops -= 1
+            with self._ops_lock:
+                self._waiting_ops -= 1
 
     def wait(self, rid: int, timeout: Optional[float] = None) -> List[int]:
         toks, _ = self.wait_full(rid, timeout)
@@ -160,11 +211,13 @@ class SchedulerService:
         """Best-effort early stop (client disconnected / stop string hit).
         Pending requests are dropped immediately; a decoding slot has its
         budget clamped so it finishes on the next recorded token."""
-        self._waiting_ops += 1
+        with self._ops_lock:
+            self._waiting_ops += 1
         try:
             self._cancel_locked(rid)
         finally:
-            self._waiting_ops -= 1
+            with self._ops_lock:
+                self._waiting_ops -= 1
 
     def _cancel_locked(self, rid: int):
         with self._lock:
@@ -524,11 +577,22 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                         # them early would corrupt text ('�' for a split
                         # multi-byte char) or leak past the stop cut
                         text = text[: _stream_safe_len(text, stops)]
-                    new_toks = clean[sent_toks:] if len(clean) > sent_toks else []
+                    # id stream honors the same stop holdback as text:
+                    # ids whose text might still complete a stop string
+                    # are withheld until disambiguated (with no stops every
+                    # new token streams immediately)
+                    safe_clean = (
+                        clean if not stops or finish is not None
+                        else _cut_token_ids(tokenizer, clean, len(text))
+                    )
+                    new_toks = (
+                        safe_clean[sent_toks:]
+                        if len(safe_clean) > sent_toks else []
+                    )
                     if len(text) > len(sent_text) or new_toks:
                         emit(text[len(sent_text):], None, token_ids=new_toks)
                         sent_text = text
-                        sent_toks = len(clean)
+                        sent_toks = len(safe_clean)
                     if finish is None:
                         time.sleep(0.005)
                 emit("", finish or "length")

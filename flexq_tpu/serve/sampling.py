@@ -133,6 +133,73 @@ def process_logits(
     return logits
 
 
+def dynamic_params(params: SamplingParams) -> jax.Array:
+    """Float sampling knobs as one traced f32[6] operand (see
+    process_logits_dynamic)."""
+    return jnp.asarray(
+        [
+            params.temperature, params.top_p, params.repetition_penalty,
+            params.presence_penalty, params.frequency_penalty,
+            params.min_length,
+        ],
+        jnp.float32,
+    )
+
+
+def structural_key(params: SamplingParams):
+    """The parts of SamplingParams that shape the compiled program under
+    process_logits_dynamic (everything else is a traced operand)."""
+    return (params.greedy, params.top_k, params.top_p < 1.0)
+
+
+def process_logits_dynamic(
+    logits: jax.Array,  # [B, V]
+    dyn: jax.Array,  # f32 [6] from dynamic_params()
+    top_k: int,
+    use_top_p: bool,
+    token_counts: Optional[jax.Array] = None,  # int32 [B, V]
+    cur_length: Optional[jax.Array] = None,  # int32 [B]
+    eos_ids: Optional[jax.Array] = None,  # int32 [B] (per-row eos)
+) -> jax.Array:
+    """process_logits with the FLOAT knobs (temperature, top_p value,
+    penalties, min_length) as traced operands: a serving scheduler would
+    otherwise recompile its full K-step decode program for every novel
+    client temperature (10-20 min per compile at 7B on the remote TPU).
+    Only `top_k` (a shape) and `use_top_p` (a whole sort) stay static.
+    For matching parameter values the math is identical to
+    process_logits — neutral values are exact no-ops (x/1.0, x-0.0)."""
+    temp, top_p, rep, pres, freq, min_len = (dyn[i] for i in range(6))
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        seen = token_counts > 0
+        pen = jnp.where(logits > 0, logits / rep, logits * rep)
+        logits = jnp.where(seen, pen, logits)
+        logits = (
+            logits
+            - pres * seen.astype(jnp.float32)
+            - freq * token_counts.astype(jnp.float32)
+        )
+    if cur_length is not None and eos_ids is not None:
+        rows = jnp.arange(logits.shape[0])
+        ban = cur_length.astype(jnp.float32) < min_len
+        cur = logits[rows, eos_ids]
+        logits = logits.at[rows, eos_ids].set(jnp.where(ban, NEG_INF, cur))
+    logits = logits / jnp.maximum(temp, 1e-6)
+    if top_k > 0:
+        logits = apply_top_k(logits, top_k)
+    if use_top_p:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = cum - probs < top_p
+        kth = jnp.maximum(
+            jnp.sum(keep_sorted, axis=-1, keepdims=True).astype(jnp.int32), 1
+        )
+        cutoff = jnp.take_along_axis(sorted_logits, kth - 1, axis=-1)
+        logits = jnp.where(logits < cutoff, NEG_INF, logits)
+    return logits
+
+
 def sample(
     logits: jax.Array,  # [B, V] already processed
     params: SamplingParams,

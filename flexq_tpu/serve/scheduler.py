@@ -28,7 +28,10 @@ import numpy as np
 from flexq_tpu.config import ModelConfig, QuantPolicy
 from flexq_tpu.models.quantized import forward_serve
 from flexq_tpu.serve.engine import prefill_mask
-from flexq_tpu.serve.sampling import NEG_INF, SamplingParams, process_logits, sample
+from flexq_tpu.serve.sampling import (
+    NEG_INF, SamplingParams, dynamic_params, process_logits,
+    process_logits_dynamic, sample, structural_key,
+)
 
 
 def _cache_spec(cfg, mesh, scales: bool = False, batch_ax=None):
@@ -346,7 +349,7 @@ class BatchScheduler:
     # ---- fused multi-step decode tick ----------------------------------
     def _fused_loop_body(
         self, step_fwd, last, cache, positions, active, eos_ids, remaining,
-        gen0, key, counts, k_steps: int, sampling: SamplingParams,
+        gen0, key, counts, dyn, k_steps: int, sampling: SamplingParams,
         use_counts: bool, logprobs: bool,
     ):
         """K decode steps in one lax.while_loop (early exit when every row
@@ -369,17 +372,14 @@ class BatchScheduler:
         def body(st):
             i, last, cache, pos, key, counts, nrec, finished, tokens, lps = st
             logits, cache = step_fwd(last, cache, pos)
-            logits = logits.astype(jnp.float32)
-            proc = process_logits(
-                logits, sampling,
+            # dynamic float knobs: distinct temperatures etc. share ONE
+            # compiled K-step program (per-row eos/min-length on device)
+            proc = process_logits_dynamic(
+                logits, dyn, top_k=sampling.top_k,
+                use_top_p=sampling.top_p < 1.0,
                 token_counts=counts if use_counts else None,
+                cur_length=gen0 + nrec, eos_ids=eos_ids,
             )
-            if sampling.min_length > 0:
-                # per-row eos column (process_logits' min-length gate takes
-                # one static eos; slots may differ)
-                ban = (gen0 + nrec) < sampling.min_length
-                cur = proc[rows, eos_ids]
-                proc = proc.at[rows, eos_ids].set(jnp.where(ban, NEG_INF, cur))
             key, sub = jax.random.split(key)
             nxt = sample(proc, sampling, sub)
             record = ~finished
@@ -414,16 +414,21 @@ class BatchScheduler:
         signature: fn(params, last, cache, positions, active, eos_ids,
         remaining, gen0, key, counts, table) ->
         (tokens [S,K], lps [S,K], last [S,1], cache)."""
-        key_t = (k_steps, sampling, use_counts, logprobs)
+        # keyed on the STRUCTURAL sampling config only — float knobs are
+        # traced operands (process_logits_dynamic), so client temperature
+        # changes never recompile the K-step graph
+        key_t = (k_steps, structural_key(sampling), use_counts, logprobs)
         fn = self._fused_cache.get(key_t)
         if fn is not None:
             return fn
+        if len(self._fused_cache) >= 64:  # bound a long-lived server's cache
+            self._fused_cache.clear()
         if self.mesh is not None:
             fn = self._build_fused_mesh(k_steps, sampling, use_counts, logprobs)
         else:
 
             def run(params, last, cache, positions, active, eos_ids,
-                    remaining, gen0, key, counts, table):
+                    remaining, gen0, key, counts, dyn, table):
                 if self.paged:
                     def step_fwd(lt, c, p):
                         logits, kv = self._forward(
@@ -443,7 +448,7 @@ class BatchScheduler:
 
                 return self._fused_loop_body(
                     step_fwd, last, cache, positions, active, eos_ids,
-                    remaining, gen0, key, counts, k_steps, sampling,
+                    remaining, gen0, key, counts, dyn, k_steps, sampling,
                     use_counts, logprobs,
                 )
 
@@ -479,7 +484,7 @@ class BatchScheduler:
         vec, mat = P(data_ax), P(data_ax, None)
 
         def body(params, last, positions, active, eos_ids, remaining, gen0,
-                 key, counts, table, *cache):
+                 key, counts, dyn, table, *cache):
             if data_ax is not None:
                 # decorrelate sampling across data shards (see engine.py)
                 key = jax.random.fold_in(key, jax.lax.axis_index("data"))
@@ -502,7 +507,7 @@ class BatchScheduler:
 
             tokens, lps, last, cache_o = self._fused_loop_body(
                 step_fwd, last, tuple(cache), positions, active, eos_ids,
-                remaining, gen0, key, counts, k_steps, sampling,
+                remaining, gen0, key, counts, dyn, k_steps, sampling,
                 use_counts, logprobs,
             )
             return (tokens, lps, last) + tuple(cache_o)
@@ -512,7 +517,7 @@ class BatchScheduler:
             mesh=mesh,
             in_specs=(
                 specs, mat, vec, vec, vec, vec, vec, P(),
-                mat if use_counts else P(),
+                mat if use_counts else P(), P(),
                 mat if paged else P(),
             ) + cache_specs,
             out_specs=(mat, mat, mat) + cache_specs,
@@ -520,14 +525,14 @@ class BatchScheduler:
         )
         n_cache = len(cache_specs)
         jfn = jax.jit(
-            smfn, donate_argnums=tuple(range(10, 10 + n_cache))
+            smfn, donate_argnums=tuple(range(11, 11 + n_cache))
         )
 
         def run(params, last, cache, positions, active, eos_ids, remaining,
-                gen0, key, counts, table):
+                gen0, key, counts, dyn, table):
             out = jfn(
                 params, last, positions, active, eos_ids, remaining, gen0,
-                key, counts, table, *cache,
+                key, counts, dyn, table, *cache,
             )
             return out[0], out[1], out[2], out[3:]
 
@@ -810,11 +815,19 @@ class BatchScheduler:
                 return
             if self.paged:
                 # worst-case budget: shared prompt pages + each beam's
-                # private generation span (incl. a straddled partial block)
+                # private generation span (incl. a straddled partial block),
+                # PLUS the unallocated worst case of every in-flight beam
+                # group — beams are never preempted, so admitting without
+                # reserving their future pages can deadlock the pool
                 ps = self.pool.page_size
                 plen = len(req.prompt)
                 per_beam = (plen + req.max_new - 1) // ps - plen // ps + 1
                 need = self.pool.pages_for(plen) + req.beam_width * per_beam
+                for gb in self.beam_groups.values():
+                    for i2 in gb.slots:
+                        s2 = self.slots[i2]
+                        total = -(-(len(s2.prompt) + s2.max_new) // ps)
+                        need += max(0, total - int(self.ptable.num_blocks[i2]))
                 avail = self.pool.free_pages + (
                     self.registry.reclaimable if self.registry is not None else 0
                 )
@@ -1084,25 +1097,43 @@ class BatchScheduler:
         blk = next_pos // ps
         rc = self._beam_page_rc(g)
         src, dst = [], []
-        for i in g.slots:
-            if blk >= int(self.ptable.num_blocks[i]):
-                continue  # boundary: appended privately by the step allocator
-            p = int(self.ptable.table[i, blk])
-            if p == 0 or rc.get(p, 0) <= 1:
-                continue
-            while True:
-                try:
-                    newp = self._alloc(1)[0]
-                    break
-                except MemoryError:
-                    if not self._preempt():
-                        raise
-            rc[p] -= 1
-            rc[newp] = 1
-            self.ptable.table[i, blk] = newp
-            src.append(p)
-            dst.append(newp)
-        self.pool.copy_pages(src, dst)
+        try:
+            for i in g.slots:
+                if blk >= int(self.ptable.num_blocks[i]):
+                    continue  # boundary: appended privately by the allocator
+                p = int(self.ptable.table[i, blk])
+                if p == 0 or rc.get(p, 0) <= 1:
+                    continue
+                while True:
+                    try:
+                        newp = self._alloc(1)[0]
+                        break
+                    except MemoryError:
+                        if not self._preempt():
+                            raise
+                rc[p] -= 1
+                rc[newp] = 1
+                self.ptable.table[i, blk] = newp
+                src.append(p)
+                dst.append(newp)
+        finally:
+            # copy even on a mid-loop MemoryError: tables already point at
+            # the fresh pages allocated so far — leaving them uncopied
+            # would corrupt those beams' KV
+            self.pool.copy_pages(src, dst)
+
+    def shed_beam(self) -> bool:
+        """Force-finish the youngest beam group with its hypotheses so far —
+        the pool-exhaustion escape hatch when no preemptible (non-beam)
+        slot remains: beams are never preempted because re-prefilling one
+        lane cannot rebuild the group's diverged KV. Returns False when no
+        group exists."""
+        if not self.beam_groups:
+            return False
+        g = max(self.beam_groups.values(), key=lambda x: x.req_id)
+        g.max_new = max(1, len(g.histories[0]))
+        self._maybe_finish_beam(g)
+        return True
 
     def _maybe_finish_beam(self, g: _BeamGroup):
         if not (all(g.finished) or len(g.histories[0]) >= g.max_new):
@@ -1168,6 +1199,7 @@ class BatchScheduler:
             res = np.asarray(fn(
                 logits, jnp.asarray(members, jnp.int32), counts,
                 jnp.asarray(eos), jnp.asarray(gen0), sub,
+                dynamic_params(sp),
             ))
             for j, i in enumerate(members):
                 out[i] = (
@@ -1177,21 +1209,20 @@ class BatchScheduler:
 
     def _sample_batch_fn(self, g: int, sp: SamplingParams, use_counts: bool,
                          want_lp: bool):
-        key_t = ("sample", g, sp, use_counts, want_lp)
+        key_t = ("sample", g, structural_key(sp), use_counts, want_lp)
         fn = self._fused_cache.get(key_t)
         if fn is not None:
             return fn
+        if len(self._fused_cache) >= 64:
+            self._fused_cache.clear()
 
-        def f(logits, rows, counts, eos, gen0, key):
-            lr = logits[rows].astype(jnp.float32)
-            proc = process_logits(
-                lr, sp, token_counts=counts if use_counts else None
+        def f(logits, rows, counts, eos, gen0, key, dyn):
+            lr = logits[rows]
+            proc = process_logits_dynamic(
+                lr, dyn, top_k=sp.top_k, use_top_p=sp.top_p < 1.0,
+                token_counts=counts if use_counts else None,
+                cur_length=gen0, eos_ids=eos,
             )
-            if sp.min_length > 0:
-                r = jnp.arange(g)
-                ban = gen0 < sp.min_length
-                cur = proc[r, eos]
-                proc = proc.at[r, eos].set(jnp.where(ban, NEG_INF, cur))
             toks = sample(proc, sp, key)
             lp = (
                 jax.nn.log_softmax(proc, axis=-1)[jnp.arange(g), toks]
@@ -1265,7 +1296,7 @@ class BatchScheduler:
         plain decode with one shared SamplingParams (per-slot eos/budget are
         handled on device; differing sampling configs would need per-row
         params plumbed through process_logits — rare enough to fall back)."""
-        if self.fused_tick < 2 or self.beam_groups:
+        if self.fused_tick < 1 or self.beam_groups:
             return False
         s0 = self.slots[active[0]].sampling
         return all(self.slots[i].sampling == s0 for i in active[1:])
@@ -1351,7 +1382,7 @@ class BatchScheduler:
         tokens, lps, last, cache = fn(
             self.params, self.last_tokens, cache, jnp.asarray(positions),
             jnp.asarray(act), jnp.asarray(eos), jnp.asarray(remaining),
-            jnp.asarray(gen0), sub, counts, table,
+            jnp.asarray(gen0), sub, counts, dynamic_params(sampling), table,
         )
         t2 = _time.perf_counter()
         if self.paged:

@@ -39,7 +39,7 @@ class SpecStats:
     """Per-generation speculative-decoding accounting."""
 
     steps: int = 0  # verify forwards run
-    drafted: int = 0  # draft tokens proposed (steps * k)
+    drafted: int = 0  # draft tokens proposed (active rows only)
     accepted: int = 0  # draft tokens accepted
     generated: int = 0  # tokens emitted (accepted + 1 bonus per step)
     prefill_s: float = 0.0
@@ -189,7 +189,7 @@ def generate_speculative(
         buf = jnp.zeros((bsz, lb), jnp.int32).at[:, :l].set(
             jnp.asarray(prompts, jnp.int32)
         )
-        buf, length, steps, acc, cache = engine._spec_loop_jit(
+        buf, length, steps, acc, drafted, cache = engine._spec_loop_jit(
             engine.params, logits, cache, buf, jnp.int32(l),
             jax.random.PRNGKey(seed),
             k=k, max_new=max_new_tokens, stop_ids=tuple(sorted(stop_set)),
@@ -202,7 +202,7 @@ def generate_speculative(
             for r in range(bsz)
         ]
         stats.steps = int(steps)
-        stats.drafted = stats.steps * k * bsz
+        stats.drafted = int(drafted)  # counts only rows still decoding
         stats.accepted = int(acc)
         stats.generated = sum(len(o) for o in outs)
         stats.decode_s = time.perf_counter() - t1
