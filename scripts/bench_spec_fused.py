@@ -80,6 +80,52 @@ def main():
             }
             print(f"{key}: {results[key]}", flush=True)
 
+    # batched spec (round 3): 4 rows of mixed draftability in ONE fused
+    # loop — per-row windows at per-row positions; finished rows hold
+    phrase2 = rng.integers(100, 32000, 16).tolist()
+    bprompts = [
+        prompts["repetitive"], prompts["random"],
+        phrase2 * 8, rng.integers(100, 32000, 128).tolist(),
+    ]
+    print("compile plain fused B4 ...", flush=True)
+    out_p, st = eng.generate(bprompts, max_new_tokens=n_new, eos_id=-1,
+                             return_stats=True)
+    out_p, st = eng.generate(bprompts, max_new_tokens=n_new, eos_id=-1,
+                             return_stats=True)
+    plain_b4 = sum(len(r) for r in out_p) / st.decode_s
+    results["plain_fused_B4"] = {"tok_s": plain_b4}
+    print(f"plain fused B4: {plain_b4:.1f} tok/s", flush=True)
+    for k in (3, 7):
+        print(f"compile spec fused B4 k={k} ...", flush=True)
+        out_s, stats = generate_speculative(
+            eng, bprompts, max_new_tokens=n_new, k=k, eos_id=-1,
+            return_stats=True, fused=True,
+        )
+        # spec-vs-plain greedy equality does NOT hold across differently
+        # compiled programs on random synthetic weights (near-tie argmax;
+        # CLAUDE.md) — report the divergence point instead of asserting.
+        # Same-compilation exactness is pinned by tests/test_speculative.py.
+        for r in range(4):
+            div = next(
+                (i for i, (a, b) in enumerate(zip(out_s[r], out_p[r]))
+                 if a != b),
+                len(out_s[r]),
+            )
+            print(f"  row {r}: first divergence vs plain at {div}/{n_new}",
+                  flush=True)
+            assert div >= 8, f"row {r} diverged suspiciously early"
+        out_s, stats = generate_speculative(
+            eng, bprompts, max_new_tokens=n_new, k=k, eos_id=-1,
+            return_stats=True, fused=True,
+        )
+        key = f"spec_fused_B4_k{k}"
+        results[key] = {
+            "tok_s": stats.generated / stats.decode_s,
+            "speedup_vs_plain": (stats.generated / stats.decode_s) / plain_b4,
+            "accept_rate": round(stats.acceptance_rate, 2),
+        }
+        print(f"{key}: {results[key]}", flush=True)
+
     print(json.dumps(results))
 
 
