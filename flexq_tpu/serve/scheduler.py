@@ -1302,8 +1302,16 @@ class BatchScheduler:
         return all(self.slots[i].sampling == s0 for i in active[1:])
 
     def _fused_step(self, active: List[int]) -> None:
-        """Run up to `fused_tick` decode steps in one device dispatch."""
+        """Run up to `fused_tick` decode steps in one device dispatch.
+
+        With requests WAITING (pending queue non-empty), the tick shortens
+        to at most 4 steps so a slot that frees up admits within ~4 steps
+        instead of K — bounding queued-request TTFT without giving up the
+        fused tick's dispatch amortization when the system is not full.
+        (Each distinct K compiles its own program; at most two exist.)"""
         k_steps = self.fused_tick
+        if self.pending and k_steps > 4:
+            k_steps = 4
         if self.paged:
             # preallocate every page the K steps might write (writes at
             # pos .. pos+K-1); a slot that finishes early wastes at most one
