@@ -140,6 +140,7 @@ class BatchScheduler:
         prefix_cache: bool = False,
         fused_tick: int = 0,
         pp_mesh=None,
+        max_prefilling: Optional[int] = None,
     ):
         # mesh => multi-device serving: params TP-sharded (column/row split),
         # KV cache / page pool (values AND int8 scales) sharded on the
@@ -290,6 +291,11 @@ class BatchScheduler:
         self.fused_tick = int(fused_tick)
         assert self.fused_tick >= 0
         self._fused_cache: Dict[Any, Any] = {}
+        # cap on slots in chunked-prefill phase at once: each holds a B=1
+        # scratch cache sized to its prompt bucket (~1 GB at 7B/4K tokens),
+        # so unbounded concurrent admissions can OOM the chip long before
+        # the page pool runs out. None = unbounded (v2 default).
+        self.max_prefilling = max_prefilling
 
     # ---- jitted pieces -------------------------------------------------
     def _forward(self, params, ids, cache, positions, cache_pos, mask=None,
@@ -884,6 +890,22 @@ class BatchScheduler:
             if self.prefill_chunk and plen - slot.prefix_len > 0 and (
                 plen > self.prefill_chunk or slot.prefix_len
             ):
+                if self.max_prefilling is not None:
+                    n_pref = sum(
+                        1 for s2 in self.slots
+                        if s2.req_id is not None and s2.phase == "prefill"
+                    )
+                    if n_pref >= self.max_prefilling:
+                        # bounded in-flight prefills: wait for a scratch to
+                        # drain (FIFO preserved — everything behind waits).
+                        # Undo this slot's registry acquisitions first.
+                        if self.registry is not None and slot.shared_pages:
+                            self.pool.free(
+                                self.registry.release(slot.shared_pages)
+                            )
+                        self.slots[i] = _Slot()
+                        self.pending.appendleft(req)
+                        break
                 # chunked admission: defer the compute to step() ticks.
                 # Scratch must be page-aligned in paged mode (insert_prefill
                 # reshapes it into whole pages). With a prefix hit, the

@@ -17,6 +17,10 @@ Env:
   FLEXQ_SERVE_DUR     seconds of arrivals per load      (default 60)
   FLEXQ_SERVE_SLOTS   scheduler slots                   (default 8)
   FLEXQ_SERVE_GEN     generated tokens per request      (default 256)
+  FLEXQ_SERVE_PROMPT  prompt tokens per request         (default 128)
+  FLEXQ_SERVE_MAXLEN  cache length                      (default 2048)
+  FLEXQ_SERVE_CHUNK   chunked-prefill chunk (0 = page)  (default 0)
+  FLEXQ_SERVE_HTTP    1 = drive the real HTTP server (SSE TTFT)
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ from flexq_tpu.serve.scheduler import BatchScheduler
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_e2e7b import synth_llama7b_quantized  # noqa: E402
 
-PROMPT_LEN = 128
+PROMPT_LEN = int(os.environ.get("FLEXQ_SERVE_PROMPT", "128"))
+MAX_LEN = int(os.environ.get("FLEXQ_SERVE_MAXLEN", "2048"))
 
 
 def _policy():
@@ -50,8 +55,11 @@ def _policy():
 def make_sched(cfg, qparams, policy, fused_tick: int, slots: int):
     return BatchScheduler(
         qparams, cfg, policy,
-        num_slots=slots, max_seq_len=2048, kv_dtype=jnp.int8,
+        num_slots=slots, max_seq_len=MAX_LEN, kv_dtype=jnp.int8,
         paged=True, page_size=128, prefix_cache=True,
+        prefill_chunk=int(os.environ.get("FLEXQ_SERVE_CHUNK", "0")) or None,
+        num_pages=int(os.environ.get("FLEXQ_SERVE_PAGES", "0")) or None,
+        max_prefilling=int(os.environ.get("FLEXQ_SERVE_MAXPREFILL", "0")) or None,
         fused_tick=fused_tick,
     )
 

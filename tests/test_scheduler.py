@@ -256,3 +256,52 @@ def test_preempted_request_not_starved(setup):
             break
     assert ra in out and rb in out, "scheduler stalled (starved request)"
     assert len(out[ra]) == 500 and len(out[rb]) == 500
+
+
+def test_max_prefilling_cap(setup):
+    """Bounded in-flight chunked prefills: the third long prompt waits for
+    a scratch to drain; outputs still match the uncapped scheduler."""
+    cfg, policy, qparams = setup
+    import numpy as np
+    prompts = [
+        [int(x) for x in np.random.default_rng(s).integers(0, 256, 12)]
+        for s in range(3)
+    ]
+
+    def run(**kw):
+        sched = BatchScheduler(qparams, cfg, policy, num_slots=3,
+                               max_seq_len=64, kv_dtype=jnp.float32,
+                               prefill_chunk=4, **kw)
+        rids = [sched.add_request(p, max_new_tokens=4, eos_id=-1)
+                for p in prompts]
+        out = sched.run()
+        return [out[r] for r in rids]
+
+    want = run()
+    got = run(max_prefilling=1)
+    assert got == want
+
+
+def test_max_prefilling_cap_prefix_cache(setup):
+    """Cap + prefix cache: a turned-away request must release its acquired
+    prefix pages (registry refcounts stay balanced)."""
+    cfg, policy, qparams = setup
+    import numpy as np
+    base = [int(x) for x in np.random.default_rng(7).integers(0, 256, 256)]
+    sched = BatchScheduler(qparams, cfg, policy, num_slots=2,
+                           max_seq_len=1024, kv_dtype=jnp.float32,
+                           paged=True, page_size=128, prefix_cache=True,
+                           max_prefilling=1)
+    r1 = sched.add_request(base + [1, 2], max_new_tokens=3, eos_id=-1)
+    out = sched.run()
+    assert len(out[r1]) == 3
+    # same prefix arrives twice concurrently: second is turned away once
+    # (cap), re-admitted later with the prefix pages reacquired
+    r2 = sched.add_request(base + [3, 4], max_new_tokens=3, eos_id=-1)
+    r3 = sched.add_request(base + [5, 6], max_new_tokens=3, eos_id=-1)
+    out = sched.run()
+    assert len(out[r2]) == 3 and len(out[r3]) == 3
+    # every page accounted for: free + retained-in-registry == total - garbage
+    assert (sched.pool.free_pages + len(sched.registry.retained)
+            == sched.pool.num_pages - 1 - sum(
+                sched.registry.rc[p] > 0 for p in sched.registry.rc))
