@@ -213,3 +213,12 @@ def test_fused_under_mesh_paged(setup_mesh):
     got = _run(_mk(cfg, policy, qparams, mesh=mesh, paged=True,
                    kv_dtype=jnp.int8, fused_tick=3))
     assert got == want
+
+
+def test_fused_adaptive_k_with_queue(setup):
+    """With a request queued, the fused tick shortens (K→4) so the queue
+    admits sooner — token streams must still match the stepwise path."""
+    cfg, policy, qparams = setup
+    want = _run(_mk(cfg, policy, qparams))
+    got = _run(_mk(cfg, policy, qparams, fused_tick=16))
+    assert got == want
