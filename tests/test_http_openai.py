@@ -325,3 +325,28 @@ def test_hf_tokenizer_no_double_bos():
     t.bos_id, t.eos_id = 1, 2
     assert t.encode("<s>hi") == [1, 10, 11]  # no double BOS
     assert t.encode("hi") == [1, 10, 11]  # still prepended when absent
+
+
+def test_streaming_token_ids_match_nonstream(served):
+    """Id-level SSE: concatenated per-chunk token_ids must equal the
+    non-streaming response's token_ids (and with stop strings, never leak
+    ids past the stop cut)."""
+    body = {"prompt": "xy", "max_tokens": 6, "temperature": 0, "eos_id": -1}
+    want = _post(served, "/v1/completions", body)["choices"][0]["token_ids"]
+
+    conn = http.client.HTTPConnection("127.0.0.1", served, timeout=300)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({**body, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    ids = []
+    for raw in resp.fp:
+        line = raw.decode().strip()
+        if not line.startswith("data: "):
+            continue
+        payload = line[len("data: "):]
+        if payload == "[DONE]":
+            break
+        ids += json.loads(payload)["choices"][0].get("token_ids", [])
+    conn.close()
+    assert ids == want, (ids, want)
