@@ -39,9 +39,11 @@ mesh = process_mesh(tp=2, dp=1)
 
 
 def make_sched():
+    # fused multi-step ticks replicate too: both processes run the same
+    # deterministic K-step device program per tick frame
     return BatchScheduler(
         qparams, cfg, policy, num_slots=2, max_seq_len=256,
-        kv_dtype=jnp.float32, mesh=mesh,
+        kv_dtype=jnp.float32, mesh=mesh, fused_tick=3,
     )
 
 
@@ -64,7 +66,7 @@ if pid == 0:
     rep.shutdown()
     # reference: single-device (process-local) scheduler, same command log
     ref = BatchScheduler(qparams, cfg, policy, num_slots=2, max_seq_len=256,
-                         kv_dtype=jnp.float32)
+                         kv_dtype=jnp.float32, fused_tick=3)
     e1 = ref.add_request([3, 14, 15, 9], max_new_tokens=5, eos_id=-1)
     e2 = ref.add_request([7, 7], max_new_tokens=4, eos_id=-1)
     want = ref.run()

@@ -374,3 +374,42 @@ def test_scheduler_beam_under_mesh():
     assert [t for t, _, _ in nb1] == [t for t, _, _ in nb2]
     assert nb1[0][1] >= nb1[1][1]
     assert len(out1) == 5
+
+
+def test_scheduler_beam_paged_under_mesh():
+    """Paged beam (COW page reorder) on a tp=2 mesh: determinism + page
+    accounting with the pool sharded on the kv-head axis."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from flexq_tpu.parallel.tp import make_mesh
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    torch.manual_seed(0)
+    cfg_hf = LlamaConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(cfg_hf).eval()
+    mcfg = config_from_hf(m.config)
+    policy = QuantPolicy.llama_flex()
+    qparams = quantize_params(
+        from_hf_llama(m, dtype=jnp.float32), mcfg, policy, dtype=jnp.float32
+    )
+    mesh = make_mesh(tp=2, dp=1)
+
+    def run_once():
+        sched = BatchScheduler(qparams, mcfg, policy, num_slots=3,
+                               max_seq_len=256, kv_dtype=jnp.float32,
+                               mesh=mesh, paged=True, page_size=128)
+        rid = sched.add_request([1, 5, 9], max_new_tokens=5, eos_id=-1,
+                                beam_width=2, n_best=2)
+        out = sched.run()[rid]
+        return out, sched
+
+    out1, s1 = run_once()
+    out2, s2 = run_once()
+    assert out1 == out2 and len(out1) == 5
+    assert s1.pool.free_pages == s1.pool.num_pages - 1
