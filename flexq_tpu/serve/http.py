@@ -25,9 +25,12 @@ API:
   POST /v1/completions    OpenAI-compatible: prompt = str | [int] | a list
                           of those; n, max_tokens, temperature (0 = greedy),
                           top_p, stop (str|[str]), logprobs, echo,
-                          stream (SSE); best_of > n or use_beam_search
-                          routes through the scheduler's beam path
-                          (n choices from a best_of-wide beam)
+                          stream (SSE; chunks carry text deltas AND the new
+                          token_ids, both honoring the stop/UTF-8 holdback);
+                          best_of > n or use_beam_search routes through the
+                          scheduler's beam path (n choices from a
+                          best_of-wide beam, beam_score + logprobs per
+                          choice)
   POST /v1/chat/completions  messages=[{role, content}...] through the
                           tokenizer's chat template (or a generic one);
                           stream (SSE) supported
