@@ -276,11 +276,15 @@ def forward_serve_tp(
     is (k, v) or (k, v, ks, vs) for the int8 quantized cache.
 
     With ``page_table`` the cache buffers are PAGED pools (kv-head axis
-    sharded over `model`, pages+table shared by all data-parallel rows —
-    page ids are global, so the table is replicated). Scale arrays select
-    the int8 KV cache (dense or paged). Batch-major operands (ids, vector
-    cache_pos, per-slot masks/positions, the dense cache) shard over `data`
-    when the batch divides dp; otherwise they run data-replicated.
+    sharded over `model`). CONTRACT at dp>1: the pools' PAGE axis must be
+    sharded over `data` (per-data-shard partitions) and the table must hold
+    LOCALIZED page ids (PagePool.localize) — a global-id table would index
+    each rank's local pool slice with out-of-range ids and read/write the
+    wrong pages silently (BatchScheduler does this localization; direct
+    callers must too). Scale arrays select the int8 KV cache (dense or
+    paged). Batch-major operands (ids, vector cache_pos, per-slot
+    masks/positions, the dense cache) shard over `data` when the batch
+    divides dp; otherwise they run data-replicated.
     """
     tp = mesh.shape["model"]
     dp = mesh.shape.get("data", 1)

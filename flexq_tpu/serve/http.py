@@ -108,26 +108,54 @@ class SchedulerService:
                 fail_streak += 1
                 with self._lock:
                     shed = getattr(self.scheduler, "shed_beam", lambda: False)()
-                if not shed and fail_streak >= 5:
+                replicated = hasattr(self.scheduler, "_pending_cmds")
+                if not shed and fail_streak >= 5 and not replicated:
                     # persistent failure: surface partial results so
-                    # clients unblock, then drop the stuck work
+                    # clients unblock, then drop the stuck work. (On a
+                    # replicated leader this deep wipe would fork the
+                    # followers — there we only retry + shed, which IS
+                    # mirrored deterministically.)
                     with self._lock:
-                        for s in list(self.scheduler.slots):
-                            if s.req_id is not None:
-                                self._results[s.req_id] = (
-                                    list(s.prior) + list(s.generated),
-                                    None, None,
-                                )
-                                ev = self._events.get(s.req_id)
-                                if ev is not None:
-                                    ev.set()
-                        for pnd in list(self.scheduler.pending):
-                            self._results[pnd.req_id] = (
-                                list(pnd.prior), None, None
-                            )
-                            ev = self._events.get(pnd.req_id)
+
+                        def surface(rid, toks):
+                            self._results[rid] = (toks, None, None)
+                            ev = self._events.get(rid)
                             if ev is not None:
                                 ev.set()
+
+                        # completed inside the failing tick but not returned
+                        done = getattr(self.scheduler, "done", {})
+                        for rid, toks in list(done.items()):
+                            surface(rid, list(toks))
+                        done.clear()
+                        groups = getattr(self.scheduler, "beam_groups", {})
+                        for g in list(groups.values()):
+                            surface(g.req_id, list(g.histories[0]))
+                            if getattr(self.scheduler, "paged", False):
+                                # lanes share pages: free the unique set
+                                # once (per-slot release would double-free)
+                                try:
+                                    freed = set(
+                                        self.scheduler._beam_page_rc(g)
+                                    )
+                                    for i2 in g.slots:
+                                        self.scheduler.ptable.release(i2)
+                                    self.scheduler.pool.free(freed)
+                                except Exception:
+                                    pass
+                            for i2 in g.slots:
+                                self.scheduler.slots[i2] = type(
+                                    self.scheduler.slots[i2]
+                                )()
+                        groups.clear()
+                        for s in list(self.scheduler.slots):
+                            if s.req_id is not None and not s.beam:
+                                surface(
+                                    s.req_id,
+                                    list(s.prior) + list(s.generated),
+                                )
+                        for pnd in list(self.scheduler.pending):
+                            surface(pnd.req_id, list(pnd.prior))
                         self.scheduler.pending.clear()
                         for i in range(len(self.scheduler.slots)):
                             if getattr(self.scheduler, "paged", False):

@@ -331,6 +331,3 @@ class PageTable:
         self.table[slot] = 0
         self.num_blocks[slot] = 0
         return pages
-
-    def device_table(self) -> jax.Array:
-        return jnp.asarray(self.table)

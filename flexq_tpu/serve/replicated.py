@@ -193,6 +193,18 @@ class ReplicatedScheduler:
     def beam_groups(self):
         return self.scheduler.beam_groups
 
+    @property
+    def paged(self) -> bool:
+        return getattr(self.scheduler, "paged", False)
+
+    def shed_beam(self) -> bool:
+        """Pool-exhaustion escape hatch. NOT logged as a command: replicas
+        are deterministic, so a follower replaying the same tick hits the
+        same MemoryError and sheds the same group locally (serve_forever's
+        handler) — logging it too would shed twice on followers."""
+        assert self.leader
+        return self.scheduler.shed_beam()
+
     def step(self) -> Dict[int, List[int]]:
         assert self.leader
         frame = {"op": "tick", "cmds": self._pending_cmds}
@@ -232,4 +244,9 @@ class ReplicatedScheduler:
                     self.scheduler.cancel(cmd["req_id"])
                 else:
                     self._apply_add(self.scheduler, cmd)
-            self.scheduler.step()
+            try:
+                self.scheduler.step()
+            except MemoryError:
+                # deterministic mirror of the leader worker's shed: the
+                # same state raised the same error there
+                self.scheduler.shed_beam()

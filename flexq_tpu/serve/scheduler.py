@@ -846,6 +846,21 @@ class BatchScheduler:
             if self.pending[0].beam_width > 1:
                 break  # FIFO: a beam request is next; admit it next tick
             req = self.pending.popleft()
+            if (
+                self.max_prefilling is not None
+                and self.prefill_chunk
+                and len(req.prompt) > self.prefill_chunk
+            ):
+                n_pref = sum(
+                    1 for s2 in self.slots
+                    if s2.req_id is not None and s2.phase == "prefill"
+                )
+                if n_pref >= self.max_prefilling:
+                    # bounded in-flight prefills: each chunk-prefilling slot
+                    # holds a prompt-sized B=1 scratch cache (~1 GB at
+                    # 7B/4K); wait FIFO for one to drain
+                    self.pending.appendleft(req)
+                    break
             if self.paged:
                 avail = self.pool.free_in(self._part_of(i)) + (
                     self.registry.reclaimable if self.registry is not None else 0
@@ -890,22 +905,6 @@ class BatchScheduler:
             if self.prefill_chunk and plen - slot.prefix_len > 0 and (
                 plen > self.prefill_chunk or slot.prefix_len
             ):
-                if self.max_prefilling is not None:
-                    n_pref = sum(
-                        1 for s2 in self.slots
-                        if s2.req_id is not None and s2.phase == "prefill"
-                    )
-                    if n_pref >= self.max_prefilling:
-                        # bounded in-flight prefills: wait for a scratch to
-                        # drain (FIFO preserved — everything behind waits).
-                        # Undo this slot's registry acquisitions first.
-                        if self.registry is not None and slot.shared_pages:
-                            self.pool.free(
-                                self.registry.release(slot.shared_pages)
-                            )
-                        self.slots[i] = _Slot()
-                        self.pending.appendleft(req)
-                        break
                 # chunked admission: defer the compute to step() ticks.
                 # Scratch must be page-aligned in paged mode (insert_prefill
                 # reshapes it into whole pages). With a prefix hit, the
@@ -1119,6 +1118,7 @@ class BatchScheduler:
         blk = next_pos // ps
         rc = self._beam_page_rc(g)
         src, dst = [], []
+        aborted = False
         try:
             for i in g.slots:
                 if blk >= int(self.ptable.num_blocks[i]):
@@ -1132,17 +1132,27 @@ class BatchScheduler:
                         break
                     except MemoryError:
                         if not self._preempt():
-                            raise
+                            aborted = True
+                            break
+                if aborted:
+                    break
                 rc[p] -= 1
                 rc[newp] = 1
                 self.ptable.table[i, blk] = newp
                 src.append(p)
                 dst.append(newp)
         finally:
-            # copy even on a mid-loop MemoryError: tables already point at
+            # copy even when aborting mid-loop: tables already point at
             # the fresh pages allocated so far — leaving them uncopied
             # would corrupt those beams' KV
             self.pool.copy_pages(src, dst)
+        if aborted:
+            # no page left for copy-on-divergence: another decode step
+            # would make diverged beams overwrite one shared page, so the
+            # group finishes NOW with its hypotheses so far; freeing its
+            # pages also relieves the pool
+            g.max_new = max(1, len(g.histories[0]))
+            self._maybe_finish_beam(g)
 
     def shed_beam(self) -> bool:
         """Force-finish the youngest beam group with its hypotheses so far —
@@ -1435,8 +1445,8 @@ class BatchScheduler:
             slot = self.slots[i]
             for j in range(k_steps):
                 t = int(tok_np[i, j])
-                if t < 0 or slot.req_id is None:
-                    break
+                if t < 0 or self.slots[i] is not slot:
+                    break  # device masked, or _finish_check reset the slot
                 slot.pos += 1
                 slot.generated.append(t)
                 if slot.want_logprobs and lp_np is not None:
