@@ -34,10 +34,10 @@ def perplexity(
     nll_fn = jax.jit(lambda ids: window_nll(forward_fn(ids), ids))
     total = 0.0
     tokens = 0
-    for i in range(0, n - (n % batch_size) or n, batch_size):
+    for i in range(0, n, batch_size):
+        # the tail batch may be short — evaluate it anyway (one extra jit
+        # compile at the ragged shape) so every window counts toward ppl
         batch = jnp.asarray(windows[i : i + batch_size])
-        if batch.shape[0] != batch_size:
-            break
         total += float(nll_fn(batch))
         tokens += batch.shape[0] * (seqlen - 1)
         if progress:

@@ -126,7 +126,7 @@ def _w6_matmul_kernel(
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False):
+def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False, bk_cap: int = 256):
     """Block-size selection: measured dispatch table first (autotune.py),
     then the shape heuristic (replaces the reference's 325-config library +
     per-M-bucket table, flexq_gemm_wrapper.cu:53-86).
@@ -142,12 +142,11 @@ def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False):
     tuned = autotune.lookup(m, k, n)
     if tuned is not None:
         return tuned
-    import os
     # decode bk=256: bk=512 looked marginally faster on the 7B e2e matrix
     # but dropped the reference-shape kernel metric (M=1 + 70B shapes) from
     # 2.667x to 2.583x vs bf16 — 256 wins across the full matrix.
-    # FLEXQ_BK_CAP overrides for A/B runs.
-    bk = largest_divisor_tile(k, cap=int(os.environ.get("FLEXQ_BK_CAP", "256")))
+    # ``bk_cap`` overrides for A/B sweeps (bench scripts only).
+    bk = largest_divisor_tile(k, cap=bk_cap)
     if m <= 32:
         # decode: weight-streaming bound — maximize N block for DMA depth
         # (cap 8192: measured ~10-20% over 4096 on wide-N 7B shapes; VMEM
@@ -167,7 +166,9 @@ def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
+    static_argnames=(
+        "out_dtype", "block_m", "block_n", "block_k", "interpret", "use_stream"
+    ),
 )
 def w6_matmul(
     x_q: jax.Array,  # int8 [M, K] quantized activations (6- or 8-bit values)
@@ -181,11 +182,15 @@ def w6_matmul(
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    use_stream: Optional[bool] = None,
 ) -> jax.Array:
     """out[m,n] = Σ_g (Σ_{k∈g} x_q·w_q) · x_scale[m,g] · w_scale[g,n].
 
     The serving-path analogue of FLEXQGEMMWrapper::gemm
     (e2e .../flexq_gemm_wrapper.cu:21-97).
+
+    ``use_stream``: None = auto-dispatch K-tall decode shapes to the manual
+    streaming kernel; False forces the grid kernel (A/B sweeps).
     """
     m, k = x_q.shape
     n = w_hi.shape[1]
@@ -197,13 +202,11 @@ def w6_matmul(
     if interpret is None:
         interpret = use_interpret()
 
-    import os
-
     if (
         m <= 32
         and k > n
         and block_m is None
-        and not os.environ.get("FLEXQ_NO_STREAM")
+        and use_stream is not False
     ):
         # K-tall decode shapes (down_proj/fc2): the manual triple-buffered
         # streaming kernel measures ~3-5% faster (9/12 repeats) — deep-K
