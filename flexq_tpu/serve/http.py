@@ -39,6 +39,11 @@ Text endpoints tokenize server-side (serve/tokenizer.py): a local HF
 tokenizer dir via --tokenizer, else the byte-level fallback. Raw-id
 endpoints need none.
 
+Admission control (--max-pending / --queue-timeout): a full pending queue
+answers 429 with Retry-After; a request shed after waiting past the queue
+timeout answers 503 (streams emit finish_reason "queue_timeout"). /metrics
+reports queue_depth, admission_rejected_total, queue_shed_total.
+
 Run:  python -m flexq_tpu.serve.http --port 8000 ... (see main()); tests
 drive it in-process via serve_background().
 """
@@ -54,11 +59,29 @@ from typing import Dict, List, Optional
 from flexq_tpu.serve.sampling import SamplingParams
 
 
+class QueueFull(Exception):
+    """Admission rejected: the pending queue is at max_pending."""
+
+
 class SchedulerService:
     """Thread-safe wrapper: one worker thread drives scheduler.step();
-    callers block on per-request events."""
+    callers block on per-request events.
 
-    def __init__(self, scheduler, poll_idle_s: float = 0.002):
+    Admission control (the piece FT's static batching never needed):
+      * ``max_pending`` bounds the pending queue — submits past it raise
+        QueueFull, which the HTTP layer maps to 429 + Retry-After, so
+        saturation sheds load instead of growing an unbounded deque with
+        unbounded TTFT (measured: 3 req/s over capacity drove TTFT p99 to
+        5.7 s with no bound).
+      * ``queue_timeout_s`` sheds requests that waited in the queue longer
+        than the bound without being admitted (503 to the client) — a
+        client-visible promise that admitted work starts decoding within
+        the timeout.
+    """
+
+    def __init__(self, scheduler, poll_idle_s: float = 0.002,
+                 max_pending: Optional[int] = None,
+                 queue_timeout_s: Optional[float] = None):
         self.scheduler = scheduler
         self._lock = threading.Lock()
         self._events: Dict[int, threading.Event] = {}
@@ -71,6 +94,12 @@ class SchedulerService:
         self._requests_done = 0
         self._tokens_out = 0
         self._steps = 0
+        self.max_pending = max_pending
+        self.queue_timeout_s = queue_timeout_s
+        self._enqueue_t: Dict[int, float] = {}  # rid -> submit monotonic
+        self._shed_rids: set = set()
+        self._rejected_total = 0
+        self._shed_total = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -80,6 +109,8 @@ class SchedulerService:
             had_work = False
             try:
                 with self._lock:
+                    if self.queue_timeout_s is not None:
+                        self._shed_overdue_locked()
                     had_work = self.scheduler.has_work
                     if had_work:
                         finished = self.scheduler.step()
@@ -90,6 +121,7 @@ class SchedulerService:
                             self._results[rid] = (
                                 toks, lps.pop(rid, None), nbs.pop(rid, None)
                             )
+                            self._enqueue_t.pop(rid, None)
                             self._requests_done += 1
                             self._tokens_out += len(toks)
                             ev = self._events.get(rid)
@@ -176,6 +208,25 @@ class SchedulerService:
             elif not had_work:
                 time.sleep(self._poll_idle_s)
 
+    def _shed_overdue_locked(self):
+        """Drop pending requests older than queue_timeout_s (caller holds
+        the lock). The waiter is unblocked with a result flagged shed so
+        the HTTP layer answers 503 instead of an empty completion."""
+        now = time.monotonic()
+        for p in list(self.scheduler.pending):
+            rid = p.req_id
+            t0 = self._enqueue_t.get(rid)
+            if t0 is None or now - t0 <= self.queue_timeout_s:
+                continue
+            dropped = self.scheduler.cancel(rid)
+            self._enqueue_t.pop(rid, None)
+            self._shed_rids.add(rid)
+            self._shed_total += 1
+            self._results[rid] = (dropped if dropped is not None else [], None, None)
+            ev = self._events.get(rid)
+            if ev is not None:
+                ev.set()
+
     def submit(self, prompt, sampling: SamplingParams, max_new: int, eos_id: int,
                logprobs: bool = False, beam_width: int = 1, n_best: int = 1,
                length_penalty: float = 1.0) -> int:
@@ -183,16 +234,33 @@ class SchedulerService:
             self._waiting_ops += 1
         try:
             with self._lock:
+                if (
+                    self.max_pending is not None
+                    and len(self.scheduler.pending) >= self.max_pending
+                ):
+                    self._rejected_total += 1
+                    raise QueueFull(
+                        f"pending queue full ({self.max_pending}); retry later"
+                    )
                 rid = self.scheduler.add_request(
                     prompt, sampling=sampling, max_new_tokens=max_new, eos_id=eos_id,
                     logprobs=logprobs, beam_width=beam_width, n_best=n_best,
                     length_penalty=length_penalty,
                 )
                 self._events[rid] = threading.Event()
+                self._enqueue_t[rid] = time.monotonic()
             return rid
         finally:
             with self._ops_lock:
                 self._waiting_ops -= 1
+
+    def was_shed(self, rid: int) -> bool:
+        """True (once) if rid was dropped by the queue timeout."""
+        with self._lock:
+            if rid in self._shed_rids:
+                self._shed_rids.discard(rid)
+                return True
+            return False
 
     def wait(self, rid: int, timeout: Optional[float] = None) -> List[int]:
         toks, _ = self.wait_full(rid, timeout)
@@ -252,6 +320,7 @@ class SchedulerService:
 
     def _cancel_locked(self, rid: int):
         with self._lock:
+            self._enqueue_t.pop(rid, None)
             dropped = self.scheduler.cancel(rid)
             if dropped is not None:  # was still pending: surface the result
                 self._results[rid] = (dropped, None, None)
@@ -283,7 +352,12 @@ class SchedulerService:
                     ("active", sum(1 for s in self.scheduler.slots if s.req_id is not None)),
                 )},
                 "pending": len(self.scheduler.pending),
+                "queue_depth": len(self.scheduler.pending),
+                "admission_rejected_total": self._rejected_total,
+                "queue_shed_total": self._shed_total,
             }
+            if self.max_pending is not None:
+                m["max_pending"] = self.max_pending
             if getattr(self.scheduler, "paged", False):
                 m["pages_free"] = self.scheduler.pool.free_pages
                 m["pages_total"] = self.scheduler.pool.num_pages
@@ -297,6 +371,10 @@ class SchedulerService:
     def shutdown(self):
         self._stop = True
         self._worker.join(timeout=5)
+
+
+class QueueTimeout(Exception):
+    """Request shed after waiting in the pending queue past the bound."""
 
 
 def _first_stop_hit(text: str, stops: List[str]):
@@ -354,13 +432,34 @@ def _make_handler(service: SchedulerService, tokenizer=None,
         def log_message(self, *a):  # quiet
             pass
 
-        def _send(self, code: int, payload: dict):
+        def _send(self, code: int, payload: dict, headers: dict = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _send_429(self, e):
+            self._send(429, {"error": {"message": str(e),
+                                       "type": "rate_limit_error"}},
+                       headers={"Retry-After": "1"})
+
+        def _send_503(self, e):
+            self._send(503, {"error": {"message": str(e),
+                                       "type": "overloaded_error"}})
+
+        def _rollback(self, rids):
+            """Cancel + drain requests submitted before a QueueFull aborted
+            the batch, so their results/events don't leak."""
+            for rid in rids:
+                service.cancel(rid)
+                try:
+                    service.wait_full(rid, timeout=600)
+                except (TimeoutError, KeyError):
+                    pass
 
         def do_GET(self):
             if self.path == "/health":
@@ -439,17 +538,23 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                 return None
             subs = []  # (rid, prompt_ids, prompt_text)
             ptoks = 0
-            for prm in prompts:
-                ids, text = self._encode_prompt(prm)
-                ptoks += len(ids)  # each distinct prompt counted ONCE, not xn
-                for _ in range(n):
-                    rid = service.submit(ids, sampling, max_new, eos_id,
-                                         logprobs=want_lp)
-                    subs.append((rid, ids, text))
+            try:
+                for prm in prompts:
+                    ids, text = self._encode_prompt(prm)
+                    ptoks += len(ids)  # distinct prompt counted ONCE, not xn
+                    for _ in range(n):
+                        rid = service.submit(ids, sampling, max_new, eos_id,
+                                             logprobs=want_lp)
+                        subs.append((rid, ids, text))
+            except QueueFull:
+                self._rollback([rid for rid, _, _ in subs])
+                raise
             choices, ctoks = [], 0
+            shed = False
             timeout = float(req.get("timeout", 600))
             for idx, (rid, ids, text) in enumerate(subs):
                 toks, lps = service.wait_full(rid, timeout)
+                shed = shed or service.was_shed(rid)
                 ctoks += len(toks)
                 toks, finish = self._finish(toks, eos_id, max_new)
                 out = tokenizer.decode(toks)
@@ -468,6 +573,8 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     ch["logprobs"] = {"token_logprobs": lps,
                                       "tokens": [tokenizer.decode([t]) for t in toks]}
                 choices.append(ch)
+            if shed:
+                raise QueueTimeout("request timed out in the pending queue")
             return {
                 "id": f"cmpl-{subs[0][0]}", "object": "text_completion",
                 "created": int(time.time()), "model": model_name,
@@ -486,16 +593,24 @@ def _make_handler(service: SchedulerService, tokenizer=None,
             timeout = float(req.get("timeout", 600))
             subs = []
             ptoks = 0
-            for prm in prompts:
-                ids, text = self._encode_prompt(prm)
-                ptoks += len(ids)
-                rid = service.submit(ids, SamplingParams(), max_new, eos_id,
-                                     beam_width=k, n_best=n,
-                                     length_penalty=alpha, logprobs=want_lp)
-                subs.append((rid, ids, text))
+            try:
+                for prm in prompts:
+                    ids, text = self._encode_prompt(prm)
+                    ptoks += len(ids)
+                    rid = service.submit(ids, SamplingParams(), max_new, eos_id,
+                                         beam_width=k, n_best=n,
+                                         length_penalty=alpha, logprobs=want_lp)
+                    subs.append((rid, ids, text))
+            except QueueFull:
+                self._rollback([rid for rid, _, _ in subs])
+                raise
             choices, ctoks, idx = [], 0, 0
+            shed = False
             for rid, ids, text in subs:
                 _, nbest = service.wait_nbest(rid, timeout)
+                if service.was_shed(rid) or nbest is None:
+                    shed = True
+                    continue
                 for toks, score, lps in nbest[:n]:
                     ctoks += len(toks)
                     toks, finish = self._finish(toks, eos_id, max_new)
@@ -521,6 +636,8 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                         }
                     choices.append(ch)
                     idx += 1
+            if shed:
+                raise QueueTimeout("request timed out in the pending queue")
             return {
                 "id": f"cmpl-{subs[0][0]}", "object": "text_completion",
                 "created": int(time.time()), "model": model_name,
@@ -542,6 +659,8 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                 return None
             rid = service.submit(ids, sampling, max_new, eos_id)
             toks, _ = service.wait_full(rid, float(req.get("timeout", 600)))
+            if service.was_shed(rid):
+                raise QueueTimeout("request timed out in the pending queue")
             ngen = len(toks)
             toks, finish = self._finish(toks, eos_id, max_new)
             out = tokenizer.decode(toks)
@@ -593,6 +712,9 @@ def _make_handler(service: SchedulerService, tokenizer=None,
             try:
                 while finish is None and time.monotonic() < deadline:
                     toks, done = service.peek(rid)
+                    if done and service.was_shed(rid):
+                        finish = "queue_timeout"
+                        break
                     clean, fin = self._finish(toks, eos_id, max_new)
                     text = tokenizer.decode(clean)
                     cut = _first_stop_hit(text, stops)
@@ -652,6 +774,10 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     resp = self._openai_completions(req)
                     if resp is not None:
                         self._send(200, resp)
+                except QueueFull as e:
+                    self._send_429(e)
+                except QueueTimeout as e:
+                    self._send_503(e)
                 except (KeyError, ValueError, TypeError, AssertionError) as e:
                     self._send(400, {"error": {"message": str(e),
                                                "type": "invalid_request_error"}})
@@ -663,6 +789,10 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     resp = self._openai_chat(req)
                     if resp is not None:
                         self._send(200, resp)
+                except QueueFull as e:
+                    self._send_429(e)
+                except QueueTimeout as e:
+                    self._send_503(e)
                 except (KeyError, ValueError, TypeError, AssertionError) as e:
                     self._send(400, {"error": {"message": str(e),
                                                "type": "invalid_request_error"}})
@@ -694,6 +824,10 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                     toks, nbest = service.wait_nbest(
                         rid, timeout=float(req.get("timeout", 600))
                     )
+                    if service.was_shed(rid) or nbest is None:
+                        raise QueueTimeout(
+                            "request timed out in the pending queue"
+                        )
                     self._send(200, {
                         "request_id": rid, "tokens": toks,
                         "nbest": [
@@ -712,11 +846,17 @@ def _make_handler(service: SchedulerService, tokenizer=None,
                 tokens, lps = service.wait_full(
                     rid, timeout=float(req.get("timeout", 600))
                 )
+                if service.was_shed(rid):
+                    raise QueueTimeout("request timed out in the pending queue")
                 resp = {"request_id": rid, "tokens": tokens}
                 if lps is not None:
                     resp["logprobs"] = lps
                     resp["cum_logprob"] = sum(lps)
                 self._send(200, resp)
+            except QueueFull as e:
+                self._send_429(e)
+            except QueueTimeout as e:
+                self._send_503(e)
             except (KeyError, ValueError, TypeError, AssertionError) as e:
                 self._send(400, {"error": str(e)})
             except TimeoutError as e:
@@ -726,10 +866,13 @@ def _make_handler(service: SchedulerService, tokenizer=None,
 
 
 def serve_background(scheduler, host: str = "127.0.0.1", port: int = 0,
-                     tokenizer=None, model_name: str = "flexq-tpu"):
+                     tokenizer=None, model_name: str = "flexq-tpu",
+                     max_pending: Optional[int] = None,
+                     queue_timeout_s: Optional[float] = None):
     """Start the HTTP server on a daemon thread.
     Returns (server, service, actual_port)."""
-    service = SchedulerService(scheduler)
+    service = SchedulerService(scheduler, max_pending=max_pending,
+                               queue_timeout_s=queue_timeout_s)
     server = ThreadingHTTPServer(
         (host, port), _make_handler(service, tokenizer, model_name)
     )
@@ -774,6 +917,16 @@ def main():
     )
     ap.add_argument("--model-name", default="flexq-tpu",
                     help="model id reported by the /v1 endpoints")
+    ap.add_argument(
+        "--max-pending", type=int, default=256,
+        help="admission bound: submits past this many queued requests get "
+             "429 + Retry-After (0 = unbounded)",
+    )
+    ap.add_argument(
+        "--queue-timeout", type=float, default=None,
+        help="shed queued requests not admitted within this many seconds "
+             "(503 to the client; default: never)",
+    )
     # multi-chip / multi-host serving (reference: mpirun -n N llama_example /
     # Triton multi-GPU instances): tp*dp chips form the mesh. For N>1
     # processes (one per host), pass --coordinator/--num-processes/
@@ -863,6 +1016,8 @@ def main():
     server, service, port = serve_background(
         sched, args.host, args.port,
         tokenizer=load_tokenizer(args.tokenizer), model_name=args.model_name,
+        max_pending=args.max_pending or None,
+        queue_timeout_s=args.queue_timeout,
     )
     print(f"serving on {args.host}:{port} ({args.slots} slots)", flush=True)
     try:
