@@ -124,6 +124,7 @@ def generate_speculative(
     fused: bool = True,
     sampling=None,
     seed: int = 0,
+    gate: bool = True,
 ) -> List[List[int]] | Tuple[List[List[int]], SpecStats]:
     """Generation via draft-and-verify; exact greedy semantics, and exact
     sampling semantics for non-greedy params (fused loop only): emitted
@@ -139,6 +140,12 @@ def generate_speculative(
     Batched (fused loop): each row drafts and verifies at its OWN position
     (per-row cache_pos scatter); rows that finish hold position until the
     batch drains. The host (fused=False) path stays B=1.
+
+    ``gate`` (default on) arms the in-loop draftability gate: when the worst
+    active row's acceptance EMA collapses, the loop switches to single-token
+    verify steps (plain-decode cost) and re-probes periodically — making
+    mixed-draftability batches safe (they measured 0.85x vs plain ungated).
+    Emitted tokens are unchanged either way (greedy exactness holds).
     """
     import time
 
@@ -193,7 +200,7 @@ def generate_speculative(
             engine.params, logits, cache, buf, jnp.int32(l),
             jax.random.PRNGKey(seed),
             k=k, max_new=max_new_tokens, stop_ids=tuple(sorted(stop_set)),
-            max_ngram=max_ngram, sampling=sampling,
+            max_ngram=max_ngram, sampling=sampling, gate=gate,
         )
         length_np = np.asarray(length)
         buf_np = np.asarray(buf)

@@ -114,14 +114,43 @@ def main():
             print(f"  row {r}: first divergence vs plain at {div}/{n_new}",
                   flush=True)
             assert div >= 8, f"row {r} diverged suspiciously early"
+        for gate in (True, False):
+            out_s, stats = generate_speculative(
+                eng, bprompts, max_new_tokens=n_new, k=k, eos_id=-1,
+                return_stats=True, fused=True, gate=gate,
+            )
+            key = f"spec_fused_B4_k{k}" + ("" if gate else "_ungated")
+            results[key] = {
+                "tok_s": stats.generated / stats.decode_s,
+                "speedup_vs_plain": (stats.generated / stats.decode_s) / plain_b4,
+                "accept_rate": round(stats.acceptance_rate, 2),
+            }
+            print(f"{key}: {results[key]}", flush=True)
+
+    # homogeneous-draftable B4: the gate must NOT cost the good case
+    hprompts = [
+        (rng.integers(100, 32000, 16).tolist()) * 8 for _ in range(4)
+    ]
+    print("compile plain fused B4 homogeneous ...", flush=True)
+    out_p, st = eng.generate(hprompts, max_new_tokens=n_new, eos_id=-1,
+                             return_stats=True)
+    out_p, st = eng.generate(hprompts, max_new_tokens=n_new, eos_id=-1,
+                             return_stats=True)
+    plain_h4 = sum(len(r) for r in out_p) / st.decode_s
+    results["plain_fused_B4_homog"] = {"tok_s": plain_h4}
+    for k in (3, 7):
         out_s, stats = generate_speculative(
-            eng, bprompts, max_new_tokens=n_new, k=k, eos_id=-1,
+            eng, hprompts, max_new_tokens=n_new, k=k, eos_id=-1,
             return_stats=True, fused=True,
         )
-        key = f"spec_fused_B4_k{k}"
+        out_s, stats = generate_speculative(
+            eng, hprompts, max_new_tokens=n_new, k=k, eos_id=-1,
+            return_stats=True, fused=True,
+        )
+        key = f"spec_fused_B4_homog_k{k}"
         results[key] = {
             "tok_s": stats.generated / stats.decode_s,
-            "speedup_vs_plain": (stats.generated / stats.decode_s) / plain_b4,
+            "speedup_vs_plain": (stats.generated / stats.decode_s) / plain_h4,
             "accept_rate": round(stats.acceptance_rate, 2),
         }
         print(f"{key}: {results[key]}", flush=True)

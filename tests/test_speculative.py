@@ -120,7 +120,7 @@ def test_spec_acceptance_on_repetitive_text():
     eng = tiny_engine()
     out, stats = generate_speculative(
         eng, [[9, 4, 9, 4, 9, 4, 9, 4]], max_new_tokens=16, k=4, eos_id=-1,
-        return_stats=True,
+        return_stats=True, gate=False,  # every step drafts when ungated
     )
     assert stats.drafted == stats.steps * 4
     assert 0 <= stats.accepted <= stats.drafted
@@ -216,3 +216,68 @@ def test_spec_batched_under_mesh():
     out2 = eng.generate(prompts, max_new_tokens=6, eos_id=-1, mode="spec")
     assert out == out2
     assert all(len(r) == 6 for r in out)
+
+
+def test_spec_gate_exactness_and_engagement():
+    """The draftability gate must (a) never change emitted tokens, and
+    (b) actually stop drafting on an undraftable batch (drafted count
+    shrinks vs ungated) while leaving a draftable batch's drafting alone."""
+    # fp16 policy: no act-quant rounding cliffs, so greedy chains agree
+    # across differently-compiled programs (the gated loop's [B,1] branch
+    # is a distinct program; quantized random weights flip near-tie argmax
+    # between programs — documented in CLAUDE.md)
+    torch.manual_seed(0)
+    hcfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    m = LlamaForCausalLM(hcfg).eval()
+    mcfg = config_from_hf(m.config)
+    policy = QuantPolicy.fp16()
+    qparams = quantize_params(
+        from_hf_llama(m, dtype=jnp.float32), mcfg, policy, dtype=jnp.float32
+    )
+    eng = Engine(qparams, mcfg, policy, max_seq_len=128, kv_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    # random-weight models rarely accept n-gram drafts on random prompts ->
+    # acceptance EMA collapses and the gate should flip to plain steps
+    hard = [rng.integers(0, 256, 12).tolist(), rng.integers(0, 256, 12).tolist()]
+    want = [
+        eng.generate([p], max_new_tokens=40, eos_id=-1, mode="step")[0]
+        for p in hard
+    ]
+    got_gated, st_gated = generate_speculative(
+        eng, hard, max_new_tokens=40, k=3, eos_id=-1, return_stats=True,
+        gate=True,
+    )
+    got_ungated, st_ungated = generate_speculative(
+        eng, hard, max_new_tokens=40, k=3, eos_id=-1, return_stats=True,
+        gate=False,
+    )
+    assert got_gated == want, (got_gated, want)
+    assert got_ungated == want
+    # gate engaged: most steps ran draft-free (EMA starts at 1.0 so a few
+    # warmup spec steps always draft; probes re-draft every 32)
+    assert st_gated.drafted < st_ungated.drafted / 2, (
+        st_gated.drafted, st_ungated.drafted,
+    )
+
+    # draftable batch: pure repetition accepts heavily; the gate must not
+    # reduce drafting (EMA stays high, spec stays on)
+    easy = [[5, 9] * 6, [7, 3] * 6]
+    want_e = [
+        eng.generate([p], max_new_tokens=40, eos_id=-1, mode="step")[0]
+        for p in easy
+    ]
+    got_e, st_e = generate_speculative(
+        eng, easy, max_new_tokens=40, k=3, eos_id=-1, return_stats=True,
+        gate=True,
+    )
+    _, st_e_un = generate_speculative(
+        eng, easy, max_new_tokens=40, k=3, eos_id=-1, return_stats=True,
+        gate=False,
+    )
+    assert got_e == want_e
+    if st_e_un.acceptance_rate >= 0.5:  # genuinely draftable for this model
+        assert st_e.drafted == st_e_un.drafted, (st_e, st_e_un)
