@@ -12,3 +12,8 @@ from flexq_tpu.parallel.tp import (
     shard_params,
 )
 from flexq_tpu.parallel.cp import forward_sp, make_sp_mesh, ring_attention
+from flexq_tpu.parallel.sp_serve import (
+    generate_sp,
+    sp_decode_step,
+    sp_prefill,
+)
