@@ -24,21 +24,34 @@ def window_nll(logits: jax.Array, ids: jax.Array) -> jax.Array:
 
 
 def perplexity(
-    forward_fn: Callable[[jax.Array], jax.Array],
+    forward_fn: Callable[..., jax.Array],
     windows: np.ndarray,  # [n, seqlen] int32
     batch_size: int = 1,
     progress: Optional[Callable[[int, int], None]] = None,
+    params=None,
 ) -> float:
-    """forward_fn: ids [B, L] -> logits [B, L, V] (jit recommended)."""
+    """forward_fn: ids [B, L] -> logits [B, L, V] (jit recommended).
+
+    With ``params``: forward_fn(params, ids) and the param tree rides as a
+    traced ARGUMENT — a closure-captured tree bakes every weight into the
+    compiled graph as constants, which breaks the remote compile service on
+    multi-GB models ("response body closed"; CLAUDE.md remote-compile
+    gotcha) and recompiles per quant-policy copy.
+    """
     n, seqlen = windows.shape
-    nll_fn = jax.jit(lambda ids: window_nll(forward_fn(ids), ids))
+    if params is None:
+        nll_fn = jax.jit(lambda ids: window_nll(forward_fn(ids), ids))
+        run = lambda batch: nll_fn(batch)
+    else:
+        nll_fn = jax.jit(lambda p, ids: window_nll(forward_fn(p, ids), ids))
+        run = lambda batch: nll_fn(params, batch)
     total = 0.0
     tokens = 0
     for i in range(0, n, batch_size):
         # the tail batch may be short — evaluate it anyway (one extra jit
         # compile at the ragged shape) so every window counts toward ppl
         batch = jnp.asarray(windows[i : i + batch_size])
-        total += float(nll_fn(batch))
+        total += float(run(batch))
         tokens += batch.shape[0] * (seqlen - 1)
         if progress:
             progress(i + batch.shape[0], n)

@@ -333,6 +333,151 @@ def _w6_bf16_kernel(
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _w6_glu_bf16_kernel(
+    x_ref,  # bf16 [bm, bk]
+    ghi_ref,  # int8 [bk/2, bn]   gate plane
+    glo_ref,  # int8 [bk/4, bn]
+    gws_ref,  # f32  [bk/G, 1, bn]
+    uhi_ref,  # int8 [bk/2, bn]   up plane
+    ulo_ref,  # int8 [bk/4, bn]
+    uws_ref,  # f32  [bk/G, 1, bn]
+    o_ref,  # out [bm, bn]
+    accg_ref,  # f32 scratch [bm, bn]
+    accu_ref,  # f32 scratch [bm, bn]
+    *,
+    bm: int,
+    bn: int,
+    bk: int,
+    act: str,
+    out_dtype,
+):
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    ngroups = bk // GROUP_SIZE
+    x = x_ref[:]
+    for acc_ref, hi_ref, lo_ref, ws_ref in (
+        (accg_ref, ghi_ref, glo_ref, gws_ref),
+        (accu_ref, uhi_ref, ulo_ref, uws_ref),
+    ):
+        w_u = _unpack_w_block(hi_ref[:], lo_ref[:], bk, bn)
+        ws = ws_ref[:].reshape(ngroups, 1, bn)
+        ws_rep = pltpu.repeat(ws, GROUP_SIZE, axis=1).reshape(bk, bn)
+        w_deq = ((w_u.astype(jnp.float32) - BIAS) * ws_rep).astype(jnp.bfloat16)
+        acc_ref[:] += jax.lax.dot_general(
+            x, w_deq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        g = accg_ref[:]
+        u = accu_ref[:]
+        if act == "silu":
+            a = g * jax.lax.logistic(g)
+        elif act == "gelu":
+            a = jax.nn.gelu(g)
+        else:
+            raise ValueError(act)
+        o_ref[:] = (a * u).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_dtype", "block_m", "block_n", "block_k", "interpret"),
+)
+def w6_glu_matmul_bf16(
+    x: jax.Array,  # bf16/f32 [M, K]
+    g_hi: jax.Array,  # gate 6-bit planes [K/2, N], [K/4, N]
+    g_lo: jax.Array,
+    g_scale: jax.Array,  # f32 [K/G, N]
+    u_hi: jax.Array,  # up planes
+    u_lo: jax.Array,
+    u_scale: jax.Array,
+    *,
+    act: str = "silu",
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused W6A16 GLU: act(x @ gate) * (x @ up) in ONE kernel.
+
+    The prefill FFN producer chain the reference fuses on GPU
+    (activation_kernels.cu:246-446 fused SiLU-dot): three separate ops
+    (gate GEMM -> HBM, up GEMM -> HBM, elementwise silu*mul pass) become one
+    — x is read once instead of twice, the two [M, N_ffn] GEMM outputs and
+    the activation pass's reads never touch HBM (~180 MB/layer at 7B
+    L=2048), and only the activated product is written. Weight traffic is
+    unchanged (both 6-bit planes stream once).
+    """
+    m, k = x.shape
+    n = g_hi.shape[1]
+    assert k % GROUP_SIZE == 0
+    assert u_hi.shape[1] == n
+    if interpret is None:
+        interpret = use_interpret()
+
+    abm, abn, abk = _pick_blocks(m, n, k)
+    bm = block_m or abm
+    # two f32 accumulators + two weight streams: halve the auto N block to
+    # stay inside the 16 MB scoped-VMEM budget at bm=512
+    bn = block_n or min(abn, 1024)
+    bk = block_k or abk
+    mp = round_up(m, bm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    ng = k // GROUP_SIZE
+    ngb = bk // GROUP_SIZE
+    gws_t = g_scale.astype(jnp.float32).reshape(ng, 1, n)
+    uws_t = u_scale.astype(jnp.float32).reshape(ng, 1, n)
+
+    grid = (mp // bm, n // bn, k // bk)
+    w_spec = lambda div: pl.BlockSpec(
+        (bk // div, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec(
+        (ngb, 1, bn), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w6_glu_bf16_kernel, bm=bm, bn=bn, bk=bk, act=act, out_dtype=out_dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            w_spec(2), w_spec(4), s_spec,
+            w_spec(2), w_spec(4), s_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * n * k,
+            bytes_accessed=mp * k * 2 + 2 * (k * n * 3) // 4 + mp * n * 2,
+            transcendentals=mp * n,
+        ),
+        interpret=interpret,
+    )(x, g_hi, g_lo, gws_t, u_hi, u_lo, uws_t)
+    return out[:m] if mp != m else out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),

@@ -481,9 +481,21 @@ def llama_layer_serve_prefill(
 
     h = rmsnorm(x2, lp["post_norm"], cfg.norm_eps)
     ffn_pad = _ffn_width(lp["down_proj"], cfg)
-    gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
-    up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
-    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(dtype)
+    gq, uq = lp["gate_proj"], lp["up_proj"]
+    if "hi" in gq and "hi" in uq and "b" not in gq and "b" not in uq:
+        # fused GLU producer: act(x@gate)*(x@up) in one kernel — the two
+        # [M, ffn] GEMM outputs and the separate silu pass never touch HBM
+        # (reference activation_kernels.cu:246-446 fused SiLU epilogue)
+        from flexq_tpu.kernels.w6_matmul import w6_glu_matmul_bf16
+
+        act = w6_glu_matmul_bf16(
+            h, gq["hi"], gq["lo"], gq["scale"], uq["hi"], uq["lo"], uq["scale"],
+            act="silu", out_dtype=dtype,
+        )
+    else:
+        gate = _qlinear_bf16(gq, h, dtype, ffn_pad)
+        up = _qlinear_bf16(uq, h, dtype, ffn_pad)
+        act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(dtype)
     down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
     if tp_axis is not None:
         down = jax.lax.psum(down, tp_axis)
@@ -741,11 +753,17 @@ def forward_serve(
     kv_k_scale: Optional[jax.Array] = None,  # [layers, B, KVH, max] f32
     kv_v_scale: Optional[jax.Array] = None,  # (present => int8 KV cache)
     page_table: Optional[jax.Array] = None,  # int32 [B, maxpages] => paged
+    last_only: bool = False,
 ):
     """Quantized forward. Without a cache: full-sequence causal (prefill/eval).
     With a cache: writes K/V at cache_pos and attends over the full cache.
     ``prefill_bf16`` selects the W6A16 large-M layer path. Passing scale
     arrays selects the int8 quantized KV cache.
+
+    ``last_only``: project only the final position through the lm_head and
+    return logits [B, 1, V] — the prefill/TTFT path, where the full-length
+    vocab GEMM ([L, V] output, ~0.5 TFLOP + 130 MB at 7B L=2048) is dead
+    work (the serving loop consumes only the last token's distribution).
 
     Returns (logits [B, L, V], cache-state tuple or None) where the cache
     state is (kv_k, kv_v) or (kv_k, kv_v, kv_k_scale, kv_v_scale).
@@ -819,6 +837,8 @@ def forward_serve(
             )
     else:
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if last_only:
+        x = x[:, -1:]
     logits = apply_lm_head(params, cfg, policy, x)
     if have_cache:
         if quant_cache:

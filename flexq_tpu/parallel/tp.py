@@ -126,6 +126,7 @@ def tp_forward_local(
     mask: Optional[jax.Array] = None,
     prefill_bf16: bool = False,
     axis: str = "model",
+    last_only: bool = False,
 ):
     """Per-rank TP forward body — must run INSIDE shard_map (params sharded
     per `param_specs`; activations replicated along `axis`). The quantized
@@ -212,6 +213,11 @@ def tp_forward_local(
             )
     else:
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if last_only:
+        # prefill/TTFT: only the last position's distribution is consumed —
+        # skip the full-length vocab GEMM + gather (dead work at L=2048)
+        x = x[:, -1:]
+        l = 1
     head = params.get("lm_head")
     if head is None:  # tied embeddings: replicated, no gather needed
         logits = x @ params["embed"].T.astype(x.dtype)
@@ -271,6 +277,7 @@ def forward_serve_tp(
     kv_k_scale: Optional[jax.Array] = None,  # dense [L, B, KVH, max] f32
     kv_v_scale: Optional[jax.Array] = None,  # — or paged [L, P, KVH, PS]
     prefill_bf16: bool = False,
+    last_only: bool = False,
 ):
     """TP×DP quantized forward. Returns (logits, new_kv or None) where new_kv
     is (k, v) or (k, v, ks, vs) for the int8 quantized cache.
@@ -331,7 +338,7 @@ def forward_serve_tp(
     # act-quant rounding can amplify to ~1e-2-of-max on isolated logits.
     traced = isinstance(ids, jax.core.Tracer)
     cache_key = (
-        mesh, cfg, _policy_key(policy), prefill_bf16, have_cache, paged,
+        mesh, cfg, _policy_key(policy), prefill_bf16, last_only, have_cache, paged,
         quant, have_pos, have_cp, have_mask, data_ax, kv_spec, ks_spec,
         pos_spec, cp_spec, mask_spec, jax.tree_util.tree_structure(params),
     )
@@ -355,6 +362,7 @@ def forward_serve_tp(
                 cache_pos=cp if have_cp else None,
                 mask=m if have_mask else None,
                 prefill_bf16=prefill_bf16,
+                last_only=last_only,
             )
             if pieces is None:
                 pieces = (sent, sent)

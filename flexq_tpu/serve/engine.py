@@ -183,7 +183,7 @@ class Engine:
         return cache
 
     def _fwd(self, params, ids, cache, positions, cache_pos, mask,
-             prefill_bf16: bool = False):
+             prefill_bf16: bool = False, last_only: bool = False):
         """Route one forward through the single-device or the TP path."""
         scales = (
             dict(zip(("kv_k_scale", "kv_v_scale"), cache[2:]))
@@ -197,24 +197,25 @@ class Engine:
                 params, self.cfg, self.policy, ids, self.mesh,
                 kv_k=cache[0], kv_v=cache[1], cache_pos=cache_pos,
                 mask=mask, positions=positions, prefill_bf16=prefill_bf16,
-                **scales,
+                last_only=last_only, **scales,
             )
         return forward_serve(
             params, self.cfg, self.policy, ids,
             positions=positions, kv_k=cache[0], kv_v=cache[1],
             cache_pos=cache_pos, mask=mask, prefill_bf16=prefill_bf16,
-            **scales,
+            last_only=last_only, **scales,
         )
 
     def _prefill(self, params, ids, cache, prompt_len: int):
         b, l = ids.shape
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
         mask = prefill_mask(l, self.max_seq_len)
+        last = prompt_len == l  # generate() always passes full-length ids
         logits, kv = self._fwd(
             params, ids, cache, positions, jnp.int32(0), mask,
-            prefill_bf16=l >= self.prefill_bf16_threshold,
+            prefill_bf16=l >= self.prefill_bf16_threshold, last_only=last,
         )
-        return logits[:, prompt_len - 1], kv
+        return logits[:, -1 if last else prompt_len - 1], kv
 
     def _prefill_chunk(self, params, ids, cache, start):
         """One chunk of a chunked prefill: queries at absolute positions
@@ -230,7 +231,7 @@ class Engine:
         mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
         logits, kv = self._fwd(
             params, ids, cache, positions, start, mask,
-            prefill_bf16=c >= self.prefill_bf16_threshold,
+            prefill_bf16=c >= self.prefill_bf16_threshold, last_only=True,
         )
         return logits[:, -1], kv
 

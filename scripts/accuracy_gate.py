@@ -85,8 +85,8 @@ def main():
 
     # ---- 1. f32 baseline ppl --------------------------------------------
     t0 = time.time()
-    fwd32 = jax.jit(lambda ids: forward(params, cfg, ids))
-    ppl32 = perplexity(fwd32, windows, batch_size=args.batch)
+    fwd32 = lambda p, ids: forward(p, cfg, ids)
+    ppl32 = perplexity(fwd32, windows, batch_size=args.batch, params=params)
     rec("ppl_f32", round(ppl32, 4))
     rec("ppl_f32_seconds", round(time.time() - t0, 1))
 
@@ -98,10 +98,13 @@ def main():
         "w8a8": QuantPolicy.uniform("llama", wbits=8, abits=8),
     }
     fake_ppl = {}
+    fake_params = {}
     for name, pol in policies.items():
         fparams = fake_quant_weights(params, pol)
-        ffwd = jax.jit(lambda ids, fp=fparams, p=pol: forward(fp, cfg, ids, policy=p))
-        fake_ppl[name] = perplexity(ffwd, windows, batch_size=args.batch)
+        fake_params[name] = fparams
+        ffwd = lambda fp, ids, p=pol: forward(fp, cfg, ids, policy=p)
+        fake_ppl[name] = perplexity(ffwd, windows, batch_size=args.batch,
+                                    params=fparams)
         rec(f"ppl_fake_{name}", round(fake_ppl[name], 4))
         rec(f"dppl_{name}", round(fake_ppl[name] - ppl32, 4))
 
@@ -112,10 +115,9 @@ def main():
         pol = policies[name]
         packed[name] = (quantize_params(params, cfg, pol, dtype=jnp.float32), pol)
         qp, pol = packed[name]
-        qfwd = jax.jit(
-            lambda ids, qp=qp, p=pol: forward_serve(qp, cfg, p, ids)[0]
-        )
-        packed_ppl[name] = perplexity(qfwd, windows, batch_size=args.batch)
+        qfwd = lambda q, ids, p=pol: forward_serve(q, cfg, p, ids)[0]
+        packed_ppl[name] = perplexity(qfwd, windows, batch_size=args.batch,
+                                      params=qp)
         rec(f"ppl_packed_{name}", round(packed_ppl[name], 4))
         rec(
             f"packed_vs_fake_{name}_relerr",
@@ -145,11 +147,13 @@ def main():
         order = rng.permutation(n_choices)
         items.append((ctx, [conts[i] for i in order], int(np.argmax(order == 0))))
 
-    def mc_accuracy(logits_fn):
-        # one batched program: [n_choices, total] ids per item
+    def mc_accuracy(p_tree, logits_fn):
+        # one batched program: [n_choices, total] ids per item; the param
+        # tree rides as a jit ARGUMENT (constant-baking breaks the remote
+        # compile service — CLAUDE.md gotcha)
         @jax.jit
-        def score(ids):  # [C, total] -> [C] sum logprob of cont tokens
-            logits = logits_fn(ids)
+        def score(pt, ids):  # [C, total] -> [C] sum logprob of cont tokens
+            logits = logits_fn(pt, ids)
             logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
             tgt = ids[:, 1:]
             pick = jnp.take_along_axis(logp, tgt[..., None].astype(jnp.int32), -1)[..., 0]
@@ -160,7 +164,7 @@ def main():
             ids = jnp.asarray(
                 np.stack([np.concatenate([ctx, c]) for c in conts]).astype(np.int32)
             )
-            hits += int(np.argmax(np.asarray(score(ids))) == label)
+            hits += int(np.argmax(np.asarray(score(p_tree, ids))) == label)
         return hits / len(items)
 
     # 4b. next-token top-1 on held-out positions (ctx 64)
@@ -168,26 +172,28 @@ def main():
     nt_pos = rng.integers(0, test.size - nt_ctx - 2, args.nt_items)
     nt_ids = np.stack([test[p : p + nt_ctx + 1] for p in nt_pos]).astype(np.int32)
 
-    def nt_accuracy(logits_fn):
+    def nt_accuracy(p_tree, logits_fn):
         @jax.jit
-        def top1(ids):  # [B, nt_ctx+1]
-            logits = logits_fn(ids)
+        def top1(pt, ids):  # [B, nt_ctx+1]
+            logits = logits_fn(pt, ids)
             return jnp.argmax(logits[:, nt_ctx - 1], -1) == ids[:, nt_ctx]
 
         hits = 0
         for i in range(0, len(nt_ids), args.batch):
-            hits += int(np.asarray(top1(jnp.asarray(nt_ids[i : i + args.batch]))).sum())
+            hits += int(
+                np.asarray(top1(p_tree, jnp.asarray(nt_ids[i : i + args.batch]))).sum()
+            )
         return hits / len(nt_ids)
 
-    evals = {"f32": lambda ids: forward(params, cfg, ids)}
+    evals = {"f32": (params, lambda pt, ids: forward(pt, cfg, ids))}
     for name in ("w6a8_flex", "w4a8_flex"):
         qp, pol = packed[name]
-        evals[f"packed_{name}"] = lambda ids, qp=qp, p=pol: forward_serve(
-            qp, cfg, p, ids
-        )[0]
-    for ev_name, fn in evals.items():
-        rec(f"task_mc4_{ev_name}", round(mc_accuracy(fn), 4))
-        rec(f"task_nexttok_{ev_name}", round(nt_accuracy(fn), 4))
+        evals[f"packed_{name}"] = (
+            qp, lambda pt, ids, p=pol: forward_serve(pt, cfg, p, ids)[0]
+        )
+    for ev_name, (pt, fn) in evals.items():
+        rec(f"task_mc4_{ev_name}", round(mc_accuracy(pt, fn), 4))
+        rec(f"task_nexttok_{ev_name}", round(nt_accuracy(pt, fn), 4))
 
     # ---- 5. greedy-decode oracle parity on trained weights ---------------
     # fixed-shape full-forward both sides: ONE compiled program per path,
@@ -197,13 +203,13 @@ def main():
     buflen = plen + args.oracle_steps
     prompt = test[:plen].astype(np.int32)
 
-    def greedy_path(step_logits_fn):
+    def greedy_path(p_tree, step_logits_fn):
         buf = np.zeros((1, buflen), np.int32)
         buf[0, :plen] = prompt
         toks, logit_rows = [], []
         for t in range(args.oracle_steps):
             ids = jnp.asarray(buf)
-            row = np.asarray(step_logits_fn(ids, plen + t - 1))
+            row = np.asarray(step_logits_fn(p_tree, ids, plen + t - 1))
             nxt = int(row.argmax())
             buf[0, plen + t] = nxt
             toks.append(nxt)
@@ -211,18 +217,18 @@ def main():
         return np.asarray(toks), np.stack(logit_rows)
 
     @jax.jit
-    def f32_step(ids, pos):
-        return forward(params, cfg, ids)[0, pos]
+    def f32_step(pt, ids, pos):
+        return forward(pt, cfg, ids)[0, pos]
 
-    oracle_toks, oracle_logits = greedy_path(f32_step)
+    oracle_toks, oracle_logits = greedy_path(params, f32_step)
     for name in ("w6a8_flex", "w4a8_flex"):
         qp, pol = packed[name]
 
         @jax.jit
-        def q_step(ids, pos, qp=qp, p=pol):
-            return forward_serve(qp, cfg, p, ids)[0][0, pos]
+        def q_step(pt, ids, pos, p=pol):
+            return forward_serve(pt, cfg, p, ids)[0][0, pos]
 
-        toks, logits = greedy_path(q_step)
+        toks, logits = greedy_path(qp, q_step)
         agree = float((toks == oracle_toks).mean())
         rmse = float(np.sqrt(np.mean((logits - oracle_logits) ** 2)))
         rel = rmse / float(oracle_logits.std())

@@ -6,6 +6,7 @@ On CPU the Pallas kernel runs in interpreter mode (auto-detected).
 """
 
 import numpy as np
+import jax
 import pytest
 import jax.numpy as jnp
 
@@ -177,3 +178,39 @@ def test_ktall_dispatch_routes_to_stream():
     got = np.asarray(w6_matmul(xq, xs, hi, lo, ws, out_dtype=jnp.float32))
     want = np.asarray(w6_matmul_ref(xq, xs, hi, lo, ws))
     assert np.abs(got - want).max() < 1e-3 * max(1.0, np.abs(want).max())
+
+
+def test_glu_bf16_matches_unfused():
+    """Fused GLU kernel (silu(x@gate) * (x@up) in one pallas_call) must match
+    the unfused pair of w6_matmul_bf16 calls + elementwise epilogue."""
+    from flexq_tpu.kernels.w6_matmul import w6_glu_matmul_bf16, w6_matmul_bf16
+
+    rng = np.random.default_rng(3)
+    m, k, n = 96, 256, 384
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    gs, us = [], []
+    planes = []
+    for seed in (1, 2):
+        r = np.random.default_rng(seed)
+        w_q = r.integers(-32, 32, (k, n), dtype=np.int64).astype(np.int8)
+        w_s = r.uniform(0.01, 0.1, (k // GROUP_SIZE, n)).astype(np.float32)
+        hi, lo = pack6(jnp.asarray(w_q))
+        planes.append((hi, lo, jnp.asarray(w_s)))
+    (ghi, glo, gsc), (uhi, ulo, usc) = planes
+
+    gate = w6_matmul_bf16(x, ghi, glo, gsc, out_dtype=jnp.float32)
+    up = w6_matmul_bf16(x, uhi, ulo, usc, out_dtype=jnp.float32)
+    want = np.asarray(jax.nn.silu(gate) * up)
+
+    got = np.asarray(
+        w6_glu_matmul_bf16(x, ghi, glo, gsc, uhi, ulo, usc, out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    # multi-K-block path
+    got2 = np.asarray(
+        w6_glu_matmul_bf16(
+            x, ghi, glo, gsc, uhi, ulo, usc, out_dtype=jnp.float32,
+            block_m=32, block_n=128, block_k=128,
+        )
+    )
+    np.testing.assert_allclose(got2, want, rtol=2e-2, atol=2e-2)
