@@ -299,8 +299,13 @@ class BatchScheduler:
 
     # ---- jitted pieces -------------------------------------------------
     def _forward(self, params, ids, cache, positions, cache_pos, mask=None,
-                 table=None):
-        """Route to the single-device or the shard_map TP forward."""
+                 table=None, prefill_bf16=False, last_only=False):
+        """Route to the single-device or the shard_map TP forward.
+
+        ``prefill_bf16``/``last_only`` apply to admission prefills: the
+        W6A16 large-M layer path (compute-bound prefill; same dispatch rule
+        as Engine.prefill_bf16_threshold) and the last-position-only vocab
+        projection. The pp route derives both internally."""
         scales = (
             {"kv_k_scale": cache[2], "kv_v_scale": cache[3]}
             if len(cache) == 4
@@ -324,12 +329,14 @@ class BatchScheduler:
                 mask=mask, positions=positions, page_table=table,
                 kv_k_scale=cache[2] if len(cache) == 4 else None,
                 kv_v_scale=cache[3] if len(cache) == 4 else None,
+                prefill_bf16=prefill_bf16, last_only=last_only,
             )
         extra = {"page_table": table} if table is not None else {"mask": mask}
         return forward_serve(
             params, self.cfg, self.policy, ids,
             positions=positions,
             kv_k=cache[0], kv_v=cache[1], cache_pos=cache_pos,
+            prefill_bf16=prefill_bf16, last_only=last_only,
             **extra, **scales,
         )
 
@@ -578,6 +585,7 @@ class BatchScheduler:
                 logits, kv = self._forward(
                     params, ids, cache, None, jnp.int32(0),
                     mask=prefill_mask(ids.shape[1], bucket),
+                    prefill_bf16=ids.shape[1] >= 64, last_only=True,
                 )
                 return logits[:, -1], kv
 
@@ -623,7 +631,8 @@ class BatchScheduler:
                     ki <= qi, 0.0, jnp.finfo(jnp.float32).min
                 )[None, None]
                 logits, kv = self._forward(
-                    params, ids, cache, positions, start, mask=mask
+                    params, ids, cache, positions, start, mask=mask,
+                    prefill_bf16=ids.shape[1] >= 64,
                 )
                 return logits, kv
 
