@@ -480,6 +480,94 @@ def w6_glu_matmul_bf16(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("act", "out_dtype", "block_m", "block_n", "block_k", "interpret"),
+)
+def w6_glu_fused_bf16(
+    x: jax.Array,  # bf16/f32 [M, K]
+    hi: jax.Array,  # FUSED gate|up planes [K/2, 2*Nh] (quantize_params fuse=True)
+    lo: jax.Array,  # [K/4, 2*Nh]
+    scale: jax.Array,  # f32 [K/G, 2*Nh]
+    *,
+    act: str = "silu",
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused-plane variant of :func:`w6_glu_matmul_bf16`: the gate_up weight
+    is ONE packed matrix with gate in columns [0, Nh) and up in [Nh, 2Nh)
+    (quantize_params ``fuse=True`` layout). The same plane is passed twice
+    with different column index maps — no slice materialization (a sliced
+    operand to pallas_call would copy half the plane per layer)."""
+    m, k = x.shape
+    n2 = hi.shape[1]
+    nh = n2 // 2
+    assert k % GROUP_SIZE == 0 and n2 % 2 == 0
+    if interpret is None:
+        interpret = use_interpret()
+
+    abm, abn, abk = _pick_blocks(m, nh, k)
+    bm = block_m or abm
+    bn = block_n or min(abn, 1024)
+    bk = block_k or abk
+    assert nh % bn == 0, (nh, bn)
+    off = nh // bn  # up view: gate column-block index + off
+    mp = round_up(m, bm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    ng = k // GROUP_SIZE
+    ngb = bk // GROUP_SIZE
+    ws_t = scale.astype(jnp.float32).reshape(ng, 1, n2)
+
+    grid = (mp // bm, nh // bn, k // bk)
+    gw = lambda div: pl.BlockSpec(
+        (bk // div, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+    )
+    uw = lambda div: pl.BlockSpec(
+        (bk // div, bn), lambda i, j, kk: (kk, j + off), memory_space=pltpu.VMEM
+    )
+    gs = pl.BlockSpec(
+        (ngb, 1, bn), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM
+    )
+    us = pl.BlockSpec(
+        (ngb, 1, bn), lambda i, j, kk: (kk, 0, j + off), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w6_glu_bf16_kernel, bm=bm, bn=bn, bk=bk, act=act, out_dtype=out_dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            gw(2), gw(4), gs,
+            uw(2), uw(4), us,
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, nh), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * nh * k,
+            bytes_accessed=mp * k * 2 + (k * n2 * 3) // 4 + mp * nh * 2,
+            transcendentals=mp * nh,
+        ),
+        interpret=interpret,
+    )(x, hi, lo, ws_t, hi, lo, ws_t)
+    return out[:m] if mp != m else out
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
 )
 def w6_matmul_bf16(

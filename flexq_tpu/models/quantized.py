@@ -462,9 +462,23 @@ def llama_layer_serve_prefill(
     h = rmsnorm(x2, lp["input_norm"], cfg.norm_eps)
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
-    q = _qlinear_bf16(lp["q_proj"], h, dtype, nq).reshape(b, l, cfg.num_heads, cfg.head_dim)
-    k = _qlinear_bf16(lp["k_proj"], h, dtype, nkv).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
-    v = _qlinear_bf16(lp["v_proj"], h, dtype, nkv).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+    if "qkv_proj" in lp:
+        # one wide fused GEMM (reference GptContextAttentionLayer.cc:160);
+        # wide N also runs the W6A16 kernel at a higher MXU rate than three
+        # narrow GEMMs (measured: the FFN-width shapes hit ~173 TF/s e2e
+        # while N=4096 qkv shapes lag — scripts/bench_prefill_parts.py)
+        nq_p, nkv_p = _pad128(nq), _pad128(nkv)
+        qkv = _qlinear_bf16(lp["qkv_proj"], h, dtype)
+        q = qkv[:, :nq]
+        k = qkv[:, nq_p : nq_p + nkv]
+        v = qkv[:, nq_p + nkv_p : nq_p + nkv_p + nkv]
+    else:
+        q = _qlinear_bf16(lp["q_proj"], h, dtype, nq)
+        k = _qlinear_bf16(lp["k_proj"], h, dtype, nkv)
+        v = _qlinear_bf16(lp["v_proj"], h, dtype, nkv)
+    q = q.reshape(b, l, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
     q, k = apply_rope(q, k, cos, sin)
 
     new_kv = None
@@ -481,6 +495,21 @@ def llama_layer_serve_prefill(
 
     h = rmsnorm(x2, lp["post_norm"], cfg.norm_eps)
     ffn_pad = _ffn_width(lp["down_proj"], cfg)
+    if "gate_up" in lp and "hi" in lp["gate_up"]:
+        # fused gate_up plane (quantize_params fuse=True): the GLU kernel
+        # reads gate and up column ranges of the SAME packed plane via two
+        # index maps — one kernel, no slice copies
+        from flexq_tpu.kernels.w6_matmul import w6_glu_fused_bf16
+
+        gu = lp["gate_up"]
+        act = w6_glu_fused_bf16(
+            h, gu["hi"], gu["lo"], gu["scale"], act="silu", out_dtype=dtype
+        )
+        down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
+        if tp_axis is not None:
+            down = jax.lax.psum(down, tp_axis)
+        x2 = x2 + down
+        return x2.reshape(b, l, hidden), new_kv
     gq, uq = lp["gate_proj"], lp["up_proj"]
     if "hi" in gq and "hi" in uq and "b" not in gq and "b" not in uq:
         # fused GLU producer: act(x@gate)*(x@up) in one kernel — the two

@@ -134,7 +134,7 @@ def main():
         else:
             kv_view = ("dense", k, v)
         attn = Q._attend(q, kv_view, mask, cfg2.num_kv_groups, lengths)
-        x2 = x2 + attn
+        x2 = x2 + attn.reshape(b * l, hidden)
         h = rmsnorm(x2, lp["post_norm"], cfg2.norm_eps)
         from flexq_tpu.kernels.w6_matmul import w6_glu_matmul_bf16
         gq, uq = lp["gate_proj"], lp["up_proj"]

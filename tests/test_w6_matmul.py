@@ -214,3 +214,58 @@ def test_glu_bf16_matches_unfused():
         )
     )
     np.testing.assert_allclose(got2, want, rtol=2e-2, atol=2e-2)
+
+
+def test_glu_fused_plane_matches_split():
+    """w6_glu_fused_bf16 (single gate|up plane, two index-mapped views) must
+    match the split-plane GLU kernel."""
+    from flexq_tpu.kernels.w6_matmul import w6_glu_fused_bf16, w6_glu_matmul_bf16
+
+    rng = np.random.default_rng(5)
+    m, k, nh = 64, 256, 256
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wq = rng.integers(-32, 32, (k, 2 * nh), dtype=np.int64).astype(np.int8)
+    ws = rng.uniform(0.01, 0.1, (k // GROUP_SIZE, 2 * nh)).astype(np.float32)
+    hi, lo = pack6(jnp.asarray(wq))
+    want = np.asarray(
+        w6_glu_matmul_bf16(
+            x, hi[:, :nh], lo[:, :nh], jnp.asarray(ws[:, :nh]),
+            hi[:, nh:], lo[:, nh:], jnp.asarray(ws[:, nh:]),
+            out_dtype=jnp.float32,
+        )
+    )
+    got = np.asarray(
+        w6_glu_fused_bf16(
+            x, hi, lo, jnp.asarray(ws), out_dtype=jnp.float32,
+            block_m=32, block_n=128, block_k=128,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_prefill_fused_params_match_unfused():
+    """fuse=True (qkv_proj + gate_up planes) through the W6A16 prefill layer
+    path must match fuse=False logits."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from flexq_tpu.config import QuantPolicy
+    from flexq_tpu.models import config_from_hf, from_hf_llama
+    from flexq_tpu.models.quantized import forward_serve, quantize_params
+
+    torch.manual_seed(0)
+    lc = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    mm = LlamaForCausalLM(lc).eval()
+    mcfg = config_from_hf(mm.config)
+    params = from_hf_llama(mm, dtype=jnp.float32)
+    pol = QuantPolicy.llama_flex()
+    q0 = quantize_params(params, mcfg, pol, dtype=jnp.float32, fuse=False)
+    q1 = quantize_params(params, mcfg, pol, dtype=jnp.float32, fuse=True)
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 8)), jnp.int32)
+    l0, _ = forward_serve(q0, mcfg, pol, ids, prefill_bf16=True)
+    l1, _ = forward_serve(q1, mcfg, pol, ids, prefill_bf16=True)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=2e-3, atol=2e-2)
