@@ -24,7 +24,10 @@ The reference has NO analogue: its context is architecturally capped by one
 GPU's fp16 KV + O(L^2) materialized softmax (SURVEY.md §5 long-context row).
 
 v1 scope (documented, asserted): llama-family, uniform prompt length per
-batch (L % sp == 0), non-fused projections, bf16 prompt/tail caches.
+batch (L % sp == 0), non-fused projections. Prompt cache is bf16 or int8
+(``kv_dtype=jnp.int8``: per-(token, head) scales folded into the attend
+math — halves per-chip prompt KV, doubling the mesh's context capacity);
+the small generated-token tail stays bf16.
 """
 
 from __future__ import annotations
@@ -100,19 +103,26 @@ def sp_prefill(
     policy: QuantPolicy,
     ids: jax.Array,  # [B, L], L % sp == 0
     mesh: Mesh,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    kv_dtype=jnp.bfloat16,
+):
     """Sequence-parallel quantized prefill.
 
-    Returns (last-token logits [B, V] replicated,
-             pk, pv: [layers, B, KVH, L, D] bf16, sequence-sharded over
-             ``seq`` on the L axis).
+    Returns (last-token logits [B, V] replicated, prompt cache):
+      bf16:  (pk, pv)          [layers, B, KVH, L, D], seq-sharded on L
+      int8:  (pk, pv, ks, vs)  + per-(token, head) f32 scales
+             [layers, B, KVH, L] — halves per-chip prompt KV, doubling the
+             sequence capacity of the mesh (models/quantized.py::_kv_quant
+             semantics).
     """
     _check(cfg, policy, params)
     sp = mesh.shape["seq"]
     b, l = ids.shape
     assert l % sp == 0, f"prompt length {l} must divide over sp={sp}"
+    quant = kv_dtype == jnp.int8
 
     def body(params, ids_local):
+        from flexq_tpu.models.quantized import _kv_quant
+
         my = jax.lax.axis_index("seq")
         bb, c = ids_local.shape
         pos = my * c + jnp.broadcast_to(jnp.arange(c), (bb, c))
@@ -123,33 +133,46 @@ def sp_prefill(
             x, k, v = _sp_prefill_layer(lp, cfg, x, cos, sin)
             ks.append(k)
             vs.append(v)
-        pk = jnp.stack(ks).astype(jnp.bfloat16)  # [layers, B, KVH, C, D]
-        pv = jnp.stack(vs).astype(jnp.bfloat16)
+        pk = jnp.stack(ks)  # [layers, B, KVH, C, D]
+        pv = jnp.stack(vs)
         # last global token lives on the last rank; psum broadcasts it
         xl = rmsnorm(x[:, -1], params["final_norm"], cfg.norm_eps)
         xl = jnp.where(my == sp - 1, xl, jnp.zeros_like(xl))
         xl = jax.lax.psum(xl, "seq")
         logits = apply_lm_head(params, cfg, policy, xl[:, None])[:, 0]
-        return logits, pk, pv
+        if quant:
+            # per-(token, head) symmetric int8 over D (_kv_quant reduces the
+            # minor axis, rank-generic): scales [layers, B, KVH, C]
+            kq, kscale = _kv_quant(pk)
+            vq, vscale = _kv_quant(pv)
+            return logits, kq, vq, kscale, vscale
+        return logits, pk.astype(jnp.bfloat16), pv.astype(jnp.bfloat16)
 
     specs = jax.tree_util.tree_map(lambda _: P(), params)
+    cspec = P(None, None, None, "seq", None)
+    sspec = P(None, None, None, "seq")
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(specs, P(None, "seq")),
-        out_specs=(P(), P(None, None, None, "seq", None), P(None, None, None, "seq", None)),
+        out_specs=(P(), cspec, cspec) + ((sspec, sspec) if quant else ()),
         check_vma=False,
     )
-    return fn(params, ids)
+    out = fn(params, ids)
+    return out[0], tuple(out[1:])
 
 
 # ---------------------------------------------------------------- decode
 
 
-def _sp_attend(q, pk_l, pv_l, tk_l, tv_l, t, groups):
+def _sp_attend(q, pk_l, pv_l, tk_l, tv_l, t, groups, ks_l=None, vs_l=None):
     """Distributed decode attention: per-rank partial flash statistics over
     the local prompt-cache chunk (+ the generated tail on the LAST rank
-    only), merged across ``seq`` with pmax/psum log-sum-exp collectives."""
+    only), merged across ``seq`` with pmax/psum log-sum-exp collectives.
+
+    With ``ks_l``/``vs_l`` (f32 [B, KVH, C]) the prompt chunk is int8 and
+    the per-(token, head) scales fold into the score/value math — no
+    dequantized cache copy is ever materialized."""
     b, _, hq, d = q.shape
     sp = jax.lax.axis_size("seq")
     my = jax.lax.axis_index("seq")
@@ -159,6 +182,8 @@ def _sp_attend(q, pk_l, pv_l, tk_l, tv_l, t, groups):
     K = jnp.repeat(pk_l, groups, axis=1).astype(jnp.float32)  # [B, H, C, D]
     V = jnp.repeat(pv_l, groups, axis=1).astype(jnp.float32)
     s = jnp.einsum("bhd,bhkd->bhk", qf, K) * scale  # [B, H, C]
+    if ks_l is not None:
+        s = s * jnp.repeat(ks_l, groups, axis=1)  # fold K scales into scores
 
     Kt = jnp.repeat(tk_l, groups, axis=1).astype(jnp.float32)  # [B, H, T, D]
     Vt = jnp.repeat(tv_l, groups, axis=1).astype(jnp.float32)
@@ -170,7 +195,8 @@ def _sp_attend(q, pk_l, pv_l, tk_l, tv_l, t, groups):
     p = jnp.exp(s - m_r[..., None])
     pt = jnp.exp(st - m_r[..., None])
     l_r = p.sum(-1) + pt.sum(-1)
-    acc_r = jnp.einsum("bhk,bhkd->bhd", p, V) + jnp.einsum("bhk,bhkd->bhd", pt, Vt)
+    pv_w = p * jnp.repeat(vs_l, groups, axis=1) if vs_l is not None else p
+    acc_r = jnp.einsum("bhk,bhkd->bhd", pv_w, V) + jnp.einsum("bhk,bhkd->bhd", pt, Vt)
 
     m = jax.lax.pmax(m_r, "seq")
     coef = jnp.exp(m_r - m)
@@ -180,7 +206,7 @@ def _sp_attend(q, pk_l, pv_l, tk_l, tv_l, t, groups):
     return out.reshape(b, 1, hq * d)
 
 
-def _sp_decode_layer(lp, cfg, policy, li, x, cos, sin, pk, pv, tk, tv, t):
+def _sp_decode_layer(lp, cfg, policy, li, x, cos, sin, pcache, tk, tv, t):
     """One decode layer (exact-int W6Ax path of llama_layer_serve, or the
     bf16 path for no_act_quant policies) with sp-merged attention.
     Returns (x, tk, tv) — the tail cache with this layer's K/V appended."""
@@ -213,7 +239,15 @@ def _sp_decode_layer(lp, cfg, policy, li, x, cos, sin, pk, pv, tk, tv, t):
     tk = jax.lax.dynamic_update_slice(tk, kt, (li, 0, 0, t, 0))
     tv = jax.lax.dynamic_update_slice(tv, vt, (li, 0, 0, t, 0))
 
-    attn = _sp_attend(q, pk[li], pv[li], tk[li], tv[li], t, cfg.num_kv_groups)
+    if len(pcache) == 4:
+        pk, pv, pks, pvs = pcache
+        attn = _sp_attend(
+            q, pk[li], pv[li], tk[li], tv[li], t, cfg.num_kv_groups,
+            ks_l=pks[li], vs_l=pvs[li],
+        )
+    else:
+        pk, pv = pcache
+        attn = _sp_attend(q, pk[li], pv[li], tk[li], tv[li], t, cfg.num_kv_groups)
     attn = attn.astype(dtype).reshape(b, nq)
 
     if exact:
@@ -247,8 +281,7 @@ def sp_decode_step(
     policy: QuantPolicy,
     tok: jax.Array,  # [B, 1]
     mesh: Mesh,
-    pk: jax.Array,  # [layers, B, KVH, L, D] seq-sharded prompt cache
-    pv: jax.Array,
+    prompt_cache: Tuple,  # (pk, pv[, kscale, vscale]) seq-sharded on L
     tail_k: jax.Array,  # [layers, B, KVH, T, D] replicated generated-token cache
     tail_v: jax.Array,
     t: jax.Array,  # scalar int32: decode step index (tail write position)
@@ -258,32 +291,36 @@ def sp_decode_step(
 
     Returns (logits [B, V], tail_k, tail_v). Linears run replicated on every
     rank; attention partials merge over ``seq``. The same compiled program
-    serves every step (t and tok are traced operands)."""
+    serves every step (t and tok are traced operands). A 4-tuple
+    prompt_cache selects the int8 prompt KV (scales folded in-attend)."""
     _check(cfg, policy, params)
+    quant = len(prompt_cache) == 4
 
-    def body(params, tok, pk, pv, tk, tv, t):
+    def body(params, tok, tk, tv, t, *pcache):
         b = tok.shape[0]
         pos = jnp.broadcast_to(prompt_len + t, (b, 1))
         cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
         x = params["embed"][tok]
         for li, lp in enumerate(params["layers"]):
             x, tk, tv = _sp_decode_layer(
-                lp, cfg, policy, li, x, cos, sin, pk, pv, tk, tv, t
+                lp, cfg, policy, li, x, cos, sin, pcache, tk, tv, t
             )
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         logits = apply_lm_head(params, cfg, policy, x)[:, 0]
         return logits, tk, tv
 
     specs = jax.tree_util.tree_map(lambda _: P(), params)
-    cache_spec = P(None, None, None, "seq", None)
+    cspec = P(None, None, None, "seq", None)
+    sspec = P(None, None, None, "seq")
+    pc_specs = (cspec, cspec) + ((sspec, sspec) if quant else ())
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(specs, P(), cache_spec, cache_spec, P(), P(), P()),
+        in_specs=(specs, P(), P(), P(), P()) + pc_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(params, tok, pk, pv, tail_k, tail_v, t)
+    return fn(params, tok, tail_k, tail_v, t, *prompt_cache)
 
 
 def generate_sp(
@@ -296,13 +333,16 @@ def generate_sp(
     eos_id: int = -1,
     greedy: bool = True,
     return_logits: bool = False,
+    kv_dtype=jnp.bfloat16,
 ):
     """Sequence-parallel generate: sp prefill + one compiled decode-step
     program reused for every token. Greedy v1 (serving-quality sampling
-    lives in serve/sampling.py; this is the long-context capacity path)."""
+    lives in serve/sampling.py; this is the long-context capacity path).
+    ``kv_dtype=jnp.int8`` halves the sharded prompt cache (2x context)."""
     ids = jnp.asarray(np.asarray(prompt_ids), jnp.int32)
     b, l = ids.shape
-    logits, pk, pv = sp_prefill(params, cfg, policy, ids, mesh)
+    logits, pcache = sp_prefill(params, cfg, policy, ids, mesh,
+                                kv_dtype=kv_dtype)
 
     tail_shape = (cfg.num_layers, b, cfg.num_kv_heads, max_new_tokens, cfg.head_dim)
     tk = jnp.zeros(tail_shape, jnp.bfloat16)
@@ -322,8 +362,8 @@ def generate_sp(
         if t == max_new_tokens - 1:
             break
         logits, tk, tv = step(
-            params=params, tok=cur, pk=pk, pv=pv, tail_k=tk, tail_v=tv,
-            t=jnp.int32(t),
+            params=params, tok=cur, prompt_cache=pcache, tail_k=tk,
+            tail_v=tv, t=jnp.int32(t),
         )
         cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
     out = np.stack(toks, axis=1)  # [B, max_new_tokens]

@@ -68,7 +68,7 @@ def test_sp_prefill_logits_match_single_device(quantized, sp):
 
     want, _ = forward_serve(qparams, cfg, policy, ids, prefill_bf16=True)
     want = np.asarray(want[:, -1])
-    got, pk, pv = sp_prefill(qparams, cfg, policy, ids, mesh)
+    got, (pk, pv) = sp_prefill(qparams, cfg, policy, ids, mesh)
     got = np.asarray(got)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-2)
     assert (got.argmax(-1) == want.argmax(-1)).mean() >= 0.95
@@ -107,31 +107,52 @@ def test_sp_decode_step_tail_attention(quantized):
     cfg, policy, qparams = quantized
     mesh = make_sp_mesh(sp=2)
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (1, 4)), jnp.int32)
-    logits, pk, pv = sp_prefill(qparams, cfg, policy, ids, mesh)
+    logits, pc = sp_prefill(qparams, cfg, policy, ids, mesh)
     tail = (cfg.num_layers, 1, cfg.num_kv_heads, 4, cfg.head_dim)
     tk, tv = jnp.zeros(tail, jnp.bfloat16), jnp.zeros(tail, jnp.bfloat16)
 
     tok_a = jnp.asarray([[7]], jnp.int32)
     tok_b = jnp.asarray([[91]], jnp.int32)
     la, tka, tva = sp_decode_step(
-        qparams, cfg, policy, tok_a, mesh, pk, pv, tk, tv, jnp.int32(0), 4
+        qparams, cfg, policy, tok_a, mesh, pc, tk, tv, jnp.int32(0), 4
     )
     lb, _, _ = sp_decode_step(
-        qparams, cfg, policy, tok_b, mesh, pk, pv, tk, tv, jnp.int32(0), 4
+        qparams, cfg, policy, tok_b, mesh, pc, tk, tv, jnp.int32(0), 4
     )
     # different tokens at the same position -> different logits (sanity)
     assert not np.allclose(np.asarray(la), np.asarray(lb))
     # step 2 after token A vs after token B: tail KV must influence it
     n = jnp.asarray([[3]], jnp.int32)
     l2a, _, _ = sp_decode_step(
-        qparams, cfg, policy, n, mesh, pk, pv, tka, tva, jnp.int32(1), 4
+        qparams, cfg, policy, n, mesh, pc, tka, tva, jnp.int32(1), 4
     )
     lb2, tkb, tvb = sp_decode_step(
-        qparams, cfg, policy, tok_b, mesh, pk, pv, tk, tv, jnp.int32(0), 4
+        qparams, cfg, policy, tok_b, mesh, pc, tk, tv, jnp.int32(0), 4
     )
     l2b, _, _ = sp_decode_step(
-        qparams, cfg, policy, n, mesh, pk, pv, tkb, tvb, jnp.int32(1), 4
+        qparams, cfg, policy, n, mesh, pc, tkb, tvb, jnp.int32(1), 4
     )
     assert not np.allclose(np.asarray(l2a), np.asarray(l2b)), (
         "tail KV ignored: step-2 logits identical regardless of step-1 token"
     )
+
+
+def test_sp_int8_prompt_cache_matches_bf16(quantized):
+    """int8 sharded prompt KV (scales folded in-attend) must track the bf16
+    sp path within int8-KV quantization tolerance."""
+    cfg, policy, qparams = quantized
+    mesh = make_sp_mesh(sp=4)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (1, 8)), jnp.int32)
+
+    t16, l16 = generate_sp(
+        qparams, cfg, policy, ids, mesh, max_new_tokens=4, return_logits=True
+    )
+    t8, l8 = generate_sp(
+        qparams, cfg, policy, ids, mesh, max_new_tokens=4, return_logits=True,
+        kv_dtype=jnp.int8,
+    )
+    # prefill logits identical (quantization only affects the stored cache)
+    np.testing.assert_allclose(l8[:, 0], l16[:, 0], rtol=1e-4, atol=1e-4)
+    # decode steps: int8 cache noise is small on these magnitudes
+    np.testing.assert_allclose(l8, l16, rtol=5e-2, atol=2e-1)
+    assert (t8 == t16).mean() >= 0.75
