@@ -122,7 +122,7 @@ def main():
     # ---- 3. packed serving-path ppl -------------------------------------
     packed = {}
     packed_ppl = {}
-    for name in ("w6a8_flex", "w4a8_flex"):
+    for name in ("w6a8_flex", "w6a6_flex", "w4a8_flex"):
         pol = policies[name]
         packed[name] = (quantize_params(params, cfg, pol, dtype=jnp.float32), pol)
         if args.skip_ppl:
@@ -199,7 +199,7 @@ def main():
         return hits / len(nt_ids)
 
     evals = {"f32": (params, lambda pt, ids: forward(pt, cfg, ids))}
-    for name in ("w6a8_flex", "w4a8_flex"):
+    for name in ("w6a8_flex", "w6a6_flex", "w4a8_flex"):
         qp, pol = packed[name]
         evals[f"packed_{name}"] = (
             qp, lambda pt, ids, p=pol: forward_serve(pt, cfg, p, ids)[0]
@@ -242,7 +242,7 @@ def main():
 
     oracle_logits = np.asarray(f32_rows(params, ids_full))
     oracle_toks = oracle_logits.argmax(-1)
-    for name in ("w6a8_flex", "w4a8_flex"):
+    for name in ("w6a8_flex", "w6a6_flex", "w4a8_flex"):
         qp, pol = packed[name]
 
         @jax.jit
@@ -306,7 +306,7 @@ def main():
     L.append("")
     L.append("| policy | token agreement | logit RMSE / logit std |")
     L.append("|---|---|---|")
-    for name in ("w6a8_flex", "w4a8_flex"):
+    for name in ("w6a8_flex", "w6a6_flex", "w4a8_flex"):
         L.append(
             f"| {name} | {results[f'oracle_agree_{name}']} | "
             f"{results[f'oracle_logit_rmse_over_std_{name}']} |"
