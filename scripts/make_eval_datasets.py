@@ -143,19 +143,70 @@ def build(out_root: str, corpus_dir: str) -> None:
         os.path.join(out_root, "tasks", "piqa")
     )
 
-    arc_rows = {"question": [], "choices": [], "answerKey": []}
     letters = ["A", "B", "C", "D"]
+    for task in ("arc_easy", "arc_challenge"):
+        arc_rows = {"question": [], "choices": [], "answerKey": []}
+        for _ in range(n_items):
+            ctx, conts, gold = mc_item(4)
+            arc_rows["question"].append(ctx)
+            arc_rows["choices"].append({"text": conts, "label": letters})
+            arc_rows["answerKey"].append(letters[gold])
+        DatasetDict({"validation": Dataset.from_dict(arc_rows)}).save_to_disk(
+            os.path.join(out_root, "tasks", task)
+        )
+
+    # hellaswag schema: ctx_a/ctx_b/activity_label/endings/label
+    hs_rows = {"ctx_a": [], "ctx_b": [], "activity_label": [], "endings": [], "label": []}
     for _ in range(n_items):
         ctx, conts, gold = mc_item(4)
-        arc_rows["question"].append(ctx)
-        arc_rows["choices"].append({"text": conts, "label": letters})
-        arc_rows["answerKey"].append(letters[gold])
-    DatasetDict({"validation": Dataset.from_dict(arc_rows)}).save_to_disk(
-        os.path.join(out_root, "tasks", "arc_easy")
+        hs_rows["ctx_a"].append(ctx)
+        hs_rows["ctx_b"].append("")
+        hs_rows["activity_label"].append("env")
+        hs_rows["endings"].append(conts)
+        hs_rows["label"].append(gold)
+    DatasetDict({"validation": Dataset.from_dict(hs_rows)}).save_to_disk(
+        os.path.join(out_root, "tasks", "hellaswag")
+    )
+
+    # winogrande schema: sentence with "_" blank, option1/option2, answer.
+    # The adapter scores the SHARED suffix after the blank given
+    # prefix+option (partial evaluation) — the true middle chunk should
+    # make the real suffix more likely than a distractor middle does.
+    wg_rows = {"sentence": [], "option1": [], "option2": [], "answer": []}
+    for _ in range(n_items):
+        d = test_docs[rng.randrange(len(test_docs))]
+        p = rng.randrange(0, len(d) - 640)
+        prefix, true_mid, suffix = d[p : p + 320], d[p + 320 : p + 400], d[p + 400 : p + 560]
+        distract = snippet(80, 1)[0]
+        opts = [true_mid, distract]
+        gold = rng.randrange(2)
+        if gold == 1:
+            opts.reverse()
+        wg_rows["sentence"].append(prefix + "_" + suffix)
+        wg_rows["option1"].append(opts[0])
+        wg_rows["option2"].append(opts[1])
+        wg_rows["answer"].append(str(gold + 1))
+    DatasetDict({"validation": Dataset.from_dict(wg_rows)}).save_to_disk(
+        os.path.join(out_root, "tasks", "winogrande")
+    )
+
+    # boolq schema: passage/question/answer. A from-scratch 32M LM has no
+    # yes/no grounding, so accuracy here is chance BY CONSTRUCTION — the
+    # dataset exists to execute the loader/adapter/scoring path on real
+    # arrow rows with the exact reference schema.
+    bq_rows = {"passage": [], "question": [], "answer": []}
+    for _ in range(n_items):
+        ctx, _ = snippet()
+        bq_rows["passage"].append(ctx)
+        bq_rows["question"].append("is this passage from the held-out corpus")
+        bq_rows["answer"].append(bool(rng.randrange(2)))
+    DatasetDict({"validation": Dataset.from_dict(bq_rows)}).save_to_disk(
+        os.path.join(out_root, "tasks", "boolq")
     )
 
     for d in ("wikitext2-env", "ptb-env", "c4-env", "pile-env",
-              "tasks/piqa", "tasks/arc_easy"):
+              "tasks/piqa", "tasks/arc_easy", "tasks/arc_challenge",
+              "tasks/hellaswag", "tasks/winogrande", "tasks/boolq"):
         p = os.path.join(out_root, d, "test")
         if not os.path.isdir(p):
             p = os.path.join(out_root, d, "validation")
