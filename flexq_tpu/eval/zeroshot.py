@@ -40,9 +40,23 @@ class MCItem:
     gold_all: Optional[List[int]] = None
 
 
-def _pad_batch(rows: List[np.ndarray], pad_id: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+def _pad_batch(
+    rows: List[np.ndarray],
+    pad_id: int = 0,
+    len_multiple: int = 1,
+    pad_rows_to: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Right-pad to the batch max, optionally bucketed.
+
+    ``len_multiple``/``pad_rows_to`` round the [B, L] shape up so XLA sees a
+    handful of distinct shapes instead of one per batch (each distinct shape
+    is a full-model recompile on TPU; scoring is exact under right-padding —
+    causal attention means real positions never see the pads, and the score
+    loop stops at each row's true length)."""
     max_len = max(len(r) for r in rows)
-    out = np.full((len(rows), max_len), pad_id, np.int32)
+    max_len = -(-max_len // len_multiple) * len_multiple
+    n = max(len(rows), pad_rows_to or 0)
+    out = np.full((n, max_len), pad_id, np.int32)
     lens = np.zeros(len(rows), np.int32)
     for i, r in enumerate(rows):
         out[i, : len(r)] = r
@@ -55,6 +69,8 @@ def loglikelihood_batch(
     ctx_tokens: List[List[int]],
     cont_tokens: List[List[int]],
     max_len: int = 2048,
+    len_multiple: int = 64,
+    pad_rows_to: Optional[int] = None,
 ) -> np.ndarray:
     """Σ log p(continuation | context) per request (reference
     models_utils.py:257 semantics: score only the continuation positions,
@@ -67,8 +83,10 @@ def loglikelihood_batch(
         rows.append(np.asarray(seq, np.int32))
         cont_lens.append(len(cont))
         ctx_lens.append(len(seq) - len(cont))
-    ids, lens = _pad_batch(rows)
-    logits = np.asarray(forward_fn(jnp.asarray(ids)), np.float32)
+    ids, lens = _pad_batch(
+        rows, len_multiple=min(len_multiple, max_len), pad_rows_to=pad_rows_to
+    )
+    logits = np.asarray(forward_fn(jnp.asarray(ids)), np.float32)[: len(rows)]
     logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
     logp = np.asarray(logp)
     out = np.zeros(len(rows), np.float64)
@@ -119,7 +137,8 @@ def evaluate_multiple_choice(
     scores = np.zeros(len(ctxs), np.float64)
     for i in range(0, len(ctxs), batch_size):
         scores[i : i + batch_size] = loglikelihood_batch(
-            forward_fn, ctxs[i : i + batch_size], conts[i : i + batch_size], max_len
+            forward_fn, ctxs[i : i + batch_size], conts[i : i + batch_size], max_len,
+            pad_rows_to=batch_size,
         )
 
     correct, correct_norm = [], []
@@ -874,7 +893,7 @@ def evaluate_greedy_completion(
             rows.append(np.asarray(seq, np.int32))
             cl.append(len(k))
             ce.append(len(seq))
-        ids, lens = _pad_batch(rows)
+        ids, lens = _pad_batch(rows, len_multiple=64)
         logits = np.asarray(forward_fn(jnp.asarray(ids)), np.float32)
         lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
         for r in range(len(rows)):
@@ -1308,7 +1327,8 @@ def loglikelihood_rolling(
     scores = np.zeros(len(ctxs), np.float64)
     for i in range(0, len(ctxs), batch_size):
         scores[i : i + batch_size] = loglikelihood_batch(
-            forward_fn, ctxs[i : i + batch_size], conts[i : i + batch_size], max_len
+            forward_fn, ctxs[i : i + batch_size], conts[i : i + batch_size], max_len,
+            pad_rows_to=batch_size,
         )
     out = np.zeros(len(docs_tokens), np.float64)
     for d, s in zip(owner, scores):
@@ -1396,7 +1416,8 @@ def evaluate_truthfulqa_mc2(
     scores = np.zeros(len(ctxs), np.float64)
     for i in range(0, len(ctxs), batch_size):
         scores[i : i + batch_size] = loglikelihood_batch(
-            forward_fn, ctxs[i : i + batch_size], conts[i : i + batch_size], max_len
+            forward_fn, ctxs[i : i + batch_size], conts[i : i + batch_size], max_len,
+            pad_rows_to=batch_size,
         )
     vals = []
     for start, n, n_true in spans:

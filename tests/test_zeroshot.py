@@ -533,3 +533,22 @@ def test_final_batch_task_adapters():
     )
     assert mc1.context.startswith(TRUTHFULQA_QA_PROMPT)
     assert len(PILE_SUBSETS) == 22 and len(LAMBADA_MULTILINGUAL_LANGS) == 5
+
+
+def test_bucketed_padding_is_exact():
+    """len_multiple/pad_rows_to shape bucketing (TPU recompile cap) must not
+    change scores: right-pads are causally invisible to real positions and
+    padded rows are sliced off."""
+    rng = np.random.default_rng(0)
+    vocab = 97
+    w = jnp.asarray(rng.standard_normal((vocab, vocab)), jnp.float32)
+
+    def fwd(ids):  # position-dependent random-ish logits via one-hot matmul
+        x = jax.nn.one_hot(ids, vocab)
+        return x @ w + 0.01 * jnp.arange(ids.shape[1])[None, :, None]
+
+    ctxs = [[1, 2, 3], [4, 5], [6, 7, 8, 9, 10]]
+    conts = [[11, 12], [13], [14, 15, 16]]
+    base = loglikelihood_batch(fwd, ctxs, conts, len_multiple=1)
+    bucketed = loglikelihood_batch(fwd, ctxs, conts, len_multiple=64, pad_rows_to=8)
+    np.testing.assert_allclose(base, bucketed, rtol=1e-6)
