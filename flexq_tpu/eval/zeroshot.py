@@ -64,6 +64,44 @@ def _pad_batch(
     return out, lens
 
 
+# keyed on the forward_fn object (strong ref kept so ids stay unique); one
+# jitted scorer per forward_fn reuses its shape-keyed executable cache
+_SCORER_CACHE: Dict[int, Tuple[Callable, Callable]] = {}
+
+
+def _get_scorer(forward_fn) -> Optional[Callable]:
+    """Jitted on-device continuation scorer for a traceable forward_fn, or
+    None if forward_fn can't be traced (host-computed fallbacks in tests)."""
+    hit = _SCORER_CACHE.get(id(forward_fn))
+    if hit is not None and hit[0] is forward_fn:
+        return hit[1]
+
+    def _score(inp, tgt, start, n):  # [B, L], [B, L], [B], [B] -> [B]
+        logits = forward_fn(inp)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        pick = jnp.take_along_axis(
+            logp, tgt[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        pos = jnp.arange(inp.shape[1], dtype=jnp.int32)[None, :]
+        mask = (pos >= start[:, None]) & (pos < (start + n)[:, None])
+        return jnp.where(mask, pick, 0.0).sum(-1)
+
+    jitted = jax.jit(_score)
+    try:  # probe traceability once on abstract values (no execution)
+        jax.eval_shape(
+            _score,
+            jax.ShapeDtypeStruct((2, 8), jnp.int32),
+            jax.ShapeDtypeStruct((2, 8), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        )
+    except Exception:
+        _SCORER_CACHE[id(forward_fn)] = (forward_fn, None)
+        return None
+    _SCORER_CACHE[id(forward_fn)] = (forward_fn, jitted)
+    return jitted
+
+
 def loglikelihood_batch(
     forward_fn: Callable[[jax.Array], jax.Array],  # ids [B, L] -> logits
     ctx_tokens: List[List[int]],
@@ -73,27 +111,47 @@ def loglikelihood_batch(
     pad_rows_to: Optional[int] = None,
 ) -> np.ndarray:
     """Σ log p(continuation | context) per request (reference
-    models_utils.py:257 semantics: score only the continuation positions,
-    left-truncate contexts that overflow max_len)."""
-    rows, cont_lens, ctx_lens = [], [], []
+    models_utils.py:257 semantics: score only the continuation positions).
+
+    lm_eval's exact windowing: the scored sequence is ``(ctx+cont)`` left-
+    truncated to ``max_len + 1`` tokens, the model consumes ``seq[:-1]``
+    (≤ max_len positions) and the targets are ``seq[1:]`` — so a
+    full-length rolling window (1 prefix + max_len continuation) scores ALL
+    its continuation tokens (models_utils.py inp = seq[-(max_len+1):][:-1])."""
+    inps, tgts, starts, counts = [], [], [], []
     for ctx, cont in zip(ctx_tokens, cont_tokens):
         seq = list(ctx) + list(cont)
-        if len(seq) > max_len:
-            seq = seq[-max_len:]
-        rows.append(np.asarray(seq, np.int32))
-        cont_lens.append(len(cont))
-        ctx_lens.append(len(seq) - len(cont))
-    ids, lens = _pad_batch(
-        rows, len_multiple=min(len_multiple, max_len), pad_rows_to=pad_rows_to
+        if len(seq) > max_len + 1:
+            seq = seq[-(max_len + 1) :]
+        n = min(len(cont), len(seq) - 1)  # ctx keeps >= 1 token
+        inps.append(np.asarray(seq[:-1], np.int32))
+        tgts.append(np.asarray(seq[1:], np.int32))
+        starts.append(len(seq) - 1 - n)
+        counts.append(n)
+    ids, _ = _pad_batch(
+        inps, len_multiple=min(len_multiple, max_len), pad_rows_to=pad_rows_to
     )
-    logits = np.asarray(forward_fn(jnp.asarray(ids)), np.float32)[: len(rows)]
-    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
-    logp = np.asarray(logp)
-    out = np.zeros(len(rows), np.float64)
-    for i in range(len(rows)):
-        s, e = ctx_lens[i], lens[i]
-        for t in range(s, e):
-            out[i] += logp[i, t - 1, rows[i][t]]
+    tgt, _ = _pad_batch(
+        tgts, len_multiple=min(len_multiple, max_len), pad_rows_to=pad_rows_to
+    )
+    b = len(ids)
+    st = np.asarray(starts + [0] * (b - len(inps)), np.int32)
+    cn = np.asarray(counts + [0] * (b - len(inps)), np.int32)
+    scorer = _get_scorer(forward_fn)
+    if scorer is not None:
+        # on-device scoring: ships [B] floats back instead of the full
+        # [B, L, vocab] logits (measured: ~100 MB/batch over the TPU tunnel
+        # made task sweeps transfer-bound)
+        out = np.asarray(
+            scorer(jnp.asarray(ids), jnp.asarray(tgt), jnp.asarray(st), jnp.asarray(cn))
+        )
+        return out[: len(inps)].astype(np.float64)
+    logits = np.asarray(forward_fn(jnp.asarray(ids)), np.float32)[: len(inps)]
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    out = np.zeros(len(inps), np.float64)
+    for i in range(len(inps)):
+        for j in range(starts[i], starts[i] + counts[i]):
+            out[i] += logp[i, j, tgts[i][j]]
     return out
 
 

@@ -144,7 +144,11 @@ def main(argv=None):
     else:
         from flexq_tpu.models.llama import forward
 
-    fwd = jax.jit(lambda ids: forward(qparams, cfg, ids, policy=policy))
+    # params ride as a jit ARGUMENT: closure capture bakes the whole tree
+    # into every compiled shape as constants, which multiplies remote-compile
+    # time per task-eval shape bucket (measured: 65 s/shape at 32M params)
+    _fwd_p = jax.jit(lambda p, ids: forward(p, cfg, ids, policy=policy))
+    fwd = lambda ids: _fwd_p(qparams, ids)
 
     if args.eval_ppl:
         from flexq_tpu.eval.data import load_wikitext2_text, tokenize_eval_ids
