@@ -359,6 +359,13 @@ def flash_decode_paged(
     quant = k_scale is not None
     if interpret is None:
         interpret = use_interpret()
+    # Mosaic memref_slice requires minor-dim (lane) extents in 128-tile
+    # multiples on real TPU; there is no jnp fallback for the paged pool, so
+    # fail with a clear message instead of an AOT compile error.
+    assert interpret or d % 128 == 0, (
+        f"paged flash decode needs head_dim % 128 == 0 on TPU (got {d}); "
+        "use a dense cache for sub-128 head dims"
+    )
     hb = block_h or _pick_hb(kvh, ps, d, pool_k.dtype.itemsize)
     assert kvh % hb == 0
     max_pages = page_table.shape[1]

@@ -327,7 +327,12 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
         return out.astype(q.dtype).reshape(b, 1, h * d)
     if kind != "dense" and q.shape[1] == 1 and lengths is not None:
         s = kv_view[1].shape[3]
-        if s % 128 == 0:  # flash kernel block constraint; tiny caches fall back
+        # flash kernel block constraints; tiny caches fall back. head_dim
+        # must be lane-aligned: Mosaic memref_slice requires minor-dim
+        # extents in multiples of the 128 tiling (measured on TPU: D=64
+        # fails AOT compile with "slice shape along dimension 4 must be
+        # aligned to tiling"), so sub-128 head dims take the jnp path.
+        if s % 128 == 0 and q.shape[-1] % 128 == 0:
             b, _, h, d = q.shape
             if kind == "cache":
                 _, ck, cv, li = kv_view
@@ -340,7 +345,10 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
         return attention_core(q, kv_view[1], kv_view[2], mask, num_kv_groups)
     if kind == "cache":
         _, ck, cv, li = kv_view
-        if q.shape[1] > 1 and lengths is not None and ck.shape[3] % 128 == 0:
+        if (
+            q.shape[1] > 1 and lengths is not None
+            and ck.shape[3] % 128 == 0 and q.shape[-1] % 128 == 0
+        ):
             # prefill / chunked-prefill / spec-verify over the cache: the
             # flash kernel keeps score tiles in VMEM (the jnp path writes
             # ~0.9 GB/layer of score traffic at 7B L=2048) and reads only
@@ -359,7 +367,10 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
             return out
         return attention_core(q, ck[li], cv[li], mask, num_kv_groups, kv_layout="bhkd")
     _, ck, cks, cv, cvs, li = kv_view
-    if q.shape[1] > 1 and lengths is not None and ck.shape[3] % 128 == 0:
+    if (
+        q.shape[1] > 1 and lengths is not None
+        and ck.shape[3] % 128 == 0 and q.shape[-1] % 128 == 0
+    ):
         from flexq_tpu.kernels.flash_prefill import flash_prefill
 
         return flash_prefill(

@@ -63,25 +63,24 @@ def main():
 
     eng = Engine(qparams, cfg, policy, max_seq_len=1024, kv_dtype=jnp.bfloat16)
     t0 = time.time()
+    # generate() returns ONLY the generated tokens [B, max_new]
     out, stats = eng.generate(
         ids, max_new_tokens=args.new_tokens, eos_id=-1, return_stats=True
     )
     dt = time.time() - t0
     out = np.asarray(out)
-    n_new = out.shape[1] - plen
+    n_new = out.shape[1]
     print(
         f"\n== W{args.wbits}A{args.abits} packed serving: {out.shape[0]} seqs x "
-        f"{n_new} new tokens in {dt:.2f}s "
+        f"{n_new} new tokens in {dt:.2f}s incl. compile "
         f"({out.shape[0] * n_new / dt:.0f} tok/s) ==",
         flush=True,
     )
     for r in range(out.shape[0]):
-        prompt_txt = tok.decode(out[r, :plen].tolist())
-        cont_txt = tok.decode(out[r, plen:].tolist())
         print("\n--- PROMPT ---")
-        print(prompt_txt[-300:])
-        print("--- W6A6 GREEDY CONTINUATION ---")
-        print(cont_txt)
+        print(tok.decode(ids[r].tolist())[-300:])
+        print(f"--- W{args.wbits}A{args.abits} GREEDY CONTINUATION ---")
+        print(tok.decode(out[r].tolist()))
 
 
 if __name__ == "__main__":
