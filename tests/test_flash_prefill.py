@@ -112,3 +112,43 @@ def test_quant_matches_attention_core_quant():
     mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
     want = np.asarray(attention_core_quant(q, k8, ks, v8, vs, mask, h // kvh))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_sub128_head_dim_routes_to_jnp_fallback(monkeypatch):
+    """head_dim % 128 != 0 must NOT reach the flash kernels on the serve
+    path: Mosaic memref_slice rejects minor-dim extents that aren't 128-tile
+    multiples on real TPU (found serving a head_dim=64 model; CPU interpret
+    mode never checks it)."""
+    import jax
+    import flexq_tpu.kernels.flash_prefill as fp
+    import flexq_tpu.kernels.flash_decode as fd
+    from flexq_tpu.models import quantized as qz
+
+    calls = []
+    monkeypatch.setattr(fp, "flash_prefill", lambda *a, **k: calls.append("p"))
+    monkeypatch.setattr(fd, "flash_decode", lambda *a, **k: calls.append("d"))
+
+    b, l, h, kvh, d, s = 1, 4, 4, 2, 64, 128
+    q = jnp.zeros((b, l, h, d), jnp.float32)
+    ck = jnp.zeros((2, b, kvh, s, d), jnp.float32)
+    cv = jnp.zeros_like(ck)
+    lengths = jnp.full((b,), l, jnp.int32)
+    out = qz._attend(q, ("cache", ck, cv, 0), None, h // kvh, lengths)
+    assert out.shape == (b, l, h * d)
+    q1 = jnp.zeros((b, 1, h, d), jnp.float32)
+    out1 = qz._attend(q1, ("cache", ck, cv, 0), None, h // kvh, lengths)
+    assert out1.shape == (b, 1, h * d)
+    assert calls == []  # both prefill and decode took the jnp path
+
+
+def test_paged_flash_asserts_on_sub128_head_dim():
+    from flexq_tpu.kernels.flash_decode import flash_decode_paged
+
+    b, h, kvh, d, ps = 1, 4, 2, 64, 128
+    q = jnp.zeros((b, h, d), jnp.float32)
+    pool = jnp.zeros((1, 4, kvh, ps, d), jnp.bfloat16)
+    table = jnp.zeros((b, 2), jnp.int32)
+    lengths = jnp.ones((b,), jnp.int32)
+    with pytest.raises(AssertionError, match="head_dim"):
+        flash_decode_paged(q, pool, pool, table, lengths, layer_idx=0,
+                           interpret=False)
