@@ -311,10 +311,16 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
     would cost a per-step copy of the slice), while the jnp fallbacks slice
     here (einsums fuse the slice — no copy).
     """
+    from flexq_tpu.kernels.common import use_interpret
     from flexq_tpu.kernels.flash_decode import flash_decode, flash_decode_paged
     from flexq_tpu.models.llama import attention_core_quant
 
     kind = kv_view[0]
+    # Mosaic memref_slice requires minor-dim (lane) extents in 128-tile
+    # multiples on real TPU (measured: head_dim=64 fails AOT compile with
+    # "slice shape along dimension 4 must be aligned to tiling"); interpret
+    # mode (CPU tests) has no such constraint and keeps kernel-path parity.
+    d_ok = q.shape[-1] % 128 == 0 or use_interpret()
     if kind.startswith("paged"):
         assert q.shape[1] == 1 and lengths is not None, "paged cache is decode-only"
         b, _, h, d = q.shape
@@ -327,12 +333,9 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
         return out.astype(q.dtype).reshape(b, 1, h * d)
     if kind != "dense" and q.shape[1] == 1 and lengths is not None:
         s = kv_view[1].shape[3]
-        # flash kernel block constraints; tiny caches fall back. head_dim
-        # must be lane-aligned: Mosaic memref_slice requires minor-dim
-        # extents in multiples of the 128 tiling (measured on TPU: D=64
-        # fails AOT compile with "slice shape along dimension 4 must be
-        # aligned to tiling"), so sub-128 head dims take the jnp path.
-        if s % 128 == 0 and q.shape[-1] % 128 == 0:
+        # flash kernel block constraints; tiny caches / sub-128 head dims
+        # (see d_ok above) fall back to the jnp path
+        if s % 128 == 0 and d_ok:
             b, _, h, d = q.shape
             if kind == "cache":
                 _, ck, cv, li = kv_view
@@ -347,7 +350,7 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
         _, ck, cv, li = kv_view
         if (
             q.shape[1] > 1 and lengths is not None
-            and ck.shape[3] % 128 == 0 and q.shape[-1] % 128 == 0
+            and ck.shape[3] % 128 == 0 and d_ok
         ):
             # prefill / chunked-prefill / spec-verify over the cache: the
             # flash kernel keeps score tiles in VMEM (the jnp path writes
@@ -369,7 +372,7 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
     _, ck, cks, cv, cvs, li = kv_view
     if (
         q.shape[1] > 1 and lengths is not None
-        and ck.shape[3] % 128 == 0 and q.shape[-1] % 128 == 0
+        and ck.shape[3] % 128 == 0 and d_ok
     ):
         from flexq_tpu.kernels.flash_prefill import flash_prefill
 

@@ -171,3 +171,59 @@ def beam_search_nbest(
         hyps.sort(key=lambda h: -h[1])
         out.append(hyps[: max(n_best, 1)])
     return out
+
+
+def beam_search_nbest_paged(
+    params,
+    cfg,
+    policy,
+    prompt_ids: Sequence[Sequence[int]],
+    beams: BeamParams = BeamParams(),
+    eos_id: int = 2,
+    n_best: int = 1,
+    *,
+    kv_dtype=jnp.bfloat16,
+    page_size: int = 128,
+    num_pages: Optional[int] = None,
+    max_seq_len: Optional[int] = None,
+) -> List[List[Tuple[List[int], float]]]:
+    """Paged-KV beam search with the same n-best surface as
+    ``beam_search_nbest``.
+
+    The standalone dense implementation above reorders whole KV rows per
+    step (O(cache) gathers); pages make reorder a page-table permutation
+    with copy-on-divergence of the current block only, so this is the right
+    call for long prompts or large beam widths. Routes through the
+    continuous-batching scheduler's beam groups (serve/scheduler.py), which
+    own that machinery — rows are processed as queued requests, so ragged
+    prompt lengths are fine (the dense API requires equal lengths)."""
+    from flexq_tpu.serve.scheduler import BatchScheduler
+
+    prompts = [list(p) for p in prompt_ids]
+    msl = max_seq_len or max(len(p) for p in prompts) + beams.max_new_tokens
+    msl = -(-msl // page_size) * page_size  # pool wants a page multiple
+    sched = BatchScheduler(
+        params, cfg, policy,
+        num_slots=beams.beam_width,
+        max_seq_len=msl,
+        kv_dtype=kv_dtype,
+        paged=True,
+        page_size=page_size,
+        num_pages=num_pages,
+    )
+    rids = [
+        sched.add_request(
+            p,
+            max_new_tokens=beams.max_new_tokens,
+            eos_id=eos_id,
+            beam_width=beams.beam_width,
+            n_best=max(n_best, 1),
+            length_penalty=beams.length_penalty,
+        )
+        for p in prompts
+    ]
+    sched.run()
+    return [
+        [(toks, score) for toks, score, _ in sched.done_nbest[rid]]
+        for rid in rids
+    ]

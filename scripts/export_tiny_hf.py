@@ -120,6 +120,10 @@ def main():
         "--tokenizer", default=os.path.join(REPO, "data_tiny", "tokenizer.json")
     )
     args = ap.parse_args()
+    # pure format conversion — never claim the (single-process) TPU for it
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     export_hf(args.ckpt, args.out, args.tokenizer)
 
 

@@ -413,3 +413,40 @@ def test_scheduler_beam_paged_under_mesh():
     out2, s2 = run_once()
     assert out1 == out2 and len(out1) == 5
     assert s1.pool.free_pages == s1.pool.num_pages - 1
+
+
+def test_standalone_paged_nbest_matches_dense(setup):
+    """beam_search_nbest_paged (scheduler-backed page-table beams) returns
+    the same ranked hypotheses as the dense standalone API."""
+    from flexq_tpu.serve.beam import beam_search_nbest, beam_search_nbest_paged
+
+    cfg, policy, qparams, eng = setup
+    prompt = [1, 5, 9, 2]
+    bp = BeamParams(beam_width=3, length_penalty=1.0, max_new_tokens=6)
+    want = beam_search_nbest(eng, [prompt], bp, eos_id=2, n_best=3)[0]
+    got = beam_search_nbest_paged(
+        qparams, cfg, policy, [prompt], bp, eos_id=2, n_best=3,
+        kv_dtype=jnp.float32, page_size=128, max_seq_len=32,
+    )[0]
+    assert [t for t, _ in got] == [t for t, _ in want]
+    for (_, sg), (_, sw) in zip(got, want):
+        assert abs(sg - sw) < 1e-4
+
+
+def test_standalone_paged_nbest_ragged_prompts(setup):
+    """Ragged prompt lengths work (queued sequentially through the beam
+    slots) — the dense API requires equal lengths."""
+    from flexq_tpu.serve.beam import beam_search_nbest_paged
+
+    cfg, policy, qparams, _ = setup
+    bp = BeamParams(beam_width=2, max_new_tokens=4)
+    out = beam_search_nbest_paged(
+        qparams, cfg, policy, [[1, 5, 9], [3, 3, 7, 11, 2, 6]], bp,
+        eos_id=2, n_best=2, kv_dtype=jnp.float32, page_size=128, max_seq_len=32,
+    )
+    assert len(out) == 2
+    for row in out:
+        assert 1 <= len(row) <= 2
+        assert all(isinstance(t, list) and len(t) >= 1 for t, _ in row)
+        # ranked best-first
+        assert all(row[i][1] >= row[i + 1][1] for i in range(len(row) - 1))

@@ -124,9 +124,14 @@ def test_sub128_head_dim_routes_to_jnp_fallback(monkeypatch):
     import flexq_tpu.kernels.flash_decode as fd
     from flexq_tpu.models import quantized as qz
 
+    import flexq_tpu.kernels.common as kc
+
     calls = []
     monkeypatch.setattr(fp, "flash_prefill", lambda *a, **k: calls.append("p"))
     monkeypatch.setattr(fd, "flash_decode", lambda *a, **k: calls.append("d"))
+    # interpret mode legitimately keeps the kernel path (no Mosaic); the
+    # gate under test is the real-TPU lowering one
+    monkeypatch.setattr(kc, "use_interpret", lambda: False)
 
     b, l, h, kvh, d, s = 1, 4, 4, 2, 64, 128
     q = jnp.zeros((b, l, h, d), jnp.float32)
