@@ -44,3 +44,22 @@ def largest_divisor_tile(dim: int, cap: int = 4096) -> int:
 
 def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def rope_epilogue(acc, cos_ref, sin2_ref, bm: int, bn: int, out_dtype):
+    """HF half-rotate RoPE on a GEMM accumulator tile (q/k projections).
+
+    Each 128-lane group of the output is one head (caller gates on
+    head_dim == 128). rotate_half(t)*sin is rewritten as roll(t, 64)*sin2
+    (sin2 = (-sin_half | sin_half), built by models.llama.rope_gemm_operands)
+    so the epilogue is one lane-roll + 2 mul + add — no sub-128 lane slicing,
+    which Mosaic does not legalize. Shared by the W6/W4 bf16 kernels."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = bn // 128
+    t = acc.reshape(bm, h, 128)
+    rot = pltpu.roll(t, 64, 2)  # partner swap within each head
+    c = cos_ref[:].reshape(bm, 1, 128)
+    s2 = sin2_ref[:].reshape(bm, 1, 128)
+    return (t * c + rot * s2).reshape(bm, bn).astype(out_dtype)

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flexq_tpu.kernels.common import GROUP_SIZE, round_up, use_interpret
+from flexq_tpu.kernels.common import (
+    GROUP_SIZE,
+    rope_epilogue,
+    round_up,
+    use_interpret,
+)
 from flexq_tpu.kernels.w6_matmul import _pick_blocks
 from flexq_tpu.packing.pack4 import BIAS4, PACK_KT
 
@@ -196,6 +201,44 @@ def _w4_bf16_kernel(
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _w4_bf16_rope_kernel(
+    x_ref,  # bf16 [bm, bk]
+    w_ref,  # int8 [bk/2, bn]
+    ws_ref,  # f32  [bk/G, 1, bn]
+    cos_ref,  # f32 [bm, 128]
+    sin2_ref,  # f32 [bm, 128]
+    o_ref,
+    acc_ref,  # f32 [bm, bn]
+    *,
+    bm: int,
+    bk: int,
+    out_dtype,
+):
+    """w4_matmul_bf16 with the fused RoPE epilogue (see w6_matmul.py
+    _w6_bf16_rope_kernel — same contract: head_dim == 128)."""
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    bn = w_ref.shape[1]
+    w_u = _unpack_w4_block(w_ref[:], bk, bn)  # biased [0, 15]
+    ngroups = bk // GROUP_SIZE
+    ws = ws_ref[:].reshape(ngroups, 1, bn)
+    ws_rep = pltpu.repeat(ws, GROUP_SIZE, axis=1).reshape(bk, bn)
+    w_deq = ((w_u.astype(jnp.float32) - BIAS4) * ws_rep).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_deq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[:] = rope_epilogue(acc_ref[:], cos_ref, sin2_ref, bm, bn, out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
@@ -210,15 +253,27 @@ def w4_matmul_bf16(
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    rope_cos: Optional[jax.Array] = None,  # f32 [M, 128]: fused rope epilogue
+    rope_sin2: Optional[jax.Array] = None,  # f32 [M, 128] = (-sin | sin)
 ) -> jax.Array:
-    """W4A16 weight-only GEMM: the reference's int8_mode=4 parity path."""
+    """W4A16 weight-only GEMM: the reference's int8_mode=4 parity path.
+
+    ``rope_cos``/``rope_sin2``: fused RoPE on the f32 accumulator (q/k
+    projections at prefill; head_dim == 128) — see w6_matmul_bf16."""
     m, k = x.shape
     n = w_q4.shape[1]
     assert k % GROUP_SIZE == 0 and w_q4.shape == (k // 2, n)
+    rope = rope_cos is not None
+    if rope:
+        assert rope_sin2 is not None and rope_cos.shape == (m, 128)
     if interpret is None:
         interpret = use_interpret()
 
     abm, abn, abk = _pick_blocks(m, n, k)
+    if rope and m > 32:
+        # rope operands + f32 epilogue temporaries vs the 16 MB scoped-vmem
+        # limit at the (512, 2048, 512) prefill blocks (see w6_matmul_bf16)
+        abm = min(abm, 256)
     bm = block_m or abm
     bn = block_n or abn
     bk = block_k or abk
@@ -231,18 +286,35 @@ def w4_matmul_bf16(
     ngb = bk // GROUP_SIZE
     ws_t = w_scale.astype(jnp.float32).reshape(ng, 1, n)
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (ngb, 1, bn), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [x, w_q4, ws_t]
+    if rope:
+        kernel = functools.partial(
+            _w4_bf16_rope_kernel, bm=bm, bk=bk, out_dtype=out_dtype
+        )
+        cs_spec = pl.BlockSpec(
+            (bm, 128), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [cs_spec, cs_spec]
+        pad_cs = lambda a: (
+            jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
+        ).astype(jnp.float32)
+        operands += [pad_cs(rope_cos), pad_cs(rope_sin2)]
+    else:
+        kernel = functools.partial(_w4_bf16_kernel, bk=bk, out_dtype=out_dtype)
+
     out = pl.pallas_call(
-        functools.partial(_w4_bf16_kernel, bk=bk, out_dtype=out_dtype),
+        kernel,
         grid=(mp // bm, n // bn, k // bk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (ngb, 1, bn), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
         ),
@@ -257,7 +329,7 @@ def w4_matmul_bf16(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_q4, ws_t)
+    )(*operands)
     return out[:m] if mp != m else out
 
 

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flexq_tpu.kernels.common import (
     GROUP_SIZE,
     largest_divisor_tile,
+    rope_epilogue,
     round_up,
     use_interpret,
 )
@@ -333,6 +334,55 @@ def _w6_bf16_kernel(
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _w6_bf16_rope_kernel(
+    x_ref,  # bf16 [bm, bk]
+    hi_ref,  # int8 [bk/2, bn]
+    lo_ref,  # int8 [bk/4, bn]
+    ws_ref,  # f32  [bk/G, 1, bn]
+    cos_ref,  # f32 [bm, 128] duplicated-halves cos per row position
+    sin2_ref,  # f32 [bm, 128] = concat(-sin_half, sin_half) per row
+    o_ref,  # out  [bm, bn]
+    acc_ref,  # f32 scratch [bm, bn]
+    *,
+    bm: int,
+    bn: int,
+    bk: int,
+    out_dtype,
+):
+    """w6_matmul_bf16 with a fused RoPE epilogue (q/k projections at prefill).
+
+    Each 128-lane group of the output is one head (head_dim == 128 — the
+    caller gates on it). HF half-rotate rope on the f32 accumulator:
+        out = t * cos + rotate_half(t) * sin
+    with rotate_half(t) * sin rewritten as roll(t, 64) * sin2 (sin2 carries
+    the sign flip), so the whole epilogue is one lane-roll + 2 mul + add —
+    no sub-128 lane slicing (Mosaic-hostile). Fusing here removes the
+    separate rope pass over q and k (~0.3 ms/layer at 7B L=2048, measured
+    by scripts/bench_prefill_glue.py; reference analogue: rope applied
+    inside the fused QKV-bias kernel, unfused_attention_kernels.cu).
+    """
+    k_step = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w_u = _unpack_w_block(hi_ref[:], lo_ref[:], bk, bn)  # biased [0, 63]
+    ngroups = bk // GROUP_SIZE
+    ws = ws_ref[:].reshape(ngroups, 1, bn)
+    ws_rep = pltpu.repeat(ws, GROUP_SIZE, axis=1).reshape(bk, bn)
+    w_deq = ((w_u.astype(jnp.float32) - BIAS) * ws_rep).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_deq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k_step == nk - 1)
+    def _():
+        o_ref[:] = rope_epilogue(acc_ref[:], cos_ref, sin2_ref, bm, bn, out_dtype)
+
+
 def _w6_glu_bf16_kernel(
     x_ref,  # bf16 [bm, bk]
     ghi_ref,  # int8 [bk/2, bn]   gate plane
@@ -581,6 +631,8 @@ def w6_matmul_bf16(
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    rope_cos: Optional[jax.Array] = None,  # f32 [M, 128]: fused rope epilogue
+    rope_sin2: Optional[jax.Array] = None,  # f32 [M, 128] = (-sin | sin)
 ) -> jax.Array:
     """W6A16: in-kernel dequant to bf16 + one full-K MXU dot per block.
 
@@ -590,14 +642,28 @@ def w6_matmul_bf16(
     in bf16, and keeps the 6-bit HBM traffic. Activations stay unquantized —
     strictly more accurate than the W6Ax decode path; the fake-quant oracle
     remains the accuracy bound for generated tokens (decode is exact).
+
+    ``rope_cos``/``rope_sin2``: apply HF half-rotate RoPE to the f32
+    accumulator before the output cast (q/k projections; requires
+    head_dim == 128 so each 128-lane output group is one head). Build the
+    operands with models.llama.rope_gemm_operands.
     """
     m, k = x.shape
     n = w_hi.shape[1]
     assert k % GROUP_SIZE == 0
+    rope = rope_cos is not None
+    if rope:
+        assert rope_sin2 is not None and rope_cos.shape == (m, 128)
     if interpret is None:
         interpret = use_interpret()
 
     abm, abn, abk = _pick_blocks(m, n, k)
+    if rope and m > 32:
+        # the two f32 rope operands + the f32 epilogue temporaries bust the
+        # 16 MB scoped-vmem limit at the prefill blocks (512, 2048, 512) —
+        # measured 16.09 MB on the 7B q-proj shape; bm=256 fits with ~5 MB
+        # headroom and timed within noise of the other fitting configs
+        abm = min(abm, 256)
     bm = block_m or abm
     bn = block_n or abn
     bk = block_k or abk
@@ -611,21 +677,39 @@ def w6_matmul_bf16(
     ws_t = w_scale.astype(jnp.float32).reshape(ng, 1, n)
 
     grid = (mp // bm, n // bn, k // bk)
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (bk // 4, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (ngb, 1, bn), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [x, w_hi, w_lo, ws_t]
+    if rope:
+        kernel = functools.partial(
+            _w6_bf16_rope_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype
+        )
+        cs_spec = pl.BlockSpec(
+            (bm, 128), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [cs_spec, cs_spec]
+        pad_cs = lambda a: (
+            jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
+        ).astype(jnp.float32)
+        operands += [pad_cs(rope_cos), pad_cs(rope_sin2)]
+    else:
+        kernel = functools.partial(
+            _w6_bf16_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype
+        )
     out = pl.pallas_call(
-        functools.partial(_w6_bf16_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (bk // 4, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (ngb, 1, bn), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
         ),
@@ -640,5 +724,5 @@ def w6_matmul_bf16(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_hi, w_lo, ws_t)
+    )(*operands)
     return out[:m] if mp != m else out

@@ -75,6 +75,20 @@ def apply_rope(q, k, cos, sin):
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 
+def rope_gemm_operands(cos, sin):
+    """(cos, sin) [B, L, D] (duplicated-halves layout from rope_cos_sin) ->
+    (cos_f, sin2_f) [B*L, D] f32 operands for the in-GEMM rope epilogue
+    (kernels.w6_matmul rope_cos/rope_sin2): with P = lane-roll-by-D/2,
+    rotate_half(t)*sin == P(t)*sin2 where sin2 = (-sin_half | sin_half)."""
+    b, l, d = cos.shape
+    half = d // 2
+    sin2 = jnp.concatenate([-sin[..., :half], sin[..., half:]], axis=-1)
+    return (
+        cos.reshape(b * l, d).astype(jnp.float32),
+        sin2.reshape(b * l, d).astype(jnp.float32),
+    )
+
+
 def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float) -> jax.Array:
     h = x.astype(jnp.float32)
     var = jnp.mean(h * h, axis=-1, keepdims=True)

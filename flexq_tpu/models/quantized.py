@@ -35,6 +35,14 @@ from flexq_tpu.packing import pack4, pack6
 from flexq_tpu.quant.quantizer import QuantSpec, quantize
 
 
+# Fused-rope q/k prefill GEMMs (kernels' rope epilogue; head_dim == 128).
+# Module-level switches so bench scripts can A/B the fusion explicitly in
+# process (NOT env vars — see w6_matmul's kwargs-only policy). Production
+# default: fusion on, kernel-chosen blocks.
+FUSED_ROPE_PREFILL = True
+ROPE_GEMM_BLOCKS: Optional[tuple] = None  # (bm, bn, bk) override for A/B
+
+
 def quantize_linear(
     w: jax.Array, spec: QuantSpec, k_pad_to: Optional[int] = None
 ) -> Dict[str, jax.Array]:
@@ -476,6 +484,20 @@ def llama_layer_serve_prefill(
     h = rmsnorm(x2, lp["input_norm"], cfg.norm_eps)
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
+    # Fused-rope q/k GEMMs: the rope epilogue rotates the f32 accumulator
+    # inside the W6A16 kernel (one fewer 2·[M, nq+nkv] elementwise pass —
+    # 9.7 ms of 193 ms at 7B L=2048, scripts/bench_prefill_glue.py).
+    # Requires head_dim == 128 (one head per 128-lane group) and packed-W6
+    # unbiased projections; anything else takes the apply_rope path.
+    def _rope_ok(wq):
+        return ("hi" in wq or "q4" in wq) and "b" not in wq
+
+    fused_rope = (
+        FUSED_ROPE_PREFILL
+        and cfg.head_dim == 128
+        and "qkv_proj" not in lp
+        and _rope_ok(lp["q_proj"]) and _rope_ok(lp["k_proj"])
+    )
     if "qkv_proj" in lp:
         # one wide fused GEMM (reference GptContextAttentionLayer.cc:160);
         # wide N also runs the W6A16 kernel at a higher MXU rate than three
@@ -486,6 +508,33 @@ def llama_layer_serve_prefill(
         q = qkv[:, :nq]
         k = qkv[:, nq_p : nq_p + nkv]
         v = qkv[:, nq_p + nkv_p : nq_p + nkv_p + nkv]
+    elif fused_rope:
+        from flexq_tpu.models.llama import rope_gemm_operands
+
+        cos_f, sin2_f = rope_gemm_operands(cos, sin)
+
+        bm_o, bn_o, bk_o = ROPE_GEMM_BLOCKS or (None, None, None)
+
+        def rope_proj(wq, n_out):
+            if "hi" in wq:
+                y = w6_matmul_bf16(
+                    h, wq["hi"], wq["lo"], wq["scale"], out_dtype=dtype,
+                    rope_cos=cos_f, rope_sin2=sin2_f,
+                    block_m=bm_o, block_n=bn_o, block_k=bk_o,
+                )
+            else:
+                from flexq_tpu.kernels.w4_matmul import w4_matmul_bf16
+
+                y = w4_matmul_bf16(
+                    h, wq["q4"], wq["scale"], out_dtype=dtype,
+                    rope_cos=cos_f, rope_sin2=sin2_f,
+                    block_m=bm_o, block_n=bn_o, block_k=bk_o,
+                )
+            return y[:, :n_out] if y.shape[-1] != n_out else y
+
+        q = rope_proj(lp["q_proj"], nq)
+        k = rope_proj(lp["k_proj"], nkv)
+        v = _qlinear_bf16(lp["v_proj"], h, dtype, nkv)
     else:
         q = _qlinear_bf16(lp["q_proj"], h, dtype, nq)
         k = _qlinear_bf16(lp["k_proj"], h, dtype, nkv)
@@ -493,7 +542,8 @@ def llama_layer_serve_prefill(
     q = q.reshape(b, l, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
-    q, k = apply_rope(q, k, cos, sin)
+    if not fused_rope:
+        q, k = apply_rope(q, k, cos, sin)
 
     new_kv = None
     if kv is not None:
