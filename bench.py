@@ -39,6 +39,30 @@ def main():
     shapes = shapes_7b if quick else shapes_7b + shapes_70b
     ms = [8] if quick else [1, 8]
 
+    HBM_PEAK = 819e9  # v5e; implied BW above ~1.2x peak = timing artifact
+
+    def measure(fn, args, nbytes, clamp=False):
+        """bench_fn + the bench_matrix physical sanity gate: an axon stall
+        can slip a tiny positive delta past the marginal statistic (observed
+        here: 10us on a 12.6 MB-plane decode GEMM = 1.3 TB/s). Retry up to
+        3x; if still implausible and ``clamp`` (the w6 side), raise the time
+        to the 1.2x-peak byte floor so an artifact can only understate the
+        headline, never inflate it. The bf16 side is never clamped — an
+        implausibly fast baseline only deflates the ratio (conservative)."""
+        iters, reps = (100, 3) if quick else (300, 7)
+        # reps=7: the axon tunnel adds +-10% run-to-run jitter; a 3-rep
+        # median left the headline metric noise-bound (2.56-2.67x observed
+        # across identical-code runs)
+        for _ in range(3):
+            t = bench_fn(fn, args, iters=iters, reps=reps)
+            if bench_fn.last_fallback:
+                return t, "fallback"
+            if nbytes / max(t, 1e-9) < 1.2 * HBM_PEAK:
+                return t, ""
+        if clamp:
+            return max(t, nbytes / (1.2 * HBM_PEAK)), "clamped"
+        return t, "implausible"
+
     speedups = []
     details = []
     for m in ms:
@@ -48,32 +72,26 @@ def main():
             wq = rng.integers(-32, 32, (k, n)).astype(np.int8)
             ws = jnp.asarray(rng.uniform(0.01, 0.1, (k // G, n)), jnp.float32)
             hi, lo = pack6(jnp.asarray(wq))
-            # reps=7: the axon tunnel adds +-10% run-to-run jitter; a
-            # 3-rep median left the headline metric noise-bound (observed
-            # 2.56-2.67x across identical-code runs)
-            t_q = bench_fn(
+            t_q, flag_q = measure(
                 lambda a, b, c, d, e: w6_matmul(a, b, c, d, e, out_dtype=jnp.bfloat16),
                 (xq, xs, hi, lo, ws),
-                iters=100 if quick else 300,
-                reps=3 if quick else 7,
+                k * n * 6 // 8,
+                clamp=True,
             )
-            fb_q = bench_fn.last_fallback
             xb = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
             wb = jnp.asarray(wq, jnp.bfloat16)
-            t_b = bench_fn(
-                lambda x, w: x @ w,
-                (xb, wb),
-                iters=100 if quick else 300,
-                reps=3 if quick else 7,
-            )
-            fb_b = bench_fn.last_fallback
+            t_b, flag_b = measure(lambda x, w: x @ w, (xb, wb), k * n * 2)
             sp = t_b / t_q
             speedups.append(sp)
             note = ""
-            if fb_b:  # baseline overstated -> ratio inflated: flag loudly
+            if flag_b == "fallback":  # baseline overstated -> ratio inflated
                 note = " [FALLBACK on bf16 side: ratio may be inflated]"
-            elif fb_q:  # candidate overstated -> ratio understated: benign
+            elif flag_q == "fallback":  # candidate overstated: benign
                 note = " [fallback on w6 side: ratio conservative]"
+            if flag_q == "clamped":
+                note += " [w6 clamped to byte floor]"
+            if flag_b == "implausible":
+                note += " [bf16 implausibly fast: ratio conservative]"
             details.append(
                 f"M={m} K={k} N={n}: w6 {t_q*1e6:.0f}us bf16 {t_b*1e6:.0f}us {sp:.2f}x"
                 + note
