@@ -35,8 +35,18 @@ from flexq_tpu.config import ModelConfig, QuantPolicy
 
 def to_jax(t, dtype=None) -> jax.Array:
     """torch.Tensor (any device) -> jax.Array on the default backend."""
-    arr = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
-    out = jnp.asarray(arr)
+    if hasattr(t, "detach"):
+        import torch
+
+        t = t.detach().cpu()
+        if t.dtype == torch.bfloat16:
+            # numpy has no bf16: reinterpret the bits so the jax array is
+            # bf16 exactly (no round-trip through f32)
+            out = jnp.asarray(t.view(torch.int16).numpy()).view(jnp.bfloat16)
+        else:
+            out = jnp.asarray(t.numpy())
+    else:
+        out = jnp.asarray(np.asarray(t))
     return out.astype(dtype) if dtype is not None else out
 
 

@@ -172,50 +172,19 @@ def _w4_bf16_kernel(
     x_ref,  # bf16 [bm, bk]
     w_ref,  # int8 [bk/2, bn]
     ws_ref,  # f32  [bk/G, 1, bn]
-    o_ref,
-    acc_ref,  # f32 [bm, bn]
-    *,
-    bk: int,
-    out_dtype,
-):
-    k_step = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k_step == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    bn = w_ref.shape[1]
-    w_u = _unpack_w4_block(w_ref[:], bk, bn)  # biased [0, 15]
-    ngroups = bk // GROUP_SIZE
-    ws = ws_ref[:].reshape(ngroups, 1, bn)
-    ws_rep = pltpu.repeat(ws, GROUP_SIZE, axis=1).reshape(bk, bn)
-    w_deq = ((w_u.astype(jnp.float32) - BIAS4) * ws_rep).astype(jnp.bfloat16)
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_deq, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(k_step == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
-
-
-def _w4_bf16_rope_kernel(
-    x_ref,  # bf16 [bm, bk]
-    w_ref,  # int8 [bk/2, bn]
-    ws_ref,  # f32  [bk/G, 1, bn]
-    cos_ref,  # f32 [bm, 128]
-    sin2_ref,  # f32 [bm, 128]
-    o_ref,
-    acc_ref,  # f32 [bm, bn]
-    *,
+    *rest,  # with rope: (cos_ref [bm,128] f32, sin2_ref [bm,128] f32) then
+    #         o_ref [bm, bn], acc_ref f32 scratch [bm, bn]
     bm: int,
     bk: int,
     out_dtype,
+    rope: bool = False,
 ):
-    """w4_matmul_bf16 with the fused RoPE epilogue (see w6_matmul.py
-    _w6_bf16_rope_kernel — same contract: head_dim == 128)."""
+    """W4A16 tile kernel; ``rope=True`` adds the fused RoPE epilogue (see
+    w6_matmul.py _w6_bf16_kernel — same contract: head_dim == 128)."""
+    if rope:
+        cos_ref, sin2_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -236,7 +205,12 @@ def _w4_bf16_rope_kernel(
 
     @pl.when(k_step == nk - 1)
     def _():
-        o_ref[:] = rope_epilogue(acc_ref[:], cos_ref, sin2_ref, bm, bn, out_dtype)
+        if rope:
+            o_ref[:] = rope_epilogue(
+                acc_ref[:], cos_ref, sin2_ref, bm, bn, out_dtype
+            )
+        else:
+            o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
 @functools.partial(
@@ -269,11 +243,7 @@ def w4_matmul_bf16(
     if interpret is None:
         interpret = use_interpret()
 
-    abm, abn, abk = _pick_blocks(m, n, k)
-    if rope and m > 32:
-        # rope operands + f32 epilogue temporaries vs the 16 MB scoped-vmem
-        # limit at the (512, 2048, 512) prefill blocks (see w6_matmul_bf16)
-        abm = min(abm, 256)
+    abm, abn, abk = _pick_blocks(m, n, k, rope=rope)
     bm = block_m or abm
     bn = block_n or abn
     bk = block_k or abk
@@ -296,20 +266,20 @@ def w4_matmul_bf16(
         ),
     ]
     operands = [x, w_q4, ws_t]
+    kernel = functools.partial(
+        _w4_bf16_kernel, bm=bm, bk=bk, out_dtype=out_dtype, rope=rope
+    )
     if rope:
-        kernel = functools.partial(
-            _w4_bf16_rope_kernel, bm=bm, bk=bk, out_dtype=out_dtype
-        )
         cs_spec = pl.BlockSpec(
             (bm, 128), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM
         )
         in_specs += [cs_spec, cs_spec]
-        pad_cs = lambda a: (
-            jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
-        ).astype(jnp.float32)
+
+        def pad_cs(a):
+            a = jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
+            return a.astype(jnp.float32)
+
         operands += [pad_cs(rope_cos), pad_cs(rope_sin2)]
-    else:
-        kernel = functools.partial(_w4_bf16_kernel, bk=bk, out_dtype=out_dtype)
 
     out = pl.pallas_call(
         kernel,

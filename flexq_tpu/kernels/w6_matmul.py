@@ -127,7 +127,14 @@ def _w6_matmul_kernel(
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False, bk_cap: int = 256):
+def _pick_blocks(
+    m: int,
+    n: int,
+    k: int,
+    exact_int: bool = False,
+    bk_cap: int = 256,
+    rope: bool = False,
+):
     """Block-size selection: measured dispatch table first (autotune.py),
     then the shape heuristic (replaces the reference's 325-config library +
     per-M-bucket table, flexq_gemm_wrapper.cu:53-86).
@@ -137,11 +144,20 @@ def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False, bk_cap: int = 
     variant, so large-M blocks must shrink — (512, 2048, 512) busts the
     16 MB scoped-vmem limit there (measured: quantized-lm_head prefill and
     scripts/bench_prefill_a8.py; (512, 2048, 256) fits and swept fastest).
+
+    ``rope`` marks the fused-rope bf16 kernels: the two f32 rope operands +
+    the f32 epilogue temporaries bust the same 16 MB limit at the prefill
+    blocks (measured 16.09 MB at (512, 2048, 512) on the 7B q-proj shape);
+    bm=256 fits with ~5 MB headroom and timed within noise of the other
+    fitting configs (scripts/bench_rope_fusion.py).
     """
     from flexq_tpu.kernels import autotune
 
     tuned = autotune.lookup(m, k, n)
     if tuned is not None:
+        if rope and m > 32:
+            bm, bn, bk = tuned
+            return min(bm, 256), bn, bk
         return tuned
     # decode bk=256: bk=512 looked marginally faster on the 7B e2e matrix
     # but dropped the reference-shape kernel metric (M=1 + 70B shapes) from
@@ -160,7 +176,7 @@ def _pick_blocks(m: int, n: int, k: int, exact_int: bool = False, bk_cap: int = 
         # (1024, 512, 256) choice — wider N amortizes the in-kernel weight
         # dequant across more MXU work per block. f32 acc 512x2048 = 4 MB.
         bk = largest_divisor_tile(k, cap=256 if exact_int else 512)
-        bm = min(512, round_up(m, 256))
+        bm = min(256 if rope else 512, round_up(m, 256))
         bn = largest_divisor_tile(n, cap=2048)
     return bm, bn, bk
 
@@ -304,63 +320,31 @@ def _w6_bf16_kernel(
     hi_ref,  # int8 [bk/2, bn]
     lo_ref,  # int8 [bk/4, bn]
     ws_ref,  # f32  [bk/G, 1, bn]
-    o_ref,  # out  [bm, bn]
-    acc_ref,  # f32 scratch [bm, bn]
-    *,
+    *rest,  # with rope: (cos_ref [bm,128] f32, sin2_ref [bm,128] f32) then
+    #         o_ref [bm, bn], acc_ref f32 scratch [bm, bn]
     bm: int,
     bn: int,
     bk: int,
     out_dtype,
+    rope: bool = False,
 ):
-    k_step = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k_step == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    w_u = _unpack_w_block(hi_ref[:], lo_ref[:], bk, bn)  # biased [0, 63]
-    ngroups = bk // GROUP_SIZE
-    ws = ws_ref[:].reshape(ngroups, 1, bn)
-    ws_rep = pltpu.repeat(ws, GROUP_SIZE, axis=1).reshape(bk, bn)
-    w_deq = ((w_u.astype(jnp.float32) - BIAS) * ws_rep).astype(jnp.bfloat16)
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w_deq, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(k_step == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
-
-
-def _w6_bf16_rope_kernel(
-    x_ref,  # bf16 [bm, bk]
-    hi_ref,  # int8 [bk/2, bn]
-    lo_ref,  # int8 [bk/4, bn]
-    ws_ref,  # f32  [bk/G, 1, bn]
-    cos_ref,  # f32 [bm, 128] duplicated-halves cos per row position
-    sin2_ref,  # f32 [bm, 128] = concat(-sin_half, sin_half) per row
-    o_ref,  # out  [bm, bn]
-    acc_ref,  # f32 scratch [bm, bn]
-    *,
-    bm: int,
-    bn: int,
-    bk: int,
-    out_dtype,
-):
-    """w6_matmul_bf16 with a fused RoPE epilogue (q/k projections at prefill).
+    """W6A16 tile kernel; ``rope=True`` adds a fused RoPE epilogue (q/k
+    projections at prefill).
 
     Each 128-lane group of the output is one head (head_dim == 128 — the
     caller gates on it). HF half-rotate rope on the f32 accumulator:
         out = t * cos + rotate_half(t) * sin
     with rotate_half(t) * sin rewritten as roll(t, 64) * sin2 (sin2 carries
-    the sign flip), so the whole epilogue is one lane-roll + 2 mul + add —
-    no sub-128 lane slicing (Mosaic-hostile). Fusing here removes the
-    separate rope pass over q and k (~0.3 ms/layer at 7B L=2048, measured
-    by scripts/bench_prefill_glue.py; reference analogue: rope applied
-    inside the fused QKV-bias kernel, unfused_attention_kernels.cu).
+    the sign flip — see kernels.common.rope_epilogue), so the whole epilogue
+    is one lane-roll + 2 mul + add with no sub-128 lane slicing
+    (Mosaic-hostile). Fusing removes the separate rope pass over q and k
+    (reference analogue: rope applied inside the fused QKV-bias kernel,
+    unfused_attention_kernels.cu).
     """
+    if rope:
+        cos_ref, sin2_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
     k_step = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -380,7 +364,12 @@ def _w6_bf16_rope_kernel(
 
     @pl.when(k_step == nk - 1)
     def _():
-        o_ref[:] = rope_epilogue(acc_ref[:], cos_ref, sin2_ref, bm, bn, out_dtype)
+        if rope:
+            o_ref[:] = rope_epilogue(
+                acc_ref[:], cos_ref, sin2_ref, bm, bn, out_dtype
+            )
+        else:
+            o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
 def _w6_glu_bf16_kernel(
@@ -657,13 +646,7 @@ def w6_matmul_bf16(
     if interpret is None:
         interpret = use_interpret()
 
-    abm, abn, abk = _pick_blocks(m, n, k)
-    if rope and m > 32:
-        # the two f32 rope operands + the f32 epilogue temporaries bust the
-        # 16 MB scoped-vmem limit at the prefill blocks (512, 2048, 512) —
-        # measured 16.09 MB on the 7B q-proj shape; bm=256 fits with ~5 MB
-        # headroom and timed within noise of the other fitting configs
-        abm = min(abm, 256)
+    abm, abn, abk = _pick_blocks(m, n, k, rope=rope)
     bm = block_m or abm
     bn = block_n or abn
     bk = block_k or abk
@@ -690,22 +673,20 @@ def w6_matmul_bf16(
         ),
     ]
     operands = [x, w_hi, w_lo, ws_t]
+    kernel = functools.partial(
+        _w6_bf16_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype, rope=rope
+    )
     if rope:
-        kernel = functools.partial(
-            _w6_bf16_rope_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype
-        )
         cs_spec = pl.BlockSpec(
             (bm, 128), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM
         )
         in_specs += [cs_spec, cs_spec]
-        pad_cs = lambda a: (
-            jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
-        ).astype(jnp.float32)
+
+        def pad_cs(a):
+            a = jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
+            return a.astype(jnp.float32)
+
         operands += [pad_cs(rope_cos), pad_cs(rope_sin2)]
-    else:
-        kernel = functools.partial(
-            _w6_bf16_kernel, bm=bm, bn=bn, bk=bk, out_dtype=out_dtype
-        )
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -154,6 +154,13 @@ def _layer_prefill_nores(lp, cfg, x, cos, sin, mask, kv, cache_pos,
 
 
 def main():
+    # Measure the UNFUSED decomposition: with the fused-rope prefill (round 5
+    # default) the shipping path never calls apply_rope, so the no_rope
+    # variant would be a no-op and no_residual's hand-copied layer (which
+    # uses the apply_rope path) would conflate residual cost with the
+    # fusion difference. The recorded numbers in BENCH_PREFILL.md are the
+    # unfused-path decomposition.
+    Q.FUSED_ROPE_PREFILL = False
     policy = QuantPolicy.llama_flex()
     cfg, qparams = synth_llama7b_quantized(policy)
 

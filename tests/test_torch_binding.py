@@ -48,6 +48,13 @@ def test_tensor_round_trip():
     # bf16 upcasts to f32 (torch cannot view jax bf16 buffers)
     f = to_torch(jnp.ones((2, 2), jnp.bfloat16))
     assert f.dtype == torch.float32
+    # torch bf16 in: bit-exact reinterpret (HF checkpoints default to bf16)
+    tb = torch.tensor([[1.5, -2.25], [0.125, 3.0]], dtype=torch.bfloat16)
+    xb = to_jax(tb)
+    assert xb.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(xb.astype(jnp.float32)), tb.float().numpy()
+    )
 
 
 def test_forward_matches_forward_serve(wrapped):
