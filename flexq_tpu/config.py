@@ -17,7 +17,8 @@ GROUP_SIZE = 128
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    """Architecture description (covers LLaMA-1/2/3 MHA+GQA and OPT)."""
+    """Architecture description (covers the LLaMA family — LLaMA-1/2/3
+    MHA+GQA, Mistral sliding-window, Qwen2 biased-qkv — and OPT)."""
 
     vocab_size: int
     hidden_size: int
@@ -36,6 +37,18 @@ class ModelConfig:
     do_layer_norm_before: bool = True  # OPT-350m quirk is False
     attn_bias: bool = False  # OPT linears carry biases
     ffn_bias: bool = False
+    # LLaMA-family variants
+    qkv_bias: bool = False  # Qwen2: bias on q/k/v projections only
+    sliding_window: Optional[int] = None  # Mistral: local attention window
+    # LLaMA-3.1 rope frequency scaling (HF rope_type "llama3"):
+    # (factor, low_freq_factor, high_freq_factor, original_max_position_embeddings)
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
+
+    def __post_init__(self):
+        # meta.json round-trip: JSON turns the tuple into a list, which is
+        # unhashable (ModelConfig rides as a jit static); coerce back.
+        if isinstance(self.rope_scaling, list):
+            object.__setattr__(self, "rope_scaling", tuple(self.rope_scaling))
 
     @property
     def num_kv_groups(self) -> int:
@@ -52,6 +65,7 @@ class ModelConfig:
         max_seq_len=2048,
         rope_theta=10000.0,
         norm_eps=1e-5,
+        head_dim=None,  # Mistral-NeMo-style override (else hidden/heads)
         **kw,
     ) -> "ModelConfig":
         return ModelConfig(
@@ -61,7 +75,7 @@ class ModelConfig:
             num_layers=num_layers,
             num_heads=num_heads,
             num_kv_heads=num_kv_heads or num_heads,
-            head_dim=hidden_size // num_heads,
+            head_dim=head_dim or hidden_size // num_heads,
             max_seq_len=max_seq_len,
             rope_theta=rope_theta,
             norm_eps=norm_eps,

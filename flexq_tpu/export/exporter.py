@@ -205,6 +205,13 @@ def export_checkpoint(
                 n_to = n + ((-n) % (1024 if n >= 2048 else 128))
                 w = _pad_cols(w, n_to)
             _emit_packed(out, name, w, spec_bits)
+            if prefix + hf + ".bias" in tensors:  # Qwen2 q/k/v biases
+                b = t(prefix + hf + ".bias")
+                if spec_bits < 16 and b.shape[0] != w.shape[1]:
+                    # quantize_params convention: biases ride padded to the
+                    # packed plane's N (added pre-slice in _qlinear*)
+                    b = np.pad(b, (0, w.shape[1] - b.shape[0]))
+                out[f"{name}.b"] = _np_bf16(b)
         # safetensors writes raw buffers stride-blind: force C-contiguous
         if tp == 1:
             out = {k2: np.ascontiguousarray(v2) for k2, v2 in out.items()}

@@ -67,12 +67,19 @@ def _flash_decode_kernel(
     inv_sqrt_d: float,
     quant: bool,
     s_total: int,
+    window: Optional[int] = None,
 ):
     b = pl.program_id(0)
     hi = pl.program_id(1)
     li = meta_ref[0]
     ln = jnp.clip(lens_ref[b], 1, s_total)
     nblk = (ln + bs - 1) // bs
+    # sliding window (Mistral): the query at ln-1 attends keys in
+    # [ln-window, ln) only — start the DMA loop at the window's first block
+    # so out-of-window cache blocks are never read (the window REDUCES
+    # decode reads at long fill, unlike the mask-only jnp path)
+    lo = jnp.int32(0) if window is None else jnp.maximum(ln - window, 0)
+    sblk = lo // bs
     h0 = hi * hb
     paged = table_ref is not None
 
@@ -99,7 +106,7 @@ def _flash_decode_kernel(
             out.append(pltpu.make_async_copy(vs_src, vs_buf.at[slot], sem.at[slot, 3]))
         return out
 
-    for dma in dmas(0, 0):
+    for dma in dmas(sblk % 2, sblk):
         dma.start()
 
     qb = q_ref[0].astype(jnp.bfloat16)  # [HB, G, D]
@@ -127,7 +134,10 @@ def _flash_decode_kernel(
             # K dequant folded in after the dot: (q·K8)·ks == q·(K8·ks)
             sco = sco * ks_buf[slot][:, None, :]
         pos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bs), 2)
-        sco = jnp.where(pos < ln, sco, _NEG)
+        ok = pos < ln
+        if window is not None:
+            ok &= pos >= lo
+        sco = jnp.where(ok, sco, _NEG)
 
         m_new = jnp.maximum(m, jnp.max(sco, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -148,7 +158,7 @@ def _flash_decode_kernel(
         jnp.zeros((hb, g, 1), jnp.float32),
         jnp.zeros((hb, g, d), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, nblk, body, init)
+    m, l, acc = jax.lax.fori_loop(sblk, nblk, body, init)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -177,7 +187,8 @@ def _pick_hb(kvh: int, bs: int, d: int, itemsize: int, budget: int = 2 << 20) ->
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_s", "block_h", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("block_s", "block_h", "interpret", "out_dtype", "window"),
 )
 def flash_decode(
     q: jax.Array,  # [B, H, D] single-step queries
@@ -192,8 +203,13 @@ def flash_decode(
     block_h: Optional[int] = None,
     interpret: Optional[bool] = None,
     out_dtype=jnp.bfloat16,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Single-token attention over a (possibly int8-quantized) KV cache.
+
+    ``window`` (static) applies Mistral sliding-window attention: only keys
+    at positions [len-window, len) are attended — and only their cache
+    blocks are read.
 
     Accepts either a per-layer [B, KVH, S, D] view (4-D; layer_idx ignored)
     or the FULL [L, B, KVH, S, D] cache with `layer_idx` — preferred in the
@@ -256,6 +272,7 @@ def flash_decode(
         inv_sqrt_d=1.0 / math.sqrt(d),
         quant=quant,
         s_total=s,
+        window=window,
     )
     scratch = [
         pltpu.VMEM((2, hb, bs, d), k.dtype),
@@ -308,7 +325,8 @@ def flash_decode(
     return out.reshape(b, h * d)
 
 
-def flash_decode_ref(q, k, v, lengths, k_scale=None, v_scale=None):
+def flash_decode_ref(q, k, v, lengths, k_scale=None, v_scale=None,
+                     window=None):
     """jnp golden model (f32 softmax over the valid prefix)."""
     b, h, d = q.shape
     _, kvh, s, _ = k.shape
@@ -321,14 +339,17 @@ def flash_decode_ref(q, k, v, lengths, k_scale=None, v_scale=None):
     qg = q.reshape(b, kvh, g, d).astype(jnp.float32)
     sco = jnp.einsum("bhgd,bhsd->bhgs", qg, kf) / math.sqrt(d)
     pos = jnp.arange(s)[None, None, None, :]
-    sco = jnp.where(pos < lengths[:, None, None, None], sco, -jnp.inf)
+    ok = pos < lengths[:, None, None, None]
+    if window is not None:
+        ok &= pos >= lengths[:, None, None, None] - window
+    sco = jnp.where(ok, sco, -jnp.inf)
     p = jax.nn.softmax(sco, axis=-1)
     out = jnp.einsum("bhgs,bhsd->bhgd", p, vf)
     return out.reshape(b, h * d)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_h", "interpret", "out_dtype")
+    jax.jit, static_argnames=("block_h", "interpret", "out_dtype", "window")
 )
 def flash_decode_paged(
     q: jax.Array,  # [B, H, D] single-step queries
@@ -343,6 +364,7 @@ def flash_decode_paged(
     block_h: Optional[int] = None,
     interpret: Optional[bool] = None,
     out_dtype=jnp.bfloat16,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Single-token attention over a PAGED KV cache (vLLM-style).
 
@@ -401,6 +423,7 @@ def flash_decode_paged(
         inv_sqrt_d=1.0 / math.sqrt(d),
         quant=quant,
         s_total=s_virtual,
+        window=window,
     )
     if quant:
 

@@ -60,6 +60,7 @@ def _flash_prefill_kernel(
     g: int,
     s_total: int,
     quant: bool,
+    window: Optional[int] = None,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -72,6 +73,14 @@ def _flash_prefill_kernel(
     # stream key blocks only up to the causal diagonal (clamped to the cache)
     q_end = jnp.clip(q0 + bq, 1, s_total)
     nblk = (q_end + bs - 1) // bs
+    # sliding window (Mistral): the block's OLDEST query (position q0) sets
+    # the lower key bound q0-window+1; younger rows re-tighten via the mask.
+    # Out-of-window key blocks are never read.
+    sblk = (
+        jnp.int32(0)
+        if window is None
+        else jnp.maximum(q0 - window + 1, 0) // bs
+    )
 
     def dmas(slot, i):
         ds = pl.ds
@@ -100,7 +109,7 @@ def _flash_prefill_kernel(
             ))
         return out
 
-    for dma in dmas(0, 0):
+    for dma in dmas(sblk % 2, sblk):
         dma.start()
 
     # compute dtype: the cache dtype (bf16 serve / f32 tests), or bf16 dots
@@ -130,7 +139,10 @@ def _flash_prefill_kernel(
             # K dequant folded in after the dot: (q·K8)·ks == q·(K8·ks)
             sco = sco * ks_buf[slot, pl.ds(kv, 1), :]
         pos_k = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        sco = jnp.where(pos_k <= pos_q, sco, _NEG)
+        ok = pos_k <= pos_q
+        if window is not None:
+            ok &= pos_k > pos_q - window
+        sco = jnp.where(ok, sco, _NEG)
 
         m_new = jnp.maximum(m, jnp.max(sco, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -150,7 +162,7 @@ def _flash_prefill_kernel(
         jnp.zeros((bq, 1), jnp.float32),
         jnp.zeros((bq, d), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, nblk, body, init)
+    m, l, acc = jax.lax.fori_loop(sblk, nblk, body, init)
     # fully-masked rows (padded q tail) have l == 0; guard the divide
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -164,7 +176,7 @@ def _pick_bs(s: int, cap: int = 512) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_s", "interpret", "out_dtype"),
+    static_argnames=("block_q", "block_s", "interpret", "out_dtype", "window"),
 )
 def flash_prefill(
     q: jax.Array,  # [B, Lq, H, D] query block (bf16/f32)
@@ -179,6 +191,7 @@ def flash_prefill(
     block_s: Optional[int] = None,
     interpret: Optional[bool] = None,
     out_dtype=jnp.bfloat16,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Causal attention of Lq queries over the cache: query i of batch b is
     at position lengths[b]-Lq+i and attends cache keys at positions <= its
@@ -225,6 +238,7 @@ def flash_prefill(
         g=g,
         s_total=s,
         quant=quant,
+        window=window,
     )
     in_specs = [pl.BlockSpec((1, 1, bq, d), qo_map, memory_space=pltpu.VMEM)]
     args = [q, k]
@@ -293,7 +307,8 @@ def flash_prefill(
     return out.reshape(b, lq, h * d)
 
 
-def flash_prefill_ref(q, k, v, lengths, k_scale=None, v_scale=None):
+def flash_prefill_ref(q, k, v, lengths, k_scale=None, v_scale=None,
+                      window=None):
     """jnp golden model: f32 full-softmax causal attention over the cache."""
     b, lq, h, d = q.shape
     kvh, s = k.shape[1], k.shape[2]
@@ -309,7 +324,10 @@ def flash_prefill_ref(q, k, v, lengths, k_scale=None, v_scale=None):
     sco = jnp.einsum("bqhd,bhsd->bhqs", qf, kf) / math.sqrt(d)
     pos_q = (lengths[:, None] - lq + jnp.arange(lq)[None])[:, None, :, None]
     pos_k = jnp.arange(s)[None, None, None, :]
-    sco = jnp.where(pos_k <= pos_q, sco, -jnp.inf)
+    ok = pos_k <= pos_q
+    if window is not None:
+        ok &= pos_k > pos_q - window
+    sco = jnp.where(ok, sco, -jnp.inf)
     p = jax.nn.softmax(sco, axis=-1)
     out = jnp.einsum("bhqs,bhsd->bqhd", p, vf)
     return out.reshape(b, lq, h * d)

@@ -35,7 +35,31 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         lambda k, d=None: hf_cfg.get(k, d)
     )
     model_type = get("model_type", "llama")
-    if model_type == "llama":
+    if model_type in ("llama", "mistral", "qwen2"):
+        # One llama-family graph covers all three: Mistral adds the sliding
+        # window (+ optional head_dim override, e.g. NeMo's 128 @ hidden
+        # 5120), Qwen2 adds q/k/v biases (modeling_qwen2 hardcodes bias=True
+        # on q/k/v and False on o_proj).
+        rs = get("rope_scaling")
+        scaling = None
+        if rs:
+            rtype = rs.get("rope_type", rs.get("type"))
+            if rtype == "llama3":
+                scaling = (
+                    float(rs["factor"]),
+                    float(rs["low_freq_factor"]),
+                    float(rs["high_freq_factor"]),
+                    int(rs["original_max_position_embeddings"]),
+                )
+            elif rtype not in (None, "default"):
+                raise ValueError(
+                    f"unsupported rope_scaling type {rtype!r} (only 'llama3')"
+                )
+        window = None
+        if model_type == "mistral":
+            window = get("sliding_window")
+        elif model_type == "qwen2" and get("use_sliding_window", False):
+            window = get("sliding_window")
         return ModelConfig.llama(
             vocab_size=get("vocab_size"),
             hidden_size=get("hidden_size"),
@@ -47,6 +71,10 @@ def config_from_hf(hf_cfg) -> ModelConfig:
             rope_theta=get("rope_theta", 10000.0),
             norm_eps=get("rms_norm_eps", 1e-5),
             tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+            head_dim=get("head_dim"),
+            qkv_bias=model_type == "qwen2",
+            sliding_window=window,
+            rope_scaling=scaling,
         )
     if model_type == "opt":
         return ModelConfig.opt(
@@ -63,23 +91,30 @@ def config_from_hf(hf_cfg) -> ModelConfig:
 
 
 def from_hf_llama(model, dtype=jnp.float32) -> Dict[str, Any]:
-    """transformers LlamaForCausalLM → param pytree."""
+    """transformers {Llama,Mistral,Qwen2}ForCausalLM → param pytree."""
     sd = model.state_dict()
     n_layers = model.config.num_hidden_layers
     layers = []
     for i in range(n_layers):
         p = f"model.layers.{i}."
+
+        def lin(name):
+            d = {"w": _t(sd[p + name + ".weight"].T, dtype)}
+            if p + name + ".bias" in sd:  # Qwen2 q/k/v biases
+                d["b"] = _t(sd[p + name + ".bias"], dtype)
+            return d
+
         layers.append(
             {
                 "input_norm": _t(sd[p + "input_layernorm.weight"], dtype),
                 "post_norm": _t(sd[p + "post_attention_layernorm.weight"], dtype),
-                "q_proj": {"w": _t(sd[p + "self_attn.q_proj.weight"].T, dtype)},
-                "k_proj": {"w": _t(sd[p + "self_attn.k_proj.weight"].T, dtype)},
-                "v_proj": {"w": _t(sd[p + "self_attn.v_proj.weight"].T, dtype)},
-                "o_proj": {"w": _t(sd[p + "self_attn.o_proj.weight"].T, dtype)},
-                "gate_proj": {"w": _t(sd[p + "mlp.gate_proj.weight"].T, dtype)},
-                "up_proj": {"w": _t(sd[p + "mlp.up_proj.weight"].T, dtype)},
-                "down_proj": {"w": _t(sd[p + "mlp.down_proj.weight"].T, dtype)},
+                "q_proj": lin("self_attn.q_proj"),
+                "k_proj": lin("self_attn.k_proj"),
+                "v_proj": lin("self_attn.v_proj"),
+                "o_proj": lin("self_attn.o_proj"),
+                "gate_proj": lin("mlp.gate_proj"),
+                "up_proj": lin("mlp.up_proj"),
+                "down_proj": lin("mlp.down_proj"),
             }
         )
     params = {
@@ -176,17 +211,24 @@ def load_checkpoint(
         layers = []
         for i in range(cfg.num_layers):
             p = f"model.layers.{i}."
+
+            def lin(name):
+                d = {"w": t(p + name + ".weight", True)}
+                if p + name + ".bias" in tensors:  # Qwen2 q/k/v biases
+                    d["b"] = t(p + name + ".bias")
+                return d
+
             layers.append(
                 {
                     "input_norm": t(p + "input_layernorm.weight"),
                     "post_norm": t(p + "post_attention_layernorm.weight"),
-                    "q_proj": {"w": t(p + "self_attn.q_proj.weight", True)},
-                    "k_proj": {"w": t(p + "self_attn.k_proj.weight", True)},
-                    "v_proj": {"w": t(p + "self_attn.v_proj.weight", True)},
-                    "o_proj": {"w": t(p + "self_attn.o_proj.weight", True)},
-                    "gate_proj": {"w": t(p + "mlp.gate_proj.weight", True)},
-                    "up_proj": {"w": t(p + "mlp.up_proj.weight", True)},
-                    "down_proj": {"w": t(p + "mlp.down_proj.weight", True)},
+                    "q_proj": lin("self_attn.q_proj"),
+                    "k_proj": lin("self_attn.k_proj"),
+                    "v_proj": lin("self_attn.v_proj"),
+                    "o_proj": lin("self_attn.o_proj"),
+                    "gate_proj": lin("mlp.gate_proj"),
+                    "up_proj": lin("mlp.up_proj"),
+                    "down_proj": lin("mlp.down_proj"),
                 }
             )
         params = {

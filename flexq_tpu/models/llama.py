@@ -50,14 +50,37 @@ class KVCache(NamedTuple):
         )
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
-    """positions [B, L] -> (cos, sin) [B, L, head_dim] (HF half-rotate layout)."""
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float, scaling=None):
+    """positions [B, L] -> (cos, sin) [B, L, head_dim] (HF half-rotate layout).
+
+    ``scaling`` is the LLaMA-3.1 frequency-scaling tuple
+    (factor, low_freq_factor, high_freq_factor, original_max_position_
+    embeddings) — the piecewise inv_freq remap of HF's
+    modeling_rope_utils._compute_llama3_parameters: long wavelengths
+    (> orig/low) are divided by ``factor``, short ones (< orig/high) kept,
+    and the band between blends linearly in orig/wavelen.
+    """
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
+    if scaling is not None:
+        factor, low, high, orig = scaling
+        wavelen = 2.0 * math.pi / inv_freq
+        smooth = (orig / wavelen - low) / (high - low)
+        blended = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > orig / low,
+            inv_freq / factor,
+            jnp.where(wavelen < orig / high, inv_freq, blended),
+        )
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, L, D/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
+
+
+def rope_for_cfg(positions: jax.Array, cfg: ModelConfig):
+    """cos/sin per the model config (theta + optional llama3 rope scaling)."""
+    return rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
 
 
 def _rotate_half(x):
@@ -247,11 +270,20 @@ def _attention_blockwise(q, k, v, mask, chunk: int, kv_layout: str = "bkhd") -> 
     return out.transpose(0, 2, 1, 3).reshape(b, lq, h * d)
 
 
-def causal_mask(lq: int, lk: int, dtype=jnp.float32) -> jax.Array:
-    """Additive causal mask [1, 1, lq, lk]; queries at the END of the key run."""
+def causal_mask(
+    lq: int, lk: int, dtype=jnp.float32, window: Optional[int] = None
+) -> jax.Array:
+    """Additive causal mask [1, 1, lq, lk]; queries at the END of the key run.
+
+    ``window`` adds the Mistral sliding-window lower bound: query i attends
+    keys in [i-window+1, i] (HF modeling_mistral sliding_window semantics).
+    """
     qi = jnp.arange(lq)[:, None] + (lk - lq)
     ki = jnp.arange(lk)[None, :]
-    m = jnp.where(ki <= qi, 0.0, jnp.finfo(dtype).min)
+    ok = ki <= qi
+    if window is not None:
+        ok &= ki > qi - window
+    m = jnp.where(ok, 0.0, jnp.finfo(dtype).min)
     return m[None, None].astype(dtype)
 
 
@@ -309,8 +341,8 @@ def forward(
     x = params["embed"][ids]
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-    mask = causal_mask(l, l)
+    cos, sin = rope_for_cfg(positions, cfg)
+    mask = causal_mask(l, l, window=cfg.sliding_window)
     for lp in params["layers"]:
         x, _ = decoder_layer(lp, cfg, x, cos, sin, mask, policy)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)

@@ -30,7 +30,7 @@ from flexq_tpu.kernels import (
     w6_matmul,
     w6_matmul_bf16,
 )
-from flexq_tpu.models.llama import apply_rope, attention_core, causal_mask, rmsnorm, rope_cos_sin
+from flexq_tpu.models.llama import apply_rope, attention_core, causal_mask, rmsnorm, rope_for_cfg
 from flexq_tpu.packing import pack4, pack6
 from flexq_tpu.quant.quantizer import QuantSpec, quantize
 
@@ -135,16 +135,32 @@ def quantize_params(
 
             nq_p = _pad128(lp["q_proj"]["w"].shape[1])
             nkv_p = _pad128(lp["k_proj"]["w"].shape[1])
+            qp, kp, vp = lp.pop("q_proj"), lp.pop("k_proj"), lp.pop("v_proj")
             lp["qkv_proj"] = {
                 "w": jnp.concatenate(
                     [
-                        pad_cols(lp.pop("q_proj")["w"], nq_p),
-                        pad_cols(lp.pop("k_proj")["w"], nkv_p),
-                        pad_cols(lp.pop("v_proj")["w"], nkv_p),
+                        pad_cols(qp["w"], nq_p),
+                        pad_cols(kp["w"], nkv_p),
+                        pad_cols(vp["w"], nkv_p),
                     ],
                     axis=1,
                 )
             }
+            if any(m.get("b") is not None for m in (qp, kp, vp)):
+                # Qwen2 q/k/v biases ride at the members' padded offsets so
+                # the fused output's segment slicing stays valid
+                def pad_b(m, n, to):
+                    b_ = m.get("b")
+                    b_ = jnp.zeros((n,), m["w"].dtype) if b_ is None else b_
+                    return jnp.pad(b_, (0, to - b_.shape[0]))
+
+                lp["qkv_proj"]["b"] = jnp.concatenate(
+                    [
+                        pad_b(qp, nq_p, nq_p),
+                        pad_b(kp, nkv_p, nkv_p),
+                        pad_b(vp, nkv_p, nkv_p),
+                    ]
+                )
             lp["gate_up"] = {
                 "w": jnp.concatenate(
                     [
@@ -166,9 +182,13 @@ def quantize_params(
                     k_pad = ffn_pad if name in ("down_proj", "fc2") else None
                     ql[name] = quantize_linear(val["w"], spec, k_pad_to=k_pad)
                     if val.get("b") is not None:
+                        # biases ride padded to the packed plane's N so the
+                        # kernels can add them pre-slice (scale.shape[1] is
+                        # the plane width in every packed format)
                         b_ = val["b"]
-                        if name == "fc1" and b_.shape[0] != ffn_pad:
-                            b_ = jnp.pad(b_, (0, ffn_pad - b_.shape[0]))
+                        n_plane = ql[name]["scale"].shape[1]
+                        if b_.shape[0] != n_plane:
+                            b_ = jnp.pad(b_, (0, n_plane - b_.shape[0]))
                         ql[name]["b"] = b_.astype(dtype)
                 else:
                     ql[name] = {"w": val["w"].astype(dtype)}
@@ -310,7 +330,7 @@ def _kv_write_read(kv, k, v, cache_pos, out_dtype):
     return (ck, cv, cks, cvs), ("quant", ck, cks, cv, cvs, li)
 
 
-def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
+def _attend(q, kv_view, mask, num_kv_groups, lengths=None, window=None):
     """Dispatch: Pallas flash-decode for single-token steps over a cache;
     jnp cores otherwise (fresh K/V, prefill-over-cache, tiny test caches).
 
@@ -334,10 +354,15 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
         b, _, h, d = q.shape
         if kind == "paged8":
             _, pk, pv, sk, sv, table, li = kv_view
-            out = flash_decode_paged(q[:, 0], pk, pv, table, lengths, sk, sv, layer_idx=li)
+            out = flash_decode_paged(
+                q[:, 0], pk, pv, table, lengths, sk, sv, layer_idx=li,
+                window=window,
+            )
         else:
             _, pk, pv, table, li = kv_view
-            out = flash_decode_paged(q[:, 0], pk, pv, table, lengths, layer_idx=li)
+            out = flash_decode_paged(
+                q[:, 0], pk, pv, table, lengths, layer_idx=li, window=window
+            )
         return out.astype(q.dtype).reshape(b, 1, h * d)
     if kind != "dense" and q.shape[1] == 1 and lengths is not None:
         s = kv_view[1].shape[3]
@@ -347,10 +372,15 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
             b, _, h, d = q.shape
             if kind == "cache":
                 _, ck, cv, li = kv_view
-                out = flash_decode(q[:, 0], ck, cv, lengths, layer_idx=li)
+                out = flash_decode(
+                    q[:, 0], ck, cv, lengths, layer_idx=li, window=window
+                )
             else:
                 _, ck, cks, cv, cvs, li = kv_view
-                out = flash_decode(q[:, 0], ck, cv, lengths, cks, cvs, layer_idx=li)
+                out = flash_decode(
+                    q[:, 0], ck, cv, lengths, cks, cvs, layer_idx=li,
+                    window=window,
+                )
             return out.astype(q.dtype).reshape(b, 1, h * d)
     if kind == "dense":
         return attention_core(q, kv_view[1], kv_view[2], mask, num_kv_groups)
@@ -373,7 +403,8 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
 
             b, l, h, d = q.shape
             out = flash_prefill(
-                q, ck, cv, lengths, layer_idx=li, out_dtype=q.dtype
+                q, ck, cv, lengths, layer_idx=li, out_dtype=q.dtype,
+                window=window,
             )
             return out
         return attention_core(q, ck[li], cv[li], mask, num_kv_groups, kv_layout="bhkd")
@@ -385,7 +416,8 @@ def _attend(q, kv_view, mask, num_kv_groups, lengths=None):
         from flexq_tpu.kernels.flash_prefill import flash_prefill
 
         return flash_prefill(
-            q, ck, cv, lengths, cks, cvs, layer_idx=li, out_dtype=q.dtype
+            q, ck, cv, lengths, cks, cvs, layer_idx=li, out_dtype=q.dtype,
+            window=window,
         )
     return attention_core_quant(q, ck[li], cks[li], cv[li], cvs[li], mask, num_kv_groups)
 
@@ -426,10 +458,11 @@ def _qlinear(
         xf = xq.astype(jnp.float32).reshape(m, k // GROUP_SIZE, GROUP_SIZE)
         xf = (xf * xs[:, :, None]).reshape(m, k).astype(out_dtype)
         y = xf @ wq["w"].astype(out_dtype)
-    if n_out is not None and y.shape[-1] != n_out:
-        y = y[:, :n_out]
+    # bias is stored at the padded plane width — add before the slice
     if "b" in wq:
         y = y + wq["b"].astype(y.dtype)
+    if n_out is not None and y.shape[-1] != n_out:
+        y = y[:, :n_out]
     return y
 
 
@@ -451,10 +484,11 @@ def _qlinear_bf16(wq, x, out_dtype, n_out=None):
         y = x @ wdq
     else:
         y = x @ wq["w"].astype(x.dtype)
-    if n_out is not None and y.shape[-1] != n_out:
-        y = y[:, :n_out]
+    # bias is stored at the padded plane width — add before the slice
     if "b" in wq:
         y = y + wq["b"].astype(y.dtype)
+    if n_out is not None and y.shape[-1] != n_out:
+        y = y[:, :n_out]
     return y
 
 
@@ -469,6 +503,7 @@ def llama_layer_serve_prefill(
     cache_pos: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
     lengths: Optional[jax.Array] = None,
+    window: Optional[int] = None,
 ):
     """Prefill (large-M) layer: W6A16 — weights dequantized in-kernel to
     bf16, activations unquantized. Compute-bound at prefill, so the bf16 MXU
@@ -551,7 +586,7 @@ def llama_layer_serve_prefill(
     else:
         kv_view = ("dense", k, v)
 
-    attn = _attend(q, kv_view, mask, cfg.num_kv_groups, lengths)
+    attn = _attend(q, kv_view, mask, cfg.num_kv_groups, lengths, window)
     o = _qlinear_bf16(lp["o_proj"], attn.reshape(b * l, nq), dtype, hidden)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
@@ -608,6 +643,7 @@ def llama_layer_serve(
     cache_pos: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
     lengths: Optional[jax.Array] = None,
+    window: Optional[int] = None,
 ):
     """One quantized decoder layer (reference LlamaDecoder.cc per-layer flow:
     fused-LN→attn→fused-add-residual-LN→ffn→add-residual).
@@ -650,7 +686,7 @@ def llama_layer_serve(
     else:
         kv_view = ("dense", k, v)
 
-    attn = _attend(q, kv_view, mask, cfg.num_kv_groups, lengths)  # [B, L, Hloc*D]
+    attn = _attend(q, kv_view, mask, cfg.num_kv_groups, lengths, window)  # [B, L, Hloc*D]
     attn2 = attn.reshape(b * l, nq)
     oq, os_ = quant_act(attn2, bits=policy.act_bits.get("o_proj", 6))
     o = _qlinear(lp["o_proj"], oq, os_, dtype, hidden)
@@ -728,7 +764,7 @@ def opt_layer_serve(
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     if "b" in lp["o_proj"]:
-        o = o + lp["o_proj"]["b"].astype(o.dtype)
+        o = o + lp["o_proj"]["b"][: o.shape[-1]].astype(o.dtype)
     x2 = x2 + o
 
     a_fc1 = policy.act_bits.get("fc1", 6)
@@ -743,7 +779,7 @@ def opt_layer_serve(
     if tp_axis is not None:
         down = jax.lax.psum(down, tp_axis)
     if "b" in lp["fc2"]:
-        down = down + lp["fc2"]["b"].astype(down.dtype)
+        down = down + lp["fc2"]["b"][: down.shape[-1]].astype(down.dtype)
     x2 = x2 + down
     return x2.reshape(b, l, hidden), new_kv
 
@@ -785,7 +821,7 @@ def _opt_layer_serve_bf16(
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     if "b" in lp["o_proj"]:
-        o = o + lp["o_proj"]["b"].astype(o.dtype)
+        o = o + lp["o_proj"]["b"][: o.shape[-1]].astype(o.dtype)
     x2 = x2 + o
 
     h = layernorm(x2, lp["post_norm"]["g"], lp["post_norm"]["b"], cfg.norm_eps)
@@ -797,7 +833,7 @@ def _opt_layer_serve_bf16(
     if tp_axis is not None:
         down = jax.lax.psum(down, tp_axis)
     if "b" in lp["fc2"]:
-        down = down + lp["fc2"]["b"].astype(down.dtype)
+        down = down + lp["fc2"]["b"][: down.shape[-1]].astype(down.dtype)
     x2 = x2 + down
     return x2.reshape(b, l, hidden), new_kv
 
@@ -879,9 +915,9 @@ def forward_serve(
         x = x + params["pos_embed"][positions + POS_OFFSET]
         cos = sin = None
     else:
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = rope_for_cfg(positions, cfg)
     if mask is None and kv_k is None:
-        mask = causal_mask(l, l)
+        mask = causal_mask(l, l, window=cfg.sliding_window)
 
     have_cache = kv_k is not None
     quant_cache = kv_k_scale is not None
@@ -909,11 +945,13 @@ def forward_serve(
             )
         elif prefill_bf16:
             x, new_kv = llama_layer_serve_prefill(
-                lp, cfg, x, cos, sin, mask, kv=kv, cache_pos=cache_pos, lengths=lengths
+                lp, cfg, x, cos, sin, mask, kv=kv, cache_pos=cache_pos,
+                lengths=lengths, window=cfg.sliding_window,
             )
         else:
             x, new_kv = llama_layer_serve(
-                lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos, lengths=lengths
+                lp, cfg, policy, x, cos, sin, mask, kv=kv, cache_pos=cache_pos,
+                lengths=lengths, window=cfg.sliding_window,
             )
         if new_kv is not None:
             if quant_cache:

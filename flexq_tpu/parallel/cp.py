@@ -100,9 +100,13 @@ def forward_sp(
     every per-token op (embed, norms, linears, lm_head) runs on local
     slices; attention runs the K/V ring. Logits come back sequence-sharded
     and are gathered. The long-context eval path the reference lacks."""
-    from flexq_tpu.models.llama import apply_rope, rmsnorm, rope_cos_sin
+    from flexq_tpu.models.llama import apply_rope, rmsnorm, rope_for_cfg
 
     sp = mesh.shape["seq"]
+    if cfg.sliding_window is not None:
+        raise NotImplementedError(
+            "ring-attention SP path does not implement sliding-window masks"
+        )
     b, l = ids.shape
     assert l % sp == 0, f"L={l} must divide over sp={sp}"
     c = l // sp
@@ -110,7 +114,7 @@ def forward_sp(
     def body(params, ids_local):
         my = jax.lax.axis_index("seq")
         positions = my * c + jnp.broadcast_to(jnp.arange(c), (b, c))
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = rope_for_cfg(positions, cfg)
         x = params["embed"][ids_local]
         for lp in params["layers"]:
             h = rmsnorm(x, lp["input_norm"], cfg.norm_eps)

@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
-from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_cos_sin
+from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_for_cfg
 from flexq_tpu.models.quantized import llama_layer_serve
 
 
@@ -109,8 +109,8 @@ def forward_serve_pp(
     def body(params, ids):
         my_stage = jax.lax.axis_index("pipe")
         positions = jnp.broadcast_to(jnp.arange(l), (mb, l))
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-        mask = causal_mask(l, l)
+        cos, sin = rope_for_cfg(positions, cfg)
+        mask = causal_mask(l, l, window=cfg.sliding_window)
         micro = ids.reshape(m, mb, l)
 
         def run_stage(x):
@@ -224,12 +224,13 @@ def serve_step_pp(
         if is_opt:
             cos = sin = None
         else:
-            cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+            cos, sin = rope_for_cfg(positions, cfg)
         s_max = kv_t[0].shape[3]
         ki = jnp.arange(s_max)[None, None, None, :]
-        mask = jnp.where(
-            ki <= positions[:, None, :, None], 0.0, jnp.finfo(jnp.float32).min
-        )
+        ok = ki <= positions[:, None, :, None]
+        if cfg.sliding_window is not None:
+            ok &= ki > positions[:, None, :, None] - cfg.sliding_window
+        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
         lengths = sv + l
 
         def run_stage(x, *kv_s):
@@ -248,6 +249,7 @@ def serve_step_pp(
                     x, new_kv = llama_layer_serve(
                         lp, cfg, policy, x, cos, sin, mask,
                         kv=kvi, cache_pos=pos, lengths=lengths,
+                        window=cfg.sliding_window,
                     )
                 return (x,) + tuple(new_kv), None
 

@@ -43,7 +43,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
 from flexq_tpu.kernels.fused_quant import glu_quant, quant_act, rmsnorm_quant
-from flexq_tpu.models.llama import apply_rope, rmsnorm, rope_cos_sin
+from flexq_tpu.models.llama import apply_rope, rmsnorm, rope_for_cfg
 from flexq_tpu.models.quantized import (
     _ffn_width,
     _qlinear,
@@ -60,6 +60,12 @@ def _check(cfg: ModelConfig, policy: QuantPolicy, params) -> None:
     assert "qkv_proj" not in params["layers"][0], (
         "sp serving v1 takes non-fused projections (quantize_params fuse=False)"
     )
+    if cfg.sliding_window is not None:
+        raise NotImplementedError(
+            "sequence-parallel serving does not implement sliding-window "
+            "masks (a windowed model's live KV fits one chip; use the dense "
+            "or paged single/TP paths)"
+        )
 
 
 # --------------------------------------------------------------- prefill
@@ -126,7 +132,7 @@ def sp_prefill(
         my = jax.lax.axis_index("seq")
         bb, c = ids_local.shape
         pos = my * c + jnp.broadcast_to(jnp.arange(c), (bb, c))
-        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+        cos, sin = rope_for_cfg(pos, cfg)
         x = params["embed"][ids_local]
         ks, vs = [], []
         for lp in params["layers"]:
@@ -299,7 +305,7 @@ def sp_decode_step(
     def body(params, tok, tk, tv, t, *pcache):
         b = tok.shape[0]
         pos = jnp.broadcast_to(prompt_len + t, (b, 1))
-        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+        cos, sin = rope_for_cfg(pos, cfg)
         x = params["embed"][tok]
         for li, lp in enumerate(params["layers"]):
             x, tk, tv = _sp_decode_layer(

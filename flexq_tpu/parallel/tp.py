@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
-from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_cos_sin
+from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_for_cfg
 from flexq_tpu.models.quantized import llama_layer_serve
 
 COL_LINEARS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "fc1")
@@ -157,8 +157,8 @@ def tp_forward_local(
         x = x + params["pos_embed"][pos + POS_OFFSET]
         cos = sin = None
     else:
-        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
-    m = mask if mask is not None else causal_mask(l, l)
+        cos, sin = rope_for_cfg(pos, cfg)
+    m = mask if mask is not None else causal_mask(l, l, window=cfg.sliding_window)
     have = kv is not None
     kind = kv[0] if have else None
     if have:
@@ -194,12 +194,12 @@ def tp_forward_local(
 
             x, new_kv = llama_layer_serve_prefill(
                 lp, lcfg, x, cos, sin, m, kv=kvi, cache_pos=cache_pos,
-                tp_axis=axis, lengths=lengths,
+                tp_axis=axis, lengths=lengths, window=cfg.sliding_window,
             )
         else:
             x, new_kv = llama_layer_serve(
                 lp, lcfg, policy, x, cos, sin, m, kv=kvi, cache_pos=cache_pos,
-                tp_axis=axis, lengths=lengths,
+                tp_axis=axis, lengths=lengths, window=cfg.sliding_window,
             )
         if new_kv is not None:
             pieces[: len(new_kv)] = list(new_kv)

@@ -175,14 +175,14 @@ def collect_llama_act_stats(
         attention_core,
         causal_mask,
         rmsnorm,
-        rope_cos_sin,
+        rope_for_cfg,
     )
 
     b, l = ids.shape
     x = params["embed"][ids]
     positions = jnp.broadcast_to(jnp.arange(l), (b, l))
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-    mask = causal_mask(l, l)
+    cos, sin = rope_for_cfg(positions, cfg)
+    mask = causal_mask(l, l, window=cfg.sliding_window)
     stats = []
 
     def absmax(t):  # [.., C] -> [C]

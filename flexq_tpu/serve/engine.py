@@ -27,18 +27,25 @@ from flexq_tpu.models.quantized import forward_serve
 from flexq_tpu.serve.sampling import SamplingParams, process_logits, sample
 
 
-def prefill_mask(l: int, max_len: int) -> jax.Array:
-    """Causal mask for queries 0..l-1 over a max_len cache (tail masked)."""
+def prefill_mask(l: int, max_len: int, window=None) -> jax.Array:
+    """Causal mask for queries 0..l-1 over a max_len cache (tail masked).
+    ``window`` adds the Mistral sliding-window lower bound."""
     qi = jnp.arange(l)[:, None]
     ki = jnp.arange(max_len)[None, :]
-    m = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)
+    ok = ki <= qi
+    if window is not None:
+        ok &= ki > qi - window
+    m = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
     return m[None, None]
 
 
-def decode_mask(pos: jax.Array, max_len: int) -> jax.Array:
+def decode_mask(pos: jax.Array, max_len: int, window=None) -> jax.Array:
     """Mask for a single query at position `pos` over the cache."""
     ki = jnp.arange(max_len)[None, :]
-    m = jnp.where(ki <= pos, 0.0, jnp.finfo(jnp.float32).min)
+    ok = ki <= pos
+    if window is not None:
+        ok &= ki > pos - window
+    m = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
     return m[None, None]
 
 
@@ -209,7 +216,7 @@ class Engine:
     def _prefill(self, params, ids, cache, prompt_len: int):
         b, l = ids.shape
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
-        mask = prefill_mask(l, self.max_seq_len)
+        mask = prefill_mask(l, self.max_seq_len, self.cfg.sliding_window)
         last = prompt_len == l  # generate() always passes full-length ids
         logits, kv = self._fwd(
             params, ids, cache, positions, jnp.int32(0), mask,
@@ -228,7 +235,10 @@ class Engine:
         positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
         qi = start + jnp.arange(c)[:, None]
         ki = jnp.arange(self.max_seq_len)[None, :]
-        mask = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        ok = ki <= qi
+        if self.cfg.sliding_window is not None:
+            ok &= ki > qi - self.cfg.sliding_window
+        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
         logits, kv = self._fwd(
             params, ids, cache, positions, start, mask,
             prefill_bf16=c >= self.prefill_bf16_threshold, last_only=True,
@@ -263,9 +273,10 @@ class Engine:
         sv = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
         positions = sv[:, None] + jnp.arange(c)[None, :]
         ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-        mask = jnp.where(
-            ki <= positions[:, None, :, None], 0.0, jnp.finfo(jnp.float32).min
-        )
+        ok = ki <= positions[:, None, :, None]
+        if self.cfg.sliding_window is not None:
+            ok &= ki > positions[:, None, :, None] - self.cfg.sliding_window
+        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
         return self._fwd(params, ids, cache, positions, sv, mask)
 
     def _spec_verify(self, params, ids, cache, start):
@@ -275,7 +286,7 @@ class Engine:
     def _decode_step(self, params, ids, cache, pos):
         b = ids.shape[0]
         positions = jnp.broadcast_to(pos, (b, 1))
-        mask = decode_mask(pos, self.max_seq_len)
+        mask = decode_mask(pos, self.max_seq_len, self.cfg.sliding_window)
         logits, kv = self._fwd(params, ids, cache, positions, pos, mask)
         return logits[:, 0], kv
 
@@ -331,7 +342,7 @@ class Engine:
                 logits, pieces = tp_forward_local(
                     params, self.cfg, lcfg, self.policy, nxt, kv=kv_t,
                     positions=jnp.broadcast_to(pos, (b, 1)), cache_pos=pos,
-                    mask=decode_mask(pos, self.max_seq_len),
+                    mask=decode_mask(pos, self.max_seq_len, self.cfg.sliding_window),
                 )
                 return logits[:, 0], pieces
 
@@ -469,10 +480,10 @@ class Engine:
                 sv = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
                 positions = sv[:, None] + jnp.arange(c)[None, :]
                 ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-                mask = jnp.where(
-                    ki <= positions[:, None, :, None], 0.0,
-                    jnp.finfo(jnp.float32).min,
-                )
+                ok = ki <= positions[:, None, :, None]
+                if self.cfg.sliding_window is not None:
+                    ok &= ki > positions[:, None, :, None] - self.cfg.sliding_window
+                mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
                 logits, pieces = tp_forward_local(
                     params, self.cfg, lcfg, self.policy, ids,
                     kv=("dense8" if quant else "dense",) + tuple(cache_i),

@@ -344,9 +344,10 @@ class BatchScheduler:
         """One decode step over all slots; per-slot positions [S].
         ``cache`` = (k, v) or (k, v, ks, vs) for the int8 quantized cache."""
         ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-        mask = jnp.where(
-            ki <= positions[:, None, None, None], 0.0, jnp.finfo(jnp.float32).min
-        )
+        ok = ki <= positions[:, None, None, None]
+        if self.cfg.sliding_window is not None:
+            ok &= ki > positions[:, None, None, None] - self.cfg.sliding_window
+        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
         logits, kv = self._forward(
             params, ids, cache, positions[:, None], positions, mask=mask
         )
@@ -451,9 +452,10 @@ class BatchScheduler:
                 else:
                     def step_fwd(lt, c, p):
                         ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-                        mask = jnp.where(
-                            ki <= p[:, None, None, None], 0.0, NEG_INF
-                        )
+                        ok = ki <= p[:, None, None, None]
+                        if self.cfg.sliding_window is not None:
+                            ok &= ki > p[:, None, None, None] - self.cfg.sliding_window
+                        mask = jnp.where(ok, 0.0, NEG_INF)
                         logits, kv = self._forward(
                             params, lt, c, p[:, None], p, mask=mask
                         )
@@ -509,9 +511,10 @@ class BatchScheduler:
                 else:
                     kv_t = ("dense8" if quant else "dense",) + tuple(c)
                     ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-                    mask = jnp.where(
-                        ki <= p[:, None, None, None], 0.0, NEG_INF
-                    )
+                    ok = ki <= p[:, None, None, None]
+                    if self.cfg.sliding_window is not None:
+                        ok &= ki > p[:, None, None, None] - self.cfg.sliding_window
+                    mask = jnp.where(ok, 0.0, NEG_INF)
                 logits, pieces = tp_forward_local(
                     params, self.cfg, lcfg, self.policy, lt, kv=kv_t,
                     positions=p[:, None], cache_pos=p, mask=mask,
@@ -584,7 +587,7 @@ class BatchScheduler:
                     )
                 logits, kv = self._forward(
                     params, ids, cache, None, jnp.int32(0),
-                    mask=prefill_mask(ids.shape[1], bucket),
+                    mask=prefill_mask(ids.shape[1], bucket, self.cfg.sliding_window),
                     prefill_bf16=ids.shape[1] >= 64, last_only=True,
                 )
                 return logits[:, -1], kv
@@ -627,9 +630,10 @@ class BatchScheduler:
                 positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
                 qi = start + jnp.arange(c)[:, None]
                 ki = jnp.arange(bucket)[None, :]
-                mask = jnp.where(
-                    ki <= qi, 0.0, jnp.finfo(jnp.float32).min
-                )[None, None]
+                ok = ki <= qi
+                if self.cfg.sliding_window is not None:
+                    ok &= ki > qi - self.cfg.sliding_window
+                mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
                 logits, kv = self._forward(
                     params, ids, cache, positions, start, mask=mask,
                     prefill_bf16=ids.shape[1] >= 64,
