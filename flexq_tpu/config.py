@@ -38,7 +38,10 @@ class ModelConfig:
     attn_bias: bool = False  # OPT linears carry biases
     ffn_bias: bool = False
     # LLaMA-family variants
-    qkv_bias: bool = False  # Qwen2: bias on q/k/v projections only
+    # qkv_bias records that the checkpoint's q/k/v carry biases (Qwen2);
+    # INFORMATIONAL — the forward paths dispatch on the presence of "b"
+    # keys in the param tree, which is authoritative.
+    qkv_bias: bool = False
     sliding_window: Optional[int] = None  # Mistral: local attention window
     # LLaMA-3.1 rope frequency scaling (HF rope_type "llama3"):
     # (factor, low_freq_factor, high_freq_factor, original_max_position_embeddings)
@@ -49,6 +52,9 @@ class ModelConfig:
         # unhashable (ModelConfig rides as a jit static); coerce back.
         if isinstance(self.rope_scaling, list):
             object.__setattr__(self, "rope_scaling", tuple(self.rope_scaling))
+        if self.sliding_window is not None and self.sliding_window < 1:
+            # window 0 would mask every key (NaN softmax); fail at parse time
+            raise ValueError(f"sliding_window must be >= 1, got {self.sliding_window}")
 
     @property
     def num_kv_groups(self) -> int:

@@ -59,6 +59,18 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         if model_type == "mistral":
             window = get("sliding_window")
         elif model_type == "qwen2" and get("use_sliding_window", False):
+            # HF applies the window only to layers >= max_window_layers
+            # (modeling_qwen2 layer gate); cfg.sliding_window is global, so
+            # only the all-layers case is representable — refuse hybrids
+            # rather than silently diverging. (Released Qwen2/2.5 configs
+            # ship use_sliding_window=false, so this path is rare.)
+            mwl = get("max_window_layers", 0) or 0
+            if mwl > 0:
+                raise ValueError(
+                    f"qwen2 max_window_layers={mwl} (hybrid full/windowed "
+                    "layers) is not supported; only max_window_layers=0 "
+                    "(all layers windowed) or use_sliding_window=false"
+                )
             window = get("sliding_window")
         return ModelConfig.llama(
             vocab_size=get("vocab_size"),

@@ -287,6 +287,25 @@ def causal_mask(
     return m[None, None].astype(dtype)
 
 
+def span_mask(
+    pos_q: jax.Array,  # int32 [B, Lq] absolute query positions
+    max_len: int,
+    window: Optional[int] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Additive causal mask [B, 1, Lq, max_len] for queries at absolute
+    positions ``pos_q`` over a max_len cache: query (b, i) sees keys at
+    positions <= pos_q[b, i] (and, with ``window``, > pos_q[b, i] - window —
+    the Mistral sliding-window lower bound). The single mask builder behind
+    engine/scheduler/PP decode, chunked-prefill, and spec-verify masks."""
+    ki = jnp.arange(max_len)[None, None, None, :]
+    pq = pos_q[:, None, :, None]
+    ok = ki <= pq
+    if window is not None:
+        ok &= ki > pq - window
+    return jnp.where(ok, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
 def decoder_layer(
     lp: Dict[str, Any],
     cfg: ModelConfig,

@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
-from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_for_cfg
+from flexq_tpu.models.llama import causal_mask, rmsnorm, rope_for_cfg, span_mask
 from flexq_tpu.models.quantized import llama_layer_serve
 
 
@@ -226,11 +226,7 @@ def serve_step_pp(
         else:
             cos, sin = rope_for_cfg(positions, cfg)
         s_max = kv_t[0].shape[3]
-        ki = jnp.arange(s_max)[None, None, None, :]
-        ok = ki <= positions[:, None, :, None]
-        if cfg.sliding_window is not None:
-            ok &= ki > positions[:, None, :, None] - cfg.sliding_window
-        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+        mask = span_mask(positions, s_max, cfg.sliding_window)
         lengths = sv + l
 
         def run_stage(x, *kv_s):

@@ -188,26 +188,32 @@ def collect_llama_act_stats(
     def absmax(t):  # [.., C] -> [C]
         return np.asarray(jnp.max(jnp.abs(t.astype(jnp.float32)), axis=tuple(range(t.ndim - 1))))
 
+    def lin(fc, h):  # biased projections (Qwen2 q/k/v) must match the model
+        y = h @ fc["w"]
+        if fc.get("b") is not None:
+            y = y + fc["b"].astype(y.dtype)
+        return y
+
     for lp in params["layers"]:
         st: Dict[str, np.ndarray] = {}
         h = rmsnorm(x, lp["input_norm"], cfg.norm_eps)
         st["qkv_in"] = absmax(h)
-        q = (h @ lp["q_proj"]["w"]).reshape(b, l, cfg.num_heads, cfg.head_dim)
-        k = (h @ lp["k_proj"]["w"]).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
-        v = (h @ lp["v_proj"]["w"]).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+        q = lin(lp["q_proj"], h).reshape(b, l, cfg.num_heads, cfg.head_dim)
+        k = lin(lp["k_proj"], h).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+        v = lin(lp["v_proj"], h).reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
         st["v_out"] = absmax(v.reshape(b, l, -1))
         st["q_out"] = absmax(q.reshape(b, l, -1))  # pre-rope (fold site)
         st["k_out"] = absmax(k.reshape(b, l, -1))
         q, k = apply_rope(q, k, cos, sin)
         attn = attention_core(q, k, v, mask, cfg.num_kv_groups)
         st["o_in"] = absmax(attn)
-        x = x + attn @ lp["o_proj"]["w"]
+        x = x + lin(lp["o_proj"], attn)
         h = rmsnorm(x, lp["post_norm"], cfg.norm_eps)
         st["ffn_in"] = absmax(h)
-        gate = h @ lp["gate_proj"]["w"]
-        up = h @ lp["up_proj"]["w"]
+        gate = lin(lp["gate_proj"], h)
+        up = lin(lp["up_proj"], h)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-        x = x + act @ lp["down_proj"]["w"]
+        x = x + lin(lp["down_proj"], act)
         stats.append(st)
     return stats
 

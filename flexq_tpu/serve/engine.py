@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
-from flexq_tpu.models.llama import causal_mask
+from flexq_tpu.models.llama import causal_mask, span_mask
 from flexq_tpu.models.quantized import forward_serve
 from flexq_tpu.serve.sampling import SamplingParams, process_logits, sample
 
@@ -30,23 +30,12 @@ from flexq_tpu.serve.sampling import SamplingParams, process_logits, sample
 def prefill_mask(l: int, max_len: int, window=None) -> jax.Array:
     """Causal mask for queries 0..l-1 over a max_len cache (tail masked).
     ``window`` adds the Mistral sliding-window lower bound."""
-    qi = jnp.arange(l)[:, None]
-    ki = jnp.arange(max_len)[None, :]
-    ok = ki <= qi
-    if window is not None:
-        ok &= ki > qi - window
-    m = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
-    return m[None, None]
+    return span_mask(jnp.arange(l)[None], max_len, window)
 
 
 def decode_mask(pos: jax.Array, max_len: int, window=None) -> jax.Array:
     """Mask for a single query at position `pos` over the cache."""
-    ki = jnp.arange(max_len)[None, :]
-    ok = ki <= pos
-    if window is not None:
-        ok &= ki > pos - window
-    m = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
-    return m[None, None]
+    return span_mask(jnp.reshape(jnp.asarray(pos, jnp.int32), (1, 1)), max_len, window)
 
 
 class Engine:
@@ -233,12 +222,10 @@ class Engine:
         """
         b, c = ids.shape
         positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
-        qi = start + jnp.arange(c)[:, None]
-        ki = jnp.arange(self.max_seq_len)[None, :]
-        ok = ki <= qi
-        if self.cfg.sliding_window is not None:
-            ok &= ki > qi - self.cfg.sliding_window
-        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        mask = span_mask(
+            (start + jnp.arange(c))[None], self.max_seq_len,
+            self.cfg.sliding_window,
+        )
         logits, kv = self._fwd(
             params, ids, cache, positions, start, mask,
             prefill_bf16=c >= self.prefill_bf16_threshold, last_only=True,
@@ -272,11 +259,7 @@ class Engine:
         b, c = ids.shape
         sv = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
         positions = sv[:, None] + jnp.arange(c)[None, :]
-        ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-        ok = ki <= positions[:, None, :, None]
-        if self.cfg.sliding_window is not None:
-            ok &= ki > positions[:, None, :, None] - self.cfg.sliding_window
-        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+        mask = span_mask(positions, self.max_seq_len, self.cfg.sliding_window)
         return self._fwd(params, ids, cache, positions, sv, mask)
 
     def _spec_verify(self, params, ids, cache, start):
@@ -479,11 +462,9 @@ class Engine:
                 b, c = ids.shape
                 sv = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
                 positions = sv[:, None] + jnp.arange(c)[None, :]
-                ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-                ok = ki <= positions[:, None, :, None]
-                if self.cfg.sliding_window is not None:
-                    ok &= ki > positions[:, None, :, None] - self.cfg.sliding_window
-                mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+                mask = span_mask(
+                    positions, self.max_seq_len, self.cfg.sliding_window
+                )
                 logits, pieces = tp_forward_local(
                     params, self.cfg, lcfg, self.policy, ids,
                     kv=("dense8" if quant else "dense",) + tuple(cache_i),

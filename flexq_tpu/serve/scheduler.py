@@ -28,6 +28,7 @@ import numpy as np
 from flexq_tpu.config import ModelConfig, QuantPolicy
 from flexq_tpu.models.quantized import forward_serve
 from flexq_tpu.serve.engine import prefill_mask
+from flexq_tpu.models.llama import span_mask
 from flexq_tpu.serve.sampling import (
     NEG_INF, SamplingParams, dynamic_params, process_logits,
     process_logits_dynamic, sample, structural_key,
@@ -343,11 +344,9 @@ class BatchScheduler:
     def _step_fn(self, params, ids, cache, positions):
         """One decode step over all slots; per-slot positions [S].
         ``cache`` = (k, v) or (k, v, ks, vs) for the int8 quantized cache."""
-        ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-        ok = ki <= positions[:, None, None, None]
-        if self.cfg.sliding_window is not None:
-            ok &= ki > positions[:, None, None, None] - self.cfg.sliding_window
-        mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+        mask = span_mask(
+            positions[:, None], self.max_seq_len, self.cfg.sliding_window
+        )
         logits, kv = self._forward(
             params, ids, cache, positions[:, None], positions, mask=mask
         )
@@ -451,11 +450,10 @@ class BatchScheduler:
                         return logits[:, 0], kv
                 else:
                     def step_fwd(lt, c, p):
-                        ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-                        ok = ki <= p[:, None, None, None]
-                        if self.cfg.sliding_window is not None:
-                            ok &= ki > p[:, None, None, None] - self.cfg.sliding_window
-                        mask = jnp.where(ok, 0.0, NEG_INF)
+                        mask = span_mask(
+                            p[:, None], self.max_seq_len,
+                            self.cfg.sliding_window,
+                        )
                         logits, kv = self._forward(
                             params, lt, c, p[:, None], p, mask=mask
                         )
@@ -510,11 +508,9 @@ class BatchScheduler:
                     mask = None
                 else:
                     kv_t = ("dense8" if quant else "dense",) + tuple(c)
-                    ki = jnp.arange(self.max_seq_len)[None, None, None, :]
-                    ok = ki <= p[:, None, None, None]
-                    if self.cfg.sliding_window is not None:
-                        ok &= ki > p[:, None, None, None] - self.cfg.sliding_window
-                    mask = jnp.where(ok, 0.0, NEG_INF)
+                    mask = span_mask(
+                        p[:, None], self.max_seq_len, self.cfg.sliding_window
+                    )
                 logits, pieces = tp_forward_local(
                     params, self.cfg, lcfg, self.policy, lt, kv=kv_t,
                     positions=p[:, None], cache_pos=p, mask=mask,
@@ -628,12 +624,10 @@ class BatchScheduler:
             def fn(params, ids, cache, start):
                 b, c = ids.shape
                 positions = start + jnp.broadcast_to(jnp.arange(c), (b, c))
-                qi = start + jnp.arange(c)[:, None]
-                ki = jnp.arange(bucket)[None, :]
-                ok = ki <= qi
-                if self.cfg.sliding_window is not None:
-                    ok &= ki > qi - self.cfg.sliding_window
-                mask = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+                mask = span_mask(
+                    (start + jnp.arange(c))[None], bucket,
+                    self.cfg.sliding_window,
+                )
                 logits, kv = self._forward(
                     params, ids, cache, positions, start, mask=mask,
                     prefill_bf16=ids.shape[1] >= 64,

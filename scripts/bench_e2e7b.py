@@ -49,6 +49,7 @@ def synth_llama7b_quantized(policy, seed: int = 0):
     from flexq_tpu.models.quantized import quantize_linear
 
     h, f, nl, nh, nkv = _MODEL_DIMS[os.environ.get("FLEXQ_BENCH_MODEL", "7b")]
+    window = int(os.environ.get("FLEXQ_BENCH_WINDOW", "0")) or None
     cfg = ModelConfig.llama(
         vocab_size=32000,
         hidden_size=h,
@@ -57,6 +58,7 @@ def synth_llama7b_quantized(policy, seed: int = 0):
         num_heads=nh,
         num_kv_heads=nkv,
         max_seq_len=MAX_LEN,
+        sliding_window=window,  # Mistral-7B shape: FLEXQ_BENCH_WINDOW=4096
     )
     key = jax.random.PRNGKey(seed)
     keys = jax.random.split(key, cfg.num_layers + 3)
@@ -190,7 +192,7 @@ def decode_step_fn(cfg, policy, quant_cache):
             kv_k=cache[0],
             kv_v=cache[1],
             cache_pos=pos,
-            mask=decode_mask(pos, MAX_LEN),
+            mask=decode_mask(pos, MAX_LEN, cfg.sliding_window),
             **scales,
         )
         return logits[:, 0], kv

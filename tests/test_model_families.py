@@ -418,3 +418,47 @@ def test_unsupported_rope_type_raises():
                 "rope_scaling": {"rope_type": "yarn", "factor": 2.0},
             }
         )
+
+
+def test_sliding_window_zero_rejected():
+    from flexq_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="sliding_window"):
+        ModelConfig.llama(sliding_window=0)
+
+
+def test_qwen2_hybrid_window_layers_rejected():
+    """HF windows only layers >= max_window_layers; the global
+    cfg.sliding_window cannot represent that hybrid — refuse loudly."""
+    with pytest.raises(ValueError, match="max_window_layers"):
+        config_from_hf(
+            {
+                "model_type": "qwen2",
+                "vocab_size": 256,
+                "hidden_size": 128,
+                "intermediate_size": 256,
+                "num_hidden_layers": 28,
+                "num_attention_heads": 4,
+                "use_sliding_window": True,
+                "sliding_window": 4096,
+                "max_window_layers": 20,
+            }
+        )
+
+
+def test_smooth_fold_invariance_with_qwen2_biases():
+    """collect_llama_act_stats must apply the q/k/v biases (the residual
+    stream it propagates feeds every deeper layer's statistics), and the
+    folds must leave the biased forward exactly invariant."""
+    from flexq_tpu.quant.smooth import collect_llama_act_stats, smooth_llama
+    from flexq_tpu.models.llama import forward as fwd
+
+    model = tiny_qwen2()
+    cfg = config_from_hf(model.config)
+    params = from_hf_llama(model, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 16)))
+    stats = collect_llama_act_stats(params, cfg, ids)
+    sm = smooth_llama(params, cfg, stats, alpha=0.5, fold_qk=True)
+    a = np.asarray(fwd(params, cfg, ids))
+    b = np.asarray(fwd(sm, cfg, ids))
+    assert np.abs(a - b).max() < 1e-3
