@@ -46,6 +46,12 @@ class ModelConfig:
     # LLaMA-3.1 rope frequency scaling (HF rope_type "llama3"):
     # (factor, low_freq_factor, high_freq_factor, original_max_position_embeddings)
     rope_scaling: Optional[Tuple[float, float, float, int]] = None
+    # Gemma variants. norm_offset records that LOADERS store gamma+offset
+    # (GemmaRMSNorm computes x*(1+w): folding the +1 at load keeps every
+    # rmsnorm/rmsnorm_quant kernel unchanged). embed_scale multiplies the
+    # embedding output (Gemma: sqrt(hidden_size)).
+    norm_offset: float = 0.0
+    embed_scale: Optional[float] = None
 
     def __post_init__(self):
         # meta.json round-trip: JSON turns the tuple into a list, which is
@@ -71,7 +77,8 @@ class ModelConfig:
         max_seq_len=2048,
         rope_theta=10000.0,
         norm_eps=1e-5,
-        head_dim=None,  # Mistral-NeMo-style override (else hidden/heads)
+        head_dim=None,  # Mistral-NeMo / Gemma-style override (else hidden/heads)
+        act="silu",  # Gemma: "gelu" (tanh-approx GeGLU)
         **kw,
     ) -> "ModelConfig":
         return ModelConfig(
@@ -86,7 +93,7 @@ class ModelConfig:
             rope_theta=rope_theta,
             norm_eps=norm_eps,
             arch="llama",
-            act="silu",
+            act=act,
             **kw,
         )
 

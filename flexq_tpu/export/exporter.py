@@ -192,8 +192,14 @@ def export_checkpoint(
     for i in range(cfg.num_layers):
         prefix = f"model.layers.{i}."
         out: Dict[str, np.ndarray] = {
-            "input_norm": _np_bf16(t(prefix + "input_layernorm.weight")),
-            "post_norm": _np_bf16(t(prefix + "post_attention_layernorm.weight")),
+            # cfg.norm_offset folds Gemma's (1+w) rmsnorm into the stored
+            # gamma (same convention as hf_loader.load_checkpoint)
+            "input_norm": _np_bf16(
+                t(prefix + "input_layernorm.weight") + cfg.norm_offset
+            ),
+            "post_norm": _np_bf16(
+                t(prefix + "post_attention_layernorm.weight") + cfg.norm_offset
+            ),
         }
         for name, hf in hf_names.items():
             w = t(prefix + hf + ".weight", transpose=True)  # [K, N]
@@ -232,7 +238,7 @@ def export_checkpoint(
 
     top: Dict[str, np.ndarray] = {
         "embed": _np_bf16(t("model.embed_tokens.weight")),
-        "final_norm": _np_bf16(t("model.norm.weight")),
+        "final_norm": _np_bf16(t("model.norm.weight") + cfg.norm_offset),
     }
     if "lm_head.weight" in tensors and not cfg.tie_word_embeddings:
         hw = t("lm_head.weight", transpose=True)  # [H, V]

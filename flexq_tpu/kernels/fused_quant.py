@@ -264,7 +264,9 @@ def _glu_quant_kernel(g_ref, u_ref, q_ref, s_ref, *, bits, act):
     if act == "silu":
         y = g * jax.nn.sigmoid(g) * u
     elif act == "gelu":
-        y = jax.nn.gelu(g, approximate=False) * u
+        # tanh approximation — matches HF gelu_pytorch_tanh (Gemma GeGLU)
+        # and the w6 GLU kernels' jax.nn.gelu default
+        y = jax.nn.gelu(g) * u
     else:
         raise ValueError(act)
     q, s = _group_quant(y, bits)

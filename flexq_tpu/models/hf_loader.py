@@ -35,6 +35,30 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         lambda k, d=None: hf_cfg.get(k, d)
     )
     model_type = get("model_type", "llama")
+    if model_type == "gemma":
+        # Gemma-1 (2B MQA / 7B MHA): GeGLU MLP, (1+w) rmsnorm (folded into
+        # the stored gamma at load — see ModelConfig.norm_offset), embeds
+        # scaled by sqrt(hidden), head_dim 256, tied vocab. Gemma-2+ (soft-
+        # caps, alternating local/global layers) is NOT this path.
+        act = get("hidden_activation") or get("hidden_act") or "gelu_pytorch_tanh"
+        if act not in ("gelu", "gelu_pytorch_tanh"):
+            raise ValueError(f"unsupported gemma activation {act!r}")
+        return ModelConfig.llama(
+            vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"),
+            intermediate_size=get("intermediate_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_key_value_heads") or get("num_attention_heads"),
+            max_seq_len=get("max_position_embeddings", 8192),
+            rope_theta=get("rope_theta", 10000.0),
+            norm_eps=get("rms_norm_eps", 1e-6),
+            tie_word_embeddings=bool(get("tie_word_embeddings", True)),
+            head_dim=get("head_dim"),
+            act="gelu",
+            norm_offset=1.0,
+            embed_scale=float(get("hidden_size")) ** 0.5,
+        )
     if model_type in ("llama", "mistral", "qwen2"):
         # One llama-family graph covers all three: Mistral adds the sliding
         # window (+ optional head_dim override, e.g. NeMo's 128 @ hidden
@@ -103,9 +127,16 @@ def config_from_hf(hf_cfg) -> ModelConfig:
 
 
 def from_hf_llama(model, dtype=jnp.float32) -> Dict[str, Any]:
-    """transformers {Llama,Mistral,Qwen2}ForCausalLM → param pytree."""
+    """transformers {Llama,Mistral,Qwen2,Gemma}ForCausalLM → param pytree."""
     sd = model.state_dict()
     n_layers = model.config.num_hidden_layers
+    # GemmaRMSNorm computes x*(1+w); fold the +1 into the stored gamma so
+    # the rmsnorm kernels stay family-agnostic (ModelConfig.norm_offset)
+    noff = 1.0 if getattr(model.config, "model_type", "llama") == "gemma" else 0.0
+
+    def norm(key):
+        return _t(sd[key], dtype) + noff if noff else _t(sd[key], dtype)
+
     layers = []
     for i in range(n_layers):
         p = f"model.layers.{i}."
@@ -118,8 +149,8 @@ def from_hf_llama(model, dtype=jnp.float32) -> Dict[str, Any]:
 
         layers.append(
             {
-                "input_norm": _t(sd[p + "input_layernorm.weight"], dtype),
-                "post_norm": _t(sd[p + "post_attention_layernorm.weight"], dtype),
+                "input_norm": norm(p + "input_layernorm.weight"),
+                "post_norm": norm(p + "post_attention_layernorm.weight"),
                 "q_proj": lin("self_attn.q_proj"),
                 "k_proj": lin("self_attn.k_proj"),
                 "v_proj": lin("self_attn.v_proj"),
@@ -131,7 +162,7 @@ def from_hf_llama(model, dtype=jnp.float32) -> Dict[str, Any]:
         )
     params = {
         "embed": _t(sd["model.embed_tokens.weight"], dtype),
-        "final_norm": _t(sd["model.norm.weight"], dtype),
+        "final_norm": norm("model.norm.weight"),
         "layers": layers,
     }
     if "lm_head.weight" in sd and not model.config.tie_word_embeddings:
@@ -220,6 +251,10 @@ def load_checkpoint(
         return out.T if transpose else out
 
     if cfg.arch == "llama":
+        def norm(key):
+            g = t(key)
+            return g + cfg.norm_offset if cfg.norm_offset else g
+
         layers = []
         for i in range(cfg.num_layers):
             p = f"model.layers.{i}."
@@ -232,8 +267,8 @@ def load_checkpoint(
 
             layers.append(
                 {
-                    "input_norm": t(p + "input_layernorm.weight"),
-                    "post_norm": t(p + "post_attention_layernorm.weight"),
+                    "input_norm": norm(p + "input_layernorm.weight"),
+                    "post_norm": norm(p + "post_attention_layernorm.weight"),
                     "q_proj": lin("self_attn.q_proj"),
                     "k_proj": lin("self_attn.k_proj"),
                     "v_proj": lin("self_attn.v_proj"),
@@ -245,7 +280,7 @@ def load_checkpoint(
             )
         params = {
             "embed": t("model.embed_tokens.weight"),
-            "final_norm": t("model.norm.weight"),
+            "final_norm": norm("model.norm.weight"),
             "layers": layers,
         }
         if "lm_head.weight" in tensors and not cfg.tie_word_embeddings:

@@ -341,7 +341,9 @@ def decoder_layer(
     h = rmsnorm(x, lp["post_norm"], cfg.norm_eps)
     gate = _linear(lp, "gate_proj", h, policy)
     up = _linear(lp, "up_proj", h, policy)
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+    gf = gate.astype(jnp.float32)
+    a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)  # gelu = tanh approx (Gemma)
+    act = a.astype(gate.dtype) * up
     down = _linear(lp, "down_proj", act, policy)
     x = x + down
     return x, new_kv
@@ -358,6 +360,8 @@ def forward(
     reference algorithm/main.py:96-121)."""
     b, l = ids.shape
     x = params["embed"][ids]
+    if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
     cos, sin = rope_for_cfg(positions, cfg)

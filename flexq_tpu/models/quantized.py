@@ -602,7 +602,7 @@ def llama_layer_serve_prefill(
 
         gu = lp["gate_up"]
         act = w6_glu_fused_bf16(
-            h, gu["hi"], gu["lo"], gu["scale"], act="silu", out_dtype=dtype
+            h, gu["hi"], gu["lo"], gu["scale"], act=cfg.act, out_dtype=dtype
         )
         down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
         if tp_axis is not None:
@@ -618,12 +618,14 @@ def llama_layer_serve_prefill(
 
         act = w6_glu_matmul_bf16(
             h, gq["hi"], gq["lo"], gq["scale"], uq["hi"], uq["lo"], uq["scale"],
-            act="silu", out_dtype=dtype,
+            act=cfg.act, out_dtype=dtype,
         )
     else:
         gate = _qlinear_bf16(gq, h, dtype, ffn_pad)
         up = _qlinear_bf16(uq, h, dtype, ffn_pad)
-        act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(dtype)
+        gf = gate.astype(jnp.float32)
+        a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)
+        act = (a * up.astype(jnp.float32)).astype(dtype)
     down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
     if tp_axis is not None:
         down = jax.lax.psum(down, tp_axis)
@@ -706,7 +708,7 @@ def llama_layer_serve(
     else:
         gate = _qlinear(lp["gate_proj"], fq, fs, dtype, ffn_pad)
         up = _qlinear(lp["up_proj"], fq, fs, dtype, ffn_pad)
-    dq, ds = glu_quant(gate, up, bits=policy.act_bits.get("down_proj", 8), act="silu")
+    dq, ds = glu_quant(gate, up, bits=policy.act_bits.get("down_proj", 8), act=cfg.act)
     down = _qlinear(lp["down_proj"], dq, ds, dtype, hidden)
     if tp_axis is not None:
         down = jax.lax.psum(down, tp_axis)
@@ -899,6 +901,8 @@ def forward_serve(
     """
     b, l = ids.shape
     x = params["embed"][ids]
+    if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(l), (b, l))
     is_opt = cfg.arch == "opt"

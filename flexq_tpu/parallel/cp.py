@@ -116,6 +116,8 @@ def forward_sp(
         positions = my * c + jnp.broadcast_to(jnp.arange(c), (b, c))
         cos, sin = rope_for_cfg(positions, cfg)
         x = params["embed"][ids_local]
+        if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+            x = x * jnp.asarray(cfg.embed_scale, x.dtype)
         for lp in params["layers"]:
             h = rmsnorm(x, lp["input_norm"], cfg.norm_eps)
             q = (h @ lp["q_proj"]["w"]).reshape(b, c, cfg.num_heads, cfg.head_dim)
@@ -127,7 +129,8 @@ def forward_sp(
             h = rmsnorm(x, lp["post_norm"], cfg.norm_eps)
             gate = h @ lp["gate_proj"]["w"]
             up = h @ lp["up_proj"]["w"]
-            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+            gf = gate.astype(jnp.float32)
+            act = (jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)).astype(gate.dtype) * up
             x = x + act @ lp["down_proj"]["w"]
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         head = params.get("lm_head")

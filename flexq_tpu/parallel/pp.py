@@ -131,6 +131,8 @@ def forward_serve_pp(
         for t in range(m + pp - 1):
             # stage 0 injects microbatch t; others take the ppermuted input
             inject = params["embed"][micro[min(t, m - 1)]]
+            if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+                inject = inject * jnp.asarray(cfg.embed_scale, inject.dtype)
             x_in = jnp.where(my_stage == 0, inject, x_hold)
             x_out = run_stage(x_in)
             # pass to the next stage over ICI (boundary send/recv analogue)
@@ -256,6 +258,8 @@ def serve_step_pp(
             return out
 
         x0 = params["embed"][ids]
+        if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+            x0 = x0 * jnp.asarray(cfg.embed_scale, x0.dtype)
         if is_opt:
             from flexq_tpu.models.opt import POS_OFFSET
 

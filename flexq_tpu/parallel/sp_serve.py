@@ -93,7 +93,9 @@ def _sp_prefill_layer(lp, cfg: ModelConfig, x, cos, sin):
     ffn_pad = _ffn_width(lp["down_proj"], cfg)
     gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
     up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
-    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(dtype)
+    gf = gate.astype(jnp.float32)
+    a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)
+    act = (a * up.astype(jnp.float32)).astype(dtype)
     down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
     x2 = x2 + down
     return (
@@ -134,6 +136,8 @@ def sp_prefill(
         pos = my * c + jnp.broadcast_to(jnp.arange(c), (bb, c))
         cos, sin = rope_for_cfg(pos, cfg)
         x = params["embed"][ids_local]
+        if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+            x = x * jnp.asarray(cfg.embed_scale, x.dtype)
         ks, vs = [], []
         for lp in params["layers"]:
             x, k, v = _sp_prefill_layer(lp, cfg, x, cos, sin)
@@ -266,7 +270,7 @@ def _sp_decode_layer(lp, cfg, policy, li, x, cos, sin, pcache, tk, tv, t):
         ffn_pad = _ffn_width(lp["down_proj"], cfg)
         gate = _qlinear(lp["gate_proj"], fq, fs, dtype, ffn_pad)
         up = _qlinear(lp["up_proj"], fq, fs, dtype, ffn_pad)
-        dq, ds = glu_quant(gate, up, bits=policy.act_bits.get("down_proj", 8), act="silu")
+        dq, ds = glu_quant(gate, up, bits=policy.act_bits.get("down_proj", 8), act=cfg.act)
         down = _qlinear(lp["down_proj"], dq, ds, dtype, hidden)
         x2 = x2 + down
     else:
@@ -276,7 +280,9 @@ def _sp_decode_layer(lp, cfg, policy, li, x, cos, sin, pcache, tk, tv, t):
         ffn_pad = _ffn_width(lp["down_proj"], cfg)
         gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
         up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
-        act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(dtype)
+        gf = gate.astype(jnp.float32)
+        a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)
+        act = (a * up.astype(jnp.float32)).astype(dtype)
         x2 = x2 + _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
     return x2.reshape(b, 1, hidden), tk, tv
 
@@ -307,6 +313,8 @@ def sp_decode_step(
         pos = jnp.broadcast_to(prompt_len + t, (b, 1))
         cos, sin = rope_for_cfg(pos, cfg)
         x = params["embed"][tok]
+        if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+            x = x * jnp.asarray(cfg.embed_scale, x.dtype)
         for li, lp in enumerate(params["layers"]):
             x, tk, tv = _sp_decode_layer(
                 lp, cfg, policy, li, x, cos, sin, pcache, tk, tv, t

@@ -149,6 +149,8 @@ def tp_forward_local(
         if positions is not None
         else jnp.broadcast_to(jnp.arange(l), (b, l))
     )
+    if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     is_opt = cfg.arch == "opt"
     if is_opt:
         # reference multi_gpu_gpt: embeddings replicated, TP inside layers

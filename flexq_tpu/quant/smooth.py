@@ -180,6 +180,8 @@ def collect_llama_act_stats(
 
     b, l = ids.shape
     x = params["embed"][ids]
+    if cfg.embed_scale is not None:  # Gemma: x *= sqrt(hidden)
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     positions = jnp.broadcast_to(jnp.arange(l), (b, l))
     cos, sin = rope_for_cfg(positions, cfg)
     mask = causal_mask(l, l, window=cfg.sliding_window)
@@ -212,7 +214,8 @@ def collect_llama_act_stats(
         st["ffn_in"] = absmax(h)
         gate = lin(lp["gate_proj"], h)
         up = lin(lp["up_proj"], h)
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+        gf = gate.astype(jnp.float32)
+        act = (jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)).astype(gate.dtype) * up
         x = x + lin(lp["down_proj"], act)
         stats.append(st)
     return stats

@@ -462,3 +462,96 @@ def test_smooth_fold_invariance_with_qwen2_biases():
     a = np.asarray(fwd(params, cfg, ids))
     b = np.asarray(fwd(sm, cfg, ids))
     assert np.abs(a - b).max() < 1e-3
+
+
+# ------------------------------------------------------------------ Gemma
+
+
+def tiny_gemma(kv_heads=1, seed=0):
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = GemmaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=kv_heads,
+        head_dim=32,  # Gemma-style override (not hidden/heads)
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+    )
+    return GemmaForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("kv_heads", [1, 4])  # MQA (gemma-2b) and MHA (7b)
+def test_gemma_logits_match_hf(kv_heads):
+    model = tiny_gemma(kv_heads=kv_heads)
+    cfg = config_from_hf(model.config)
+    assert cfg.act == "gelu" and cfg.norm_offset == 1.0
+    assert cfg.embed_scale == pytest.approx(128**0.5)
+    assert cfg.head_dim == 32 and cfg.tie_word_embeddings
+    params = from_hf_llama(model, dtype=jnp.float32)
+    ids = np.random.default_rng(0).integers(0, 256, (2, 10))
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_gemma_serve_tracks_fake_quant_oracle():
+    """GeGLU + (1+w)-norm + scaled embeds through the quantized serve path
+    (exercises the gelu branch of glu_quant and the W6 GLU kernels)."""
+    model = tiny_gemma()
+    cfg = config_from_hf(model.config)
+    params = from_hf_llama(model, dtype=jnp.float32)
+    policy = QuantPolicy.llama_flex()
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, (1, 8)))
+    oracle = np.asarray(
+        forward(fake_quant_weights(params, policy), cfg, ids, policy=policy)
+    )
+    got, _ = forward_serve(
+        quantize_params(params, cfg, policy, dtype=jnp.float32), cfg, policy, ids
+    )
+    got = np.asarray(got)
+    assert np.abs(got - oracle).max() / np.abs(oracle).max() < 0.06
+    assert (got.argmax(-1) == oracle.argmax(-1)).mean() >= 0.75
+
+
+def test_gemma_engine_greedy_matches_hf():
+    from flexq_tpu.serve.engine import Engine
+
+    model = tiny_gemma()
+    cfg = config_from_hf(model.config)
+    params = from_hf_llama(model, dtype=jnp.float32)
+    policy = QuantPolicy.fp16()
+    eng = Engine(
+        quantize_params(params, cfg, policy, dtype=jnp.float32), cfg, policy,
+        max_seq_len=64,
+    )
+    prompt = np.random.default_rng(5).integers(0, 256, (1, 12))
+    out = np.asarray(eng.generate(jnp.asarray(prompt), max_new_tokens=8))
+    with torch.no_grad():
+        hf = model.generate(
+            torch.tensor(prompt), max_new_tokens=8, do_sample=False
+        ).numpy()
+    np.testing.assert_array_equal(out[0], hf[0, 12:])
+
+
+def test_gemma_prefill_bf16_glu_kernel_path():
+    """The W6A16 prefill path runs the fused GLU kernel with act=gelu;
+    its output must track the dense fake-quant oracle."""
+    model = tiny_gemma()
+    cfg = config_from_hf(model.config)
+    params = from_hf_llama(model, dtype=jnp.float32)
+    policy = QuantPolicy.llama_flex()
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, (1, 8)))
+    got, _ = forward_serve(
+        quantize_params(params, cfg, policy, dtype=jnp.float32), cfg, policy,
+        ids, prefill_bf16=True,
+    )
+    dense = np.asarray(forward(params, cfg, ids))
+    got = np.asarray(got)
+    # W6A16: weights quantized, acts exact — close to the dense model
+    assert np.abs(got - dense).max() / np.abs(dense).max() < 0.05
