@@ -193,7 +193,9 @@ def export_checkpoint(
         prefix = f"model.layers.{i}."
         out: Dict[str, np.ndarray] = {
             # cfg.norm_offset folds Gemma's (1+w) rmsnorm into the stored
-            # gamma (same convention as hf_loader.load_checkpoint)
+            # gamma (same convention as hf_loader.load_checkpoint). bf16
+            # storage rounds (1+w) near 1.0 to ~2^-9 relative — negligible
+            # against the W6 weight quantization this checkpoint carries.
             "input_norm": _np_bf16(
                 t(prefix + "input_layernorm.weight") + cfg.norm_offset
             ),

@@ -41,8 +41,15 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         # scaled by sqrt(hidden), head_dim 256, tied vocab. Gemma-2+ (soft-
         # caps, alternating local/global layers) is NOT this path.
         act = get("hidden_activation") or get("hidden_act") or "gelu_pytorch_tanh"
-        if act not in ("gelu", "gelu_pytorch_tanh"):
-            raise ValueError(f"unsupported gemma activation {act!r}")
+        if act != "gelu_pytorch_tanh":
+            # bare "gelu" is the legacy Gemma config bug: current HF runs
+            # exact erf-GELU for it, which the kernels don't implement and
+            # which diverges from Google's own (tanh) Gemma. Official
+            # checkpoints were re-released with gelu_pytorch_tanh.
+            raise ValueError(
+                f"unsupported gemma activation {act!r}; set hidden_activation "
+                "to 'gelu_pytorch_tanh' (the official Gemma semantics)"
+            )
         return ModelConfig.llama(
             vocab_size=get("vocab_size"),
             hidden_size=get("hidden_size"),
@@ -54,7 +61,7 @@ def config_from_hf(hf_cfg) -> ModelConfig:
             rope_theta=get("rope_theta", 10000.0),
             norm_eps=get("rms_norm_eps", 1e-6),
             tie_word_embeddings=bool(get("tie_word_embeddings", True)),
-            head_dim=get("head_dim"),
+            head_dim=get("head_dim") or 256,  # GemmaConfig's default
             act="gelu",
             norm_offset=1.0,
             embed_scale=float(get("hidden_size")) ** 0.5,

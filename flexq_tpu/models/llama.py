@@ -112,6 +112,17 @@ def rope_gemm_operands(cos, sin):
     )
 
 
+def act_fn(name: str, x: jax.Array) -> jax.Array:
+    """FFN gate activation by config name — the single jnp-side dispatch,
+    validated like the kernels (glu_quant / w6 GLU raise on unknown acts so
+    the oracle and serve paths can never silently diverge)."""
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "gelu":  # tanh approximation (HF gelu_pytorch_tanh, Gemma)
+        return jax.nn.gelu(x)
+    raise ValueError(f"unsupported activation {name!r}")
+
+
 def rmsnorm(x: jax.Array, gamma: jax.Array, eps: float) -> jax.Array:
     h = x.astype(jnp.float32)
     var = jnp.mean(h * h, axis=-1, keepdims=True)
@@ -341,9 +352,7 @@ def decoder_layer(
     h = rmsnorm(x, lp["post_norm"], cfg.norm_eps)
     gate = _linear(lp, "gate_proj", h, policy)
     up = _linear(lp, "up_proj", h, policy)
-    gf = gate.astype(jnp.float32)
-    a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)  # gelu = tanh approx (Gemma)
-    act = a.astype(gate.dtype) * up
+    act = act_fn(cfg.act, gate.astype(jnp.float32)).astype(gate.dtype) * up
     down = _linear(lp, "down_proj", act, policy)
     x = x + down
     return x, new_kv

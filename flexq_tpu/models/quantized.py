@@ -30,7 +30,7 @@ from flexq_tpu.kernels import (
     w6_matmul,
     w6_matmul_bf16,
 )
-from flexq_tpu.models.llama import apply_rope, attention_core, causal_mask, rmsnorm, rope_for_cfg
+from flexq_tpu.models.llama import act_fn, apply_rope, attention_core, causal_mask, rmsnorm, rope_for_cfg
 from flexq_tpu.packing import pack4, pack6
 from flexq_tpu.quant.quantizer import QuantSpec, quantize
 
@@ -623,9 +623,9 @@ def llama_layer_serve_prefill(
     else:
         gate = _qlinear_bf16(gq, h, dtype, ffn_pad)
         up = _qlinear_bf16(uq, h, dtype, ffn_pad)
-        gf = gate.astype(jnp.float32)
-        a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)
-        act = (a * up.astype(jnp.float32)).astype(dtype)
+        act = (
+            act_fn(cfg.act, gate.astype(jnp.float32)) * up.astype(jnp.float32)
+        ).astype(dtype)
     down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
     if tp_axis is not None:
         down = jax.lax.psum(down, tp_axis)

@@ -100,7 +100,7 @@ def forward_sp(
     every per-token op (embed, norms, linears, lm_head) runs on local
     slices; attention runs the K/V ring. Logits come back sequence-sharded
     and are gathered. The long-context eval path the reference lacks."""
-    from flexq_tpu.models.llama import apply_rope, rmsnorm, rope_for_cfg
+    from flexq_tpu.models.llama import act_fn, apply_rope, rmsnorm, rope_for_cfg
 
     sp = mesh.shape["seq"]
     if cfg.sliding_window is not None:
@@ -129,8 +129,7 @@ def forward_sp(
             h = rmsnorm(x, lp["post_norm"], cfg.norm_eps)
             gate = h @ lp["gate_proj"]["w"]
             up = h @ lp["up_proj"]["w"]
-            gf = gate.astype(jnp.float32)
-            act = (jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)).astype(gate.dtype) * up
+            act = act_fn(cfg.act, gate.astype(jnp.float32)).astype(gate.dtype) * up
             x = x + act @ lp["down_proj"]["w"]
         x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
         head = params.get("lm_head")

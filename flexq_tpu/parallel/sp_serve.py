@@ -43,7 +43,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from flexq_tpu.config import ModelConfig, QuantPolicy
 from flexq_tpu.kernels.fused_quant import glu_quant, quant_act, rmsnorm_quant
-from flexq_tpu.models.llama import apply_rope, rmsnorm, rope_for_cfg
+from flexq_tpu.models.llama import act_fn, apply_rope, rmsnorm, rope_for_cfg
 from flexq_tpu.models.quantized import (
     _ffn_width,
     _qlinear,
@@ -93,9 +93,9 @@ def _sp_prefill_layer(lp, cfg: ModelConfig, x, cos, sin):
     ffn_pad = _ffn_width(lp["down_proj"], cfg)
     gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
     up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
-    gf = gate.astype(jnp.float32)
-    a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)
-    act = (a * up.astype(jnp.float32)).astype(dtype)
+    act = (
+        act_fn(cfg.act, gate.astype(jnp.float32)) * up.astype(jnp.float32)
+    ).astype(dtype)
     down = _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
     x2 = x2 + down
     return (
@@ -280,9 +280,9 @@ def _sp_decode_layer(lp, cfg, policy, li, x, cos, sin, pcache, tk, tv, t):
         ffn_pad = _ffn_width(lp["down_proj"], cfg)
         gate = _qlinear_bf16(lp["gate_proj"], h, dtype, ffn_pad)
         up = _qlinear_bf16(lp["up_proj"], h, dtype, ffn_pad)
-        gf = gate.astype(jnp.float32)
-        a = jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)
-        act = (a * up.astype(jnp.float32)).astype(dtype)
+        act = (
+            act_fn(cfg.act, gate.astype(jnp.float32)) * up.astype(jnp.float32)
+        ).astype(dtype)
         x2 = x2 + _qlinear_bf16(lp["down_proj"], act, dtype, hidden)
     return x2.reshape(b, 1, hidden), tk, tv
 

@@ -214,8 +214,9 @@ def collect_llama_act_stats(
         st["ffn_in"] = absmax(h)
         gate = lin(lp["gate_proj"], h)
         up = lin(lp["up_proj"], h)
-        gf = gate.astype(jnp.float32)
-        act = (jax.nn.silu(gf) if cfg.act == "silu" else jax.nn.gelu(gf)).astype(gate.dtype) * up
+        from flexq_tpu.models.llama import act_fn
+
+        act = act_fn(cfg.act, gate.astype(jnp.float32)).astype(gate.dtype) * up
         x = x + lin(lp["down_proj"], act)
         stats.append(st)
     return stats
